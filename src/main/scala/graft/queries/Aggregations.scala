@@ -20,6 +20,16 @@ import graft.Tables.dec
   *  - Averages/divisions: cast the exact decimal numerator to double and
   *    divide by the count on both engines — one IEEE-754 division of
   *    identical operands is bit-deterministic.
+  *  - q_agg_stats computes var/stddev from exact decimal moments
+  *    (sum q, sum q², n) and finishes in double with an identical
+  *    expression on both engines — built-in stddev_samp merges partial
+  *    states in partition order and would drift from DuckDB's
+  *    single-pass result in the low bits.
+  *
+  * Scale: groupBy aggregations get partial (map-side) aggregation from
+  * AggUtils for free; distinct counts expand to two-phase plans. At
+  * 100 TB the same plans hold — the shuffle carries only group keys ×
+  * partial states.
   */
 object Aggregations extends QueryPack {
 
@@ -28,8 +38,7 @@ object Aggregations extends QueryPack {
 
   override def queries: Map[String, Query] = Map(
     // TPC-H Q1 shape: scan → filter → project → hash agg (partial+final
-    // from AggUtils) → sort. Reference analogue: the per-table row
-    // aggregation BigQuery would run post-load (SURVEY.md §2-B).
+    // from AggUtils) → sort.
     "q_agg_hash" -> ((spark, sfDir) => {
       val li = Tables.lineitem(spark, sfDir)
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
@@ -43,6 +52,96 @@ object Aggregations extends QueryPack {
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_agg_global" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(D382).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    "q_agg_distinct" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .groupBy((col("l_partkey") % 10).as("bucket"))
+        .agg(countDistinct(col("l_suppkey")).as("nd_supp"), count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_agg_having" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast(D382).as("total"))
+        .filter(col("n") > 10)
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_agg_rollup" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g1").asc, col("g2").asc,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g1").asc, col("g2").asc,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_gsets" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_gsets")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |FROM lineitem_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+          |ORDER BY g1 ASC, g2 ASC,
+          |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_stats" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"), dec(col("l_quantity")).as("q"))
+        .groupBy(col("flag"))
+        .agg(
+          sum(expr("q * q")).cast("double").as("s2"),
+          sum(col("q")).cast("double").as("s1"),
+          count(lit(1)).as("n"))
+        .select(col("flag"),
+          expr("(s2 - s1 * s1 / n) / (n - 1)").as("var_samp_q"),
+          expr("sqrt((s2 - s1 * s1 / n) / (n - 1))").as("stddev_samp_q"))
+        .orderBy(col("flag"))
+    }),
+
+    "q_agg_collect" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ids"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Sketch-based: no DuckDB oracle (HLL++ impl differs) — tolerance
+    // ScalaTest vs exact countDistinct instead (SURVEY.md §2-B).
+    "q_agg_approx_distinct" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_nd"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -59,6 +158,69 @@ object Aggregations extends QueryPack {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_partkey % 10 AS bucket, COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g1 ASC, g2 ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g1 ASC, g2 ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY g1 ASC, g2 ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH t AS (
+        |  SELECT flag,
+        |    CAST(SUM(q * q) AS DOUBLE) AS s2,
+        |    CAST(SUM(q) AS DOUBLE) AS s1,
+        |    COUNT(*) AS n
+        |  FROM (SELECT l_returnflag AS flag, CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)
+        |  GROUP BY flag)
+        |SELECT flag,
+        |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp_q,
+        |  SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp_q
+        |FROM t ORDER BY flag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS ids
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.Tables.dec
+
+/** Join operators (SURVEY.md §2-B "Joins").
+  *
+  * Scale notes: dimension sides (part, customer, nation, region) are
+  * broadcast-able at any SF — q_join_broadcast forces it explicitly,
+  * the rest let AQE choose. q_join_theta keeps an equi component
+  * (partkey) so it plans as a hash join + residual range filter, never
+  * a nested-loop cross product. q_join_asof is implemented as a single
+  * pass union + ordered window (no self-join), which shuffles each key
+  * group once — the 100 TB-friendly as-of shape.
+  */
+object Joins extends QueryPack {
+
+  private val D382 = DecimalType(38, 2)
+
+  override def queries: Map[String, Query] = Map(
+    "q_join_inner" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"), dec(col("o_totalprice")).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_join_broadcast" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val p  = Tables.part(spark, sfDir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast(D382).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_join_sortmerge" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val o  = Tables.orders(spark, sfDir)
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_join_left" -> ((spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast(D382).as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_full" -> ((spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      val s = Tables.supplier(spark, sfDir)
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      c.join(s, col("nk_c") === col("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"), col("n_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_join_semi" -> ((spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti against a filtered build side (customers who never placed a
+    // >450k order) so the result is non-trivial at every SF.
+    "q_join_anti" -> ((spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_cross" -> ((spark, sfDir) => {
+      Tables.region(spark, sfDir).crossJoin(Tables.nation(spark, sfDir))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q_join_theta" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val p  = Tables.part(spark, sfDir)
+      li.join(broadcast(p),
+          li("l_partkey") === p("p_partkey") &&
+          li("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // As-of join: for each purchase, the latest signup ts <= its ts for
+    // the same user. One union + one window pass — no self-join, one
+    // shuffle on user_id (SURVEY.md §2-B q_join_asof).
+    "q_join_asof" -> ((spark, sfDir) => {
+      val ev  = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("prio"),
+          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("prio"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+        .filter(col("prio") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_join_multikey" -> ((spark, sfDir) => {
+      val s = Tables.supplier(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      s.join(c, s("s_nationkey") === c("c_nationkey") && c("c_acctbal") > s("s_acctbal"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(nk_c, nk_s) AS nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT p_brand, COUNT(*) AS n
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, MAX(s.ts) AS last_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON s.user_id = p.user_id AND s.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_multikey" ->
+      """SELECT n_name, COUNT(*) AS n
+        |FROM supplier s
+        |JOIN customer c ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

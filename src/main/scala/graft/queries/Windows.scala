@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.Tables.dec
+
+/** Window function operators (SURVEY.md §2-B "Window functions").
+  *
+  * All partition specs use low-cardinality-safe keys (custkey spreads
+  * evenly); one shuffle per window spec. Ranking functions are cast to
+  * BIGINT on both engines (Spark emits INT, DuckDB BIGINT).
+  * percent_rank/cume_dist are exact integer-ratio divisions — identical
+  * IEEE doubles on both engines.
+  */
+object Windows extends QueryPack {
+
+  private val D382 = DecimalType(38, 2)
+
+  private def byCust = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  override def queries: Map[String, Query] = Map(
+    "q_win_rank" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_win_lag" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byCust).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_win_runsum" -> ((spark, sfDir) => {
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast(D382).as("run_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_win_range" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rangeBetween(-5, Window.currentRow)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast(D382).as("range_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_win_ntile" -> ((spark, sfDir) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_win_firstlast" -> ((spark, sfDir) => {
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_topk_group" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy(col("o_custkey"), col("rn"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_lag" ->
+      """SELECT o_orderkey, o_custkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_runsum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS range_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_firstlast" ->
+      """SELECT o_orderkey, o_custkey,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin
+  )
+}
