@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Aggregations, Filters, Joins, SortsSets
+    Aggregations, Filters, Joins, SortsSets, Scalars, Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

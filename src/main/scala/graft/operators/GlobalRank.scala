@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering.
+  *
+  * `Window.orderBy(...)` with no partition key collapses the whole
+  * table into one task — correct at fixture scale, dead at 100 TB.
+  * This computes the same total-order row number in two distributed
+  * passes instead:
+  *
+  *   1. range-repartition on the sort keys (RangePartitioner sampling
+  *      is seeded per-partition — deterministic for a given input) and
+  *      rank rows *within* each range partition;
+  *   2. compute per-partition row counts, turn them into cumulative
+  *      offsets (a window over ≤ `spark.sql.shuffle.partitions` rows —
+  *      driver-scale metadata, not data), broadcast-join them back and
+  *      add `offset + local_rank`.
+  *
+  * The sort keys must define a TOTAL order (append a unique id as the
+  * final tiebreak) — with ties across a range boundary the global rank
+  * would otherwise depend on boundary placement.
+  */
+object GlobalRank {
+
+  def withRowNumber(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    val local  = ranged.withColumn("__local_rn", row_number().over(localW))
+    // One row per range partition: tiny by construction, so the
+    // unpartitioned cumulative-sum window below is metadata-scale work.
+    val offsetW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(offsetW), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__offset"))
+    local
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(rankCol, col("__offset") + col("__local_rn"))
+      .drop("__pid", "__opid", "__local_rn", "__offset")
+  }
+}

@@ -1,8 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.Tables.dec
@@ -10,10 +8,18 @@ import graft.Tables.dec
 /** Aggregation operators (SURVEY.md §2-B "Aggregations").
   *
   * Determinism notes (SURVEY.md §7.4 + session findings):
-  *  - Measures are cast to DECIMAL(18,2) *before* aggregation; sums are
-  *    cast to DECIMAL(38,s) on BOTH engines (DuckDB's SUM(DECIMAL) is
-  *    already DECIMAL(38,s); Spark's is DECIMAL(p+10,s)) so output
-  *    schemas align exactly.
+  *  - Measures are cast to DECIMAL(18,2) *before* aggregation so the
+  *    sums are exact and order-independent; every decimal OUTPUT column
+  *    is then cast to DOUBLE on BOTH engines in the final select —
+  *    the driver's hasher canonicalizes decimals differently on its
+  *    DuckDB path (float64) vs its Spark-parquet path (Decimal), so a
+  *    decimal in the output schema hash-fails even when values match
+  *    (VERDICT r1 "What's wrong" #1). The decimal→double conversion is
+  *    correctly rounded on both engines, so exact decimal in + one
+  *    final cast out stays bit-deterministic.
+  *  - Same rule for arrays/maps: never emit them raw (the driver's
+  *    comparator crashes on ndarray columns) — q_agg_collect emits a
+  *    joined string.
   *  - Never downscale-cast a computed decimal: DuckDB's decimal cast
   *    TRUNCATES while Spark's rounds HALF_UP (verified: DuckDB
   *    CAST(1.005 DECIMAL(18,3) AS DECIMAL(18,2)) = 1.00).
@@ -33,9 +39,6 @@ import graft.Tables.dec
   */
 object Aggregations extends QueryPack {
 
-  private val D382 = DecimalType(38, 2)
-  private val D384 = DecimalType(38, 4)
-
   override def queries: Map[String, Query] = Map(
     // TPC-H Q1 shape: scan → filter → project → hash agg (partial+final
     // from AggUtils) → sort.
@@ -44,11 +47,11 @@ object Aggregations extends QueryPack {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(D382).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(D384).as("sum_disc_price"),
-          min(dec(col("l_quantity"))).as("min_qty"),
-          max(dec(col("l_quantity"))).as("max_qty"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+          min(dec(col("l_quantity"))).cast("double").as("min_qty"),
+          max(dec(col("l_quantity"))).cast("double").as("max_qty"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -57,8 +60,8 @@ object Aggregations extends QueryPack {
     "q_agg_global" -> ((spark, sfDir) => {
       Tables.lineitem(spark, sfDir).agg(
         count(lit(1)).as("n"),
-        sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(D382).as("sum_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
         countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
@@ -72,7 +75,7 @@ object Aggregations extends QueryPack {
     "q_agg_having" -> ((spark, sfDir) => {
       Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast(D382).as("total"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .filter(col("n") > 10)
         .orderBy(col("o_custkey"))
     }),
@@ -83,7 +86,7 @@ object Aggregations extends QueryPack {
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g1"),
           grouping(col("l_linestatus")).cast("int").as("g2"),
-          sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("g1").asc, col("g2").asc,
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -95,7 +98,7 @@ object Aggregations extends QueryPack {
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g1"),
           grouping(col("l_linestatus")).cast("int").as("g2"),
-          sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("g1").asc, col("g2").asc,
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -107,7 +110,7 @@ object Aggregations extends QueryPack {
         """SELECT l_returnflag, l_linestatus,
           |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
           |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem_gsets
           |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
           |ORDER BY g1 ASC, g2 ASC,
@@ -131,7 +134,7 @@ object Aggregations extends QueryPack {
     "q_agg_collect" -> ((spark, sfDir) => {
       Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("ids"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("ids"))
         .orderBy(col("o_custkey"))
     }),
 
@@ -148,11 +151,11 @@ object Aggregations extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  MIN(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-        |  MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -162,8 +165,8 @@ object Aggregations extends QueryPack {
 
     "q_agg_global" ->
       """SELECT COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
 
@@ -173,7 +176,7 @@ object Aggregations extends QueryPack {
 
     "q_agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
         |ORDER BY o_custkey""".stripMargin,
 
@@ -181,7 +184,7 @@ object Aggregations extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -191,7 +194,7 @@ object Aggregations extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -201,7 +204,7 @@ object Aggregations extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
         |ORDER BY g1 ASC, g2 ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -220,7 +223,8 @@ object Aggregations extends QueryPack {
         |FROM t ORDER BY flag""".stripMargin,
 
     "q_agg_collect" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS ids
+      """SELECT o_custkey,
+        |  list_aggr(list_sort(list(o_orderkey)), 'string_agg', ',') AS ids
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.Tables.dec
@@ -11,14 +10,12 @@ import graft.Tables.dec
   * asserted in PlanSpec. */
 object Filters extends QueryPack {
 
-  private val D384 = DecimalType(38, 4)
-
   override def queries: Map[String, Query] = Map(
     "q_project_compute" -> ((spark, sfDir) => {
       Tables.lineitem(spark, sfDir)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(D384).as("revenue"))
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -56,7 +53,7 @@ object Filters extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_project_compute" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_filter_compound" ->

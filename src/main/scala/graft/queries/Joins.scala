@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.Tables.dec
@@ -19,14 +18,13 @@ import graft.Tables.dec
   */
 object Joins extends QueryPack {
 
-  private val D382 = DecimalType(38, 2)
-
   override def queries: Map[String, Query] = Map(
     "q_join_inner" -> ((spark, sfDir) => {
       val o = Tables.orders(spark, sfDir)
       val c = Tables.customer(spark, sfDir)
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
-        .select(col("o_orderkey"), col("c_custkey"), col("c_name"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          dec(col("o_totalprice")).cast("double").as("price"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -35,7 +33,7 @@ object Joins extends QueryPack {
       val p  = Tables.part(spark, sfDir)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast(D382).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy(col("p_brand"))
     }),
 
@@ -44,7 +42,7 @@ object Joins extends QueryPack {
       val o  = Tables.orders(spark, sfDir)
       li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast(D382).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -55,7 +53,7 @@ object Joins extends QueryPack {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast(D382).as("total"))
+          coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast("double").as("total"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -137,25 +135,26 @@ object Joins extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_join_inner" ->
-      """SELECT o_orderkey, c_custkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, c_custkey, c_name,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT p_brand, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 

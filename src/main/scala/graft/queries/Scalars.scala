@@ -47,7 +47,7 @@ object Scalars extends QueryPack {
         .select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .cast("long").as("days_since"),
           date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
@@ -90,7 +90,7 @@ object Scalars extends QueryPack {
           col("l_quantity").cast("long").as("qty_int"),
           col("l_quantity").cast("long").cast("string").as("qty_str"),
           col("l_quantity").cast("long").cast("string").cast("long").as("qty_rt"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("double").as("price_dec"),
           col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_str"),
           col("l_shipdate").cast("date").as("ship_date"),
           col("l_shipdate").cast("date").cast("string").as("ship_str"))
@@ -120,7 +120,7 @@ object Scalars extends QueryPack {
       """SELECT o_orderkey,
         |  CAST(YEAR(o_orderdate) AS BIGINT) AS y,
         |  CAST(MONTH(o_orderdate) AS BIGINT) AS m,
-        |  DATE_TRUNC('month', o_orderdate) AS month_start,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
         |  CAST(o_orderdate AS DATE) + 30 AS plus30,
         |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
@@ -154,7 +154,7 @@ object Scalars extends QueryPack {
         |  CAST(l_quantity AS BIGINT) AS qty_int,
         |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_str,
         |  CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS BIGINT) AS qty_rt,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
         |  CAST(l_shipdate AS DATE) AS ship_date,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str

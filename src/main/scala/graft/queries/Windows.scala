@@ -2,10 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.Tables.dec
+import graft.operators.GlobalRank
 
 /** Window function operators (SURVEY.md §2-B "Window functions").
   *
@@ -16,8 +16,6 @@ import graft.Tables.dec
   * IEEE doubles on both engines.
   */
 object Windows extends QueryPack {
-
-  private val D382 = DecimalType(38, 2)
 
   private def byCust = Window.partitionBy(col("o_custkey"))
     .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -46,7 +44,7 @@ object Windows extends QueryPack {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"),
-          sum(dec(col("o_totalprice"))).over(w).cast(D382).as("run_total"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("run_total"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -55,17 +53,31 @@ object Windows extends QueryPack {
         .rangeBetween(-5, Window.currentRow)
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"),
-          sum(dec(col("o_totalprice"))).over(w).cast(D382).as("range_total"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("range_total"))
         .orderBy(col("o_orderkey"))
     }),
 
+    // ntile/percent_rank/cume_dist over a GLOBAL order — implemented
+    // via the two-pass distributed GlobalRank (no single-task
+    // Window.orderBy; VERDICT r1 "What's wrong" #5). The sort keys are
+    // a total order (custkey tiebreak), so rank == row_number and the
+    // SQL ntile/percent_rank/cume_dist formulas reduce to exact
+    // integer arithmetic on (rn, n) — identical IEEE doubles on both
+    // engines.
     "q_win_ntile" -> ((spark, sfDir) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      Tables.customer(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      val ranked = GlobalRank.withRowNumber(c, "rn", col("c_acctbal").asc, col("c_custkey").asc)
+      val total  = c.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("q4", expr("n_total div 4"))
+        .withColumn("r4", col("n_total") % 4)
         .select(col("c_custkey"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          when(col("rn") <= (col("q4") + 1) * col("r4"),
+            expr("(rn - 1) div (q4 + 1) + 1"))
+            .otherwise(expr("r4 + (rn - 1 - (q4 + 1) * r4) div q4 + 1"))
+            .cast("long").as("quartile"),
+          ((col("rn") - 1).cast("double") / (col("n_total") - 1)).as("pr"),
+          (col("rn").cast("double") / col("n_total")).as("cd"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -111,14 +123,14 @@ object Windows extends QueryPack {
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_win_range" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderkey
-        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS range_total
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_win_ntile" ->
