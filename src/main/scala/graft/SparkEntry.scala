@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Aggregations, Filters, Joins, SortsSets, Scalars, Windows
+    Aggregations, Filters, Joins, SortsSets, Scalars, Windows,
+    ArraysJson, TextOps, SimOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

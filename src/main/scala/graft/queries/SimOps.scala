@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2-B
+  * "LLM-data-pipeline operators": q_sim_topk, q_sim_join, plus the
+  * LSH-bucketed ANN scale path).
+  *
+  * Numeric determinism: dot products are sequential left folds over
+  * float→double-cast elements (`aggregate` in Spark, `list_reduce` in
+  * the DuckDB oracle — same fold, and 0.0 + x == x makes the explicit
+  * initial value a no-op). sqrt is IEEE-exact, and the final division
+  * is one operation on identical operands → bit-identical doubles with
+  * no rounding step needed.
+  *
+  * Scale design:
+  *  - q_sim_topk: the probe is one broadcast row; the scan is
+  *    embarrassingly parallel, topped by TakeOrderedAndProject.
+  *  - q_sim_join: the self-join is BLOCKED on `label` — the all-pairs
+  *    form is quadratic and forbidden (SURVEY.md §7.5). At 100 TB the
+  *    block key becomes an LSH bucket id: q_sim_ann_lsh below computes
+  *    exactly that (random-hyperplane signs from fixed-seed hashes),
+  *    trading recall for a bounded candidate set; AnnSpec measures its
+  *    recall against the exact q_sim_join result.
+  */
+object SimOps extends QueryPack {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Sign-bit LSH bucket ids, one per hash table: each table has
+    * `planes` pseudo-random hyperplanes whose coefficients are
+    * fixed-seed hashes of (table, plane, dimension) mapped to
+    * [-0.5, 0.5); a bucket is the packed vector of sign bits of the
+    * projections. Deterministic — no RNG state. Multiple tables trade
+    * candidate volume for recall (recall = 1 − (1 − p^planes)^tables).
+    */
+  def lshBuckets(embedding: Column, dim: Int, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t => {
+      val projections = transform(sequence(lit(0), lit(planes - 1)), p =>
+        aggregate(
+          zip_with(embedding, sequence(lit(0), lit(dim - 1)), (x, i) =>
+            x.cast("double") *
+              ((pmod(xxhash64(t * planes + p, i), lit(1000000)).cast("double")
+                / 1000000.0) - 0.5)),
+          lit(0.0), (acc, x) => acc + x))
+      aggregate(projections, lit(0L),
+        (acc, proj) => acc * 2 + when(proj >= 0, 1L).otherwise(0L))
+    })
+
+  override def queries: Map[String, Query] = Map(
+    // Brute-force cosine top-k against a single probe vector (vec_id 0).
+    "q_sim_topk" -> ((spark, sfDir) => {
+      val emb   = Tables.embeddings(spark, sfDir)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // Best match (top-1 cosine) per vector within its `label` block.
+    "q_sim_join" -> ((spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val joined = e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"),
+          col("y.vec_id").as("match_id"),
+          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("match_id").asc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("match_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ANN via multi-table sign-bit LSH: candidates only form inside a
+    // (table, bucket) equi-join — never an all-pairs scan — then get
+    // deduplicated BEFORE the expensive cosine scoring (the canonical
+    // candidates-then-score shape for 100 TB). No oracle (bucketing is
+    // impl-specific); AnnSpec measures recall vs the exact top-1.
+    "q_sim_ann_lsh" -> ((spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val buckets = emb
+        .select(col("vec_id"),
+          posexplode(lshBuckets(col("embedding"), dim = 64, planes = 4, tables = 8)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+      val half = buckets.as("x").join(buckets.as("y"),
+          col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+        .distinct()
+      val cand = half.unionAll(half.select(col("d2").as("d1"), col("d1").as("d2")))
+      val scored = cand
+        .join(emb.as("e1"), col("d1") === col("e1.vec_id"))
+        .join(emb.as("e2"), col("d2") === col("e2.vec_id"))
+        .select(col("d1").as("vec_id"), col("d2").as("match_id"),
+          cosine(col("e1.embedding"), col("e2.embedding")).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("match_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("match_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, 65), i -> " +
+      "CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), (a, b) -> a + b)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql.format(a, b)} / " +
+      s"(sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH probe AS (
+         |  SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "p")} AS cos
+         |FROM embeddings, probe
+         |WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_join" ->
+      s"""SELECT vec_id, match_id, cos FROM (
+         |  SELECT x.vec_id AS vec_id, y.vec_id AS match_id,
+         |    ${cosSql("x.embedding", "y.embedding")} AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosSql("x.embedding", "y.embedding")} DESC,
+         |               y.vec_id ASC) AS rn
+         |  FROM embeddings x JOIN embeddings y
+         |    ON x.label = y.label AND x.vec_id <> y.vec_id)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  )
+}

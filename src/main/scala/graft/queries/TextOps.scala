@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-pipeline operators over the `documents` corpus: deduplication
+  * (exact, Jaccard, MinHash-LSH), corpus analytics, term frequency,
+  * quality scoring, language-ID heuristic, and document fingerprinting
+  * (SURVEY.md §2-B "LLM-data-pipeline operators" + the north-star
+  * mandate's text-analysis ops).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - q_dedup_exact: one shuffle on the dedup key (hash partition),
+  *    row_number per key group — never a global sort.
+  *  - q_dedup_jaccard: the pairwise comparison is BLOCKED on `source`
+  *    (SURVEY.md §7.5) — all-pairs would be quadratic in corpus size;
+  *    within-block token join keeps candidate pairs bounded by block
+  *    size. The block key generalizes to LSH buckets at scale.
+  *  - q_dedup_minhash: the 100 TB dedup path — fixed-seed signatures,
+  *    banded LSH, candidates emerge from an equi groupBy on
+  *    (band, band_hash), NOT from any pairwise scan. Sketches are
+  *    engine-specific, so no DuckDB oracle; the property test asserts
+  *    candidates ⊇ exact-Jaccard(≥0.8) pairs (MinhashSpec).
+  *  - Fingerprint/quality/langid are embarrassingly parallel scans.
+  */
+object TextOps extends QueryPack {
+
+  /** Deterministic per-doc distinct-token rows (doc_id, source, tok). */
+  private def distinctTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** MinHash-LSH candidate pairs: `numHashes` fixed-seed min-hashes per
+    * doc, split into `bands`; docs sharing any band hash are candidates.
+    * Seeds are the hash index itself (xxhash64(i, token)) — fully
+    * deterministic, no RNG.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val sig = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(i, t)))).as("sig"))
+    val banded = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))).as("bh"))))
+          .as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    // Bucket by (band, band-hash); pairs only form inside buckets. At
+    // scale, cap pathological bucket sizes (skew guard) before pairing.
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets.select(col("ids"), explode(col("ids")).as("d1"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .distinct()
+  }
+
+  override def queries: Map[String, Query] = Map(
+    // Exact dedup on a normalized key (first 8 tokens — the fixture has
+    // no full-text duplicates); deterministic survivor = min doc_id.
+    "q_dedup_exact" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("dkey", array_join(slice(split(col("text"), " "), 1, 8), " "))
+      val w = Window.partitionBy(col("dkey")).orderBy(col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("lang"))
+    }),
+
+    // Exact Jaccard near-dup within `source` blocks: distinct-token
+    // equi-join → |∩|, then |∪| = s1 + s2 − |∩|. The score is an exact
+    // integer ratio → identical doubles on both engines.
+    "q_dedup_jaccard" -> ((spark, sfDir) => {
+      val toks  = distinctTokens(Tables.documents(spark, sfDir))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = toks.as("a").join(toks.as("b"),
+          col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          (col("inter").cast("double") /
+            (col("s1.sz") + col("s2.sz") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Banded MinHash-LSH candidates (no oracle — sketch-specific;
+    // MinhashSpec asserts candidates ⊇ q_dedup_jaccard pairs).
+    "q_dedup_minhash" -> ((spark, sfDir) => {
+      minhashCandidates(Tables.documents(spark, sfDir), numHashes = 16, bands = 8)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    "q_text_stats" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_text_tf" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    // Quality scoring: token count, mean token length, stopword ratio —
+    // all exact integer ratios finished in double.
+    "q_text_quality" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (col("n_chars").cast("double") / size(col("toks"))).as("chars_per_token"),
+          (size(filter(col("toks"), t => t === "the" || t === "a"))
+            .cast("double") / size(col("toks"))).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: stopword-list hits per language family,
+    // highest count wins (fixture text is synthetic, so 'en' dominates
+    // — the operator shape is what matters).
+    "q_text_langid" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("en_hits", size(filter(col("toks"),
+          t => t === "the" || t === "a" || t === "is")))
+        .withColumn("es_hits", size(filter(col("toks"),
+          t => t === "el" || t === "la" || t === "de")))
+        .select(col("doc_id"),
+          when(col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") > col("en_hits"), "es")
+            .otherwise("unk").as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: deterministic rolling polynomial hash over
+    // token features, all in exact BIGINT modular arithmetic (no
+    // overflow: acc < 1e9+7, acc*31 + feature < 2^63).
+    "q_text_fingerprint" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .withColumn("feats", transform(split(col("text"), " "),
+          t => length(t).cast("long") * 131 + ascii(substring(t, 1, 1))))
+        .select(col("doc_id"),
+          aggregate(col("feats"), lit(0L),
+            (acc, f) => (acc * 31 + f) % 1000000007L).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT lang, COUNT(*) AS n_survivors FROM (
+        |  SELECT lang, ROW_NUMBER() OVER (
+        |    PARTITION BY array_to_string(string_split(text, ' ')[1:8], ' ')
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
+        |FROM pairs
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_tf" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |    WHEN es_hits > en_hits THEN 'es'
+        |    ELSE 'unk' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'is'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('el', 'la', 'de'))) AS es_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(len(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1)))),
+        |    (acc, f) -> (acc * 31 + f) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
