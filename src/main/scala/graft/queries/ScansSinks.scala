@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Tables.dec
+
+/** Scan / source / sink operators (SURVEY.md §2-B "Scans / sources /
+  * sinks") — the rows that directly encode reference behaviors:
+  * NDJSON event ingestion and gzip wire format
+  * (/root/reference/Unity_to_BigQuery.py:132,136-141), CSV with header
+  * skip (/root/reference/bq_uploader.py:24-25), and the partitioned
+  * file layout (/root/reference/Unity_to_BigQuery.py:106-108).
+  *
+  * The NDJSON/gz/CSV inputs don't exist as driver fixtures, so each
+  * query derives them deterministically from the parquet tables
+  * (FIXTURES.md §3) under target/fixtures/<sf>/ (overwrite → idempotent)
+  * and then reads them back; the DuckDB oracle computes the same result
+  * straight from the parquet table, so the round-trip fidelity of the
+  * format (JSON/CSV double shortest-round-trip, gzip transparency,
+  * header skip) is exactly what's under test.
+  *
+  * All reads use explicit schemas — schema inference over 100 TB of
+  * JSON is an extra full pass and nondeterministic (SURVEY.md §7.5).
+  */
+object ScansSinks extends QueryPack {
+
+  private def fixtureDir(sfDir: String, name: String): String =
+    s"/root/repo/target/fixtures/${new java.io.File(sfDir).getName}/$name"
+
+  /** Unity-export-style record envelope derived from `events`
+    * (FIXTURES.md §3: event_id→sessionid, user_id→userid,
+    * event_type→type, props→custom_params, value→amount). */
+  private def exportRecords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id").cast("string").as("sessionid"),
+      col("user_id").cast("string").as("userid"),
+      col("event_type").as("type"),
+      col("props").as("custom_params"),
+      col("value").as("amount"))
+
+  private val exportSchema = StructType(Seq(
+    StructField("sessionid", StringType),
+    StructField("userid", StringType),
+    StructField("type", StringType),
+    StructField("custom_params", StringType),
+    StructField("amount", DoubleType)))
+
+  /** Shared result shape: per report type, row count, exact decimal sum
+    * of amount (finished in double), distinct users. */
+  private def exportAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("amount"))).cast("double").as("sum_amount"),
+        countDistinct(col("userid")).as("n_users"))
+      .orderBy(col("type"))
+
+  private val exportAggOracle =
+    """SELECT event_type AS type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+      |  COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_users
+      |FROM events GROUP BY 1 ORDER BY type""".stripMargin
+
+  override def queries: Map[String, Query] = Map(
+    // Plain full-width parquet scan, totally ordered.
+    "q_scan_parquet" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_scan_ndjson" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "events_ndjson")
+      exportRecords(spark, sfDir).write.mode("overwrite").json(dir)
+      exportAgg(spark.read.schema(exportSchema).json(dir))
+    }),
+
+    // Same wire format gzipped — Hadoop decompresses by extension, the
+    // reference's gzip.GzipFile step (:136-137) disappears entirely.
+    "q_scan_ndjson_gz" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "events_ndjson_gz")
+      exportRecords(spark, sfDir).write.mode("overwrite")
+        .option("compression", "gzip").json(dir)
+      exportAgg(spark.read.schema(exportSchema).json(dir))
+    }),
+
+    "q_scan_csv_header" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "customer_csv")
+      val cust = Tables.customer(spark, sfDir)
+      cust.write.mode("overwrite").option("header", "true").csv(dir)
+      spark.read.schema(cust.schema).option("header", "true").csv(dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Partitioned write (ref A7 layout) → read back through the
+    // partition-discovered directory tree; per-partition rollup must
+    // equal the source aggregation.
+    "q_sink_parquet_part" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "events_part")
+      Tables.events(spark, sfDir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_scan_ndjson" -> exportAggOracle,
+    "q_scan_ndjson_gz" -> exportAggOracle,
+
+    "q_scan_csv_header" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sink_parquet_part" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

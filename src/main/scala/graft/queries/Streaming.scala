@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.dec
+import graft.streaming.StreamOps
+
+/** Batch-equivalent forms of the streaming operators (SURVEY.md §2-B
+  * "Streaming"): the same [[graft.streaming.StreamOps]] transforms run
+  * here over `spark.read` inputs and get oracle-checked against
+  * DuckDB's relational equivalents (window buckets via time_bucket,
+  * sessions via gaps-and-islands). The streaming execution path —
+  * watermarks, state, late data — is covered by MemoryStream parity
+  * tests (StreamingSpec), which SQL can't express.
+  *
+  * q_incremental_watermark is the reference's continuation predicate
+  * (/root/reference/Unity_to_BigQuery.py:63-66): rows strictly after a
+  * checkpoint timestamp.
+  */
+object Streaming extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    "q_stream_tumbling" -> ((spark, sfDir) => {
+      StreamOps.tumblingAgg(Tables.events(spark, sfDir))
+        .orderBy(col("event_type"), col("win_start"))
+    }),
+
+    "q_stream_sliding" -> ((spark, sfDir) => {
+      StreamOps.slidingAgg(Tables.events(spark, sfDir))
+        .orderBy(col("win_start"))
+    }),
+
+    "q_stream_session" -> ((spark, sfDir) => {
+      StreamOps.sessionAgg(Tables.events(spark, sfDir))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // Dedup on the stateful-dedup key set; output only the keys so the
+    // result is deterministic regardless of which physical row survives
+    // (the streaming form dropDuplicatesWithinWatermark is in
+    // StreamOps/StreamingSpec).
+    "q_stream_dedup" -> ((spark, sfDir) => {
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "q_incremental_watermark" -> ((spark, sfDir) => {
+      Tables.events(spark, sfDir)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          dec(col("value")).cast("double").as("value"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, win_start""".stripMargin,
+
+    "q_stream_sliding" ->
+      """SELECT ws AS win_start, COUNT(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off AS ws
+        |  FROM events
+        |  CROSS JOIN (VALUES (INTERVAL '0 minutes'), (INTERVAL '30 minutes')) o(off))
+        |GROUP BY ws ORDER BY win_start""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS last_ts,
+        |  COUNT(*) AS n
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_incremental_watermark" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin
+  )
+}
