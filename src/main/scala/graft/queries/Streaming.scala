@@ -74,7 +74,7 @@ object Streaming extends QueryPack {
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -39,9 +39,10 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
-  /** Per-user session windows with a 30-minute gap; a gap of exactly
-    * 30 min starts a NEW session (Spark closes the window at
-    * last_ts + gap, exclusive). */
+  /** Per-user session windows with a 30-minute gap. Verified boundary
+    * semantics (StreamingSpec): sessions that TOUCH are merged — a gap
+    * of exactly 30 min stays one session; a new session needs
+    * diff > gap. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

@@ -1,0 +1,31 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows, every registered query
+  * has either oracle SQL or a documented non-oracle reason, and the
+  * output schema of every oracle query is free of the types the
+  * driver's comparator can't hash (decimal/array/map — VERDICT r1).
+  */
+class EntrySpec extends SparkSuite {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle SQL without a query: $missing")
+  }
+
+  test("no oracle query outputs decimal, array, or map columns") {
+    import org.apache.spark.sql.types._
+    val offenders = SparkEntry.oracleSql.keys.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, Sf).schema
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] ||
+          f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"hash-unsafe output columns: $offenders")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.GlobalRank
+
+/** GlobalRank must agree exactly with the single-partition
+  * Window.orderBy row_number it replaces, for any total order. */
+class GlobalRankSpec extends SparkSuite {
+
+  private def check(rows: Seq[(Double, Long)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("v", "id").repartition(4)
+    val got = GlobalRank
+      .withRowNumber(df, "rn", col("v").asc, col("id").asc)
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("matches Window.orderBy row_number on shuffled data") {
+    val rng = new scala.util.Random(7)
+    check(Seq.tabulate(500)(i => (rng.nextDouble(), i.toLong)))
+  }
+
+  test("handles duplicate sort values (id tiebreak) and tiny inputs") {
+    check(Seq((1.0, 3L), (1.0, 1L), (1.0, 2L), (0.5, 4L)))
+    check(Seq((42.0, 1L)))
+  }
+
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val df = Seq.empty[(Double, Long)].toDF("v", "id")
+    assert(GlobalRank.withRowNumber(df, "rn", col("v"), col("id")).count() == 0)
+  }
+
+  test("q_win_ntile matches the built-in ntile/percent_rank/cume_dist") {
+    val got = SparkEntry.queries("q_win_ntile")(spark, Sf).collect()
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val want = Tables.customer(spark, Sf)
+      .select(col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+      .collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) => assert(g == e) }
+  }
+}

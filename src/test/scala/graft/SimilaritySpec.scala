@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{SimOps, TextOps}
+
+/** Properties of the sketch/ANN operators that have no DuckDB oracle:
+  *  - MinHash-LSH candidates must cover every exact-Jaccard(≥0.8) pair
+  *    (the whole point of LSH dedup: no true near-dup escapes);
+  *  - LSH ANN must land close to the exact top-1 neighbor.
+  */
+class SimilaritySpec extends SparkSuite {
+
+  test("minhash candidates cover all exact-Jaccard >= 0.8 pairs") {
+    val jac = SparkEntry.queries("q_dedup_jaccard")(spark, Sf)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = TextOps
+      .minhashCandidates(Tables.documents(spark, Sf), numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = jac -- cand
+    assert(jac.nonEmpty, "fixture produced no Jaccard pairs — test is vacuous")
+    assert(missed.isEmpty, s"${missed.size} near-dup pairs missed: ${missed.take(5)}")
+  }
+
+  test("jaccard scores are within (0, 1] and pairs are ordered") {
+    val rows = SparkEntry.queries("q_dedup_jaccard")(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("LSH ANN recall vs exact global top-1") {
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val exact = {
+      val j = emb.as("x").join(emb.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("match_id"),
+          SimOps.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("match_id"))
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("match_id"), col("cos"))
+    }
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, Sf)
+    val joined = exact.as("e")
+      .join(ann.as("a"), col("e.vec_id") === col("a.vec_id"), "left")
+      .select(col("e.vec_id"),
+        (col("a.match_id") === col("e.match_id")).as("hit"),
+        (col("a.cos") / col("e.cos")).as("ratio"))
+      .collect()
+    val n = joined.length
+    val recall = joined.count(r => !r.isNullAt(1) && r.getBoolean(1)).toDouble / n
+    val meanRatio = joined.filter(!_.isNullAt(2)).map(_.getDouble(2)).sum / n
+    assert(recall >= 0.6, s"ANN top-1 recall $recall < 0.6")
+    assert(meanRatio >= 0.9, s"ANN cosine ratio $meanRatio < 0.9")
+  }
+
+  test("q_sim_topk scores are a descending total order") {
+    val rows = SparkEntry.queries("q_sim_topk")(spark, Sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}

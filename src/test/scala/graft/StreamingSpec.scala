@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Streaming-execution semantics that SQL oracles can't express:
+  * batch/stream parity of the shared transforms, session-gap boundary
+  * behavior, watermark late-data drop, and stateful dedup
+  * (SURVEY.md §5.2).
+  */
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+    ts: Timestamp, value: Double)
+
+class StreamingSpec extends SparkSuite {
+
+  private def t(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  test("tumbling agg: streaming result equals the batch transform") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, 1, "view", t(5), 1.0), Ev(2, 1, "view", t(20), 2.0),
+      Ev(3, 2, "click", t(65), 3.0), Ev(4, 2, "view", t(70), 4.5),
+      Ev(5, 1, "view", t(130), 0.5))
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_parity")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_parity")
+        .orderBy(col("event_type"), col("win_start")).collect()
+      val batch = StreamOps.tumblingAgg(events.toDF())
+        .orderBy(col("event_type"), col("win_start")).collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.length == 4) // (view,0h) (click,1h) (view,1h) (view,2h)
+    } finally q.stop()
+  }
+
+  test("session window boundary: touching sessions merge, gap > 30min splits") {
+    import spark.implicits._
+    val exact = Seq(Ev(1, 1, "view", t(0), 0), Ev(2, 1, "view", t(30), 0))
+    assert(StreamOps.sessionAgg(exact.toDF()).count() == 1,
+      "gap == 30min merges (Spark merges touching session windows)")
+    val over = Seq(Ev(1, 1, "view", t(0), 0), Ev(2, 1, "view", t(31), 0))
+    assert(StreamOps.sessionAgg(over.toDF()).count() == 2,
+      "gap > 30min must start a new session")
+    // chained: each event <30min from the previous merges into one
+    // session even when the total span exceeds the gap
+    val chain = Seq(Ev(1, 1, "view", t(0), 0), Ev(2, 1, "view", t(25), 0),
+      Ev(3, 1, "view", t(50), 0))
+    val rows = StreamOps.sessionAgg(chain.toDF()).collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 3)
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingAggStream(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, 1, "view", t(5), 1.0))
+      q.processAllAvailable()
+      // advance event time far past hour 0: watermark = 3:00 - 10min
+      mem.addData(Ev(2, 1, "view", t(180), 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_drop").count()
+      assert(afterClose == 1, "hour-0 window should have been finalized")
+      // this event's window (hour 0) is behind the watermark → dropped
+      mem.addData(Ev(3, 1, "view", t(10), 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_drop").collect()
+      assert(rows.length == afterClose, "late row must not re-open the window")
+      assert(rows.map(_.getLong(2)).sum == 1, "late row must not be counted")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by event_id across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.dedupStream(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, 1, "view", t(5), 1.0), Ev(1, 1, "view", t(5), 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, 1, "view", t(6), 1.0), Ev(2, 1, "view", t(7), 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
