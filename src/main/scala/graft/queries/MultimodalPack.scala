@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal operators as driver-visible queries (no DuckDB oracle —
+  * the inputs are synthesized binary payloads, which the fixture tables
+  * don't carry; correctness lives in MultimodalSpec). The driver's
+  * rows-only check still exercises the full decode→extract and
+  * frame-sampling plans end to end.
+  */
+object MultimodalPack extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    "q_multimodal_features" -> ((spark, _) => {
+      Multimodal.decodeFeatures(Multimodal.synthesize(spark, 300), bins = 16)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 1), 6).as("f1"),
+          round(element_at(col("features"), 16), 6).as("f16"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_multimodal_frames" -> ((spark, _) => {
+      Multimodal.frameSample(Multimodal.synthesize(spark, 300), everyN = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map.empty
+}

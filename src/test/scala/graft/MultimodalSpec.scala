@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+import graft.multimodal.Multimodal
+
+/** The multimodal plumbing around the stubbed decode must be real:
+  * schema shape, deterministic distributed feature extraction, frame
+  * sampling reconstruction, and payload-free metadata updates. */
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val media = Multimodal.synthesize(spark, 120)
+
+  test("schema: binary payload + typed nested metadata") {
+    val schema = media.toDF().schema
+    assert(schema("payload").dataType == BinaryType)
+    val meta = schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSet ==
+      Set("format", "width", "height", "sample_rate", "n_frames"))
+    assert(media.count() == 120)
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction is deterministic, normalized, fixed-dim") {
+    val a = Multimodal.decodeFeatures(media, bins = 16).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val b = Multimodal.decodeFeatures(media.repartition(7), bins = 16).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a == b, "features must not depend on partitioning")
+    assert(a.values.forall(_.length == 16))
+    a.values.foreach(f => assert(math.abs(f.sum - 1.0) < 1e-9))
+  }
+
+  test("frame sampling: every Nth fixed-size block, reconstructible") {
+    val frames = Multimodal.frameSample(media, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame.length == Multimodal.FrameBytes))
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    // sampled frame content must equal the corresponding payload slice
+    val byId = media.collect().map(r => r.media_id -> r.payload).toMap
+    frames.foreach { f =>
+      val start = f.frame_idx * Multimodal.FrameBytes
+      assert(f.frame.toSeq ==
+        byId(f.media_id).slice(start, start + Multimodal.FrameBytes).toSeq)
+    }
+  }
+
+  test("resizeMeta rewrites metadata without touching payloads") {
+    val resized = Multimodal.resizeMeta(media.toDF(), 32, 32)
+    assert(resized.select("meta.width").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(32))
+    val sizes  = media.select(col("media_id"), length(col("payload")).as("n"))
+    val sizes2 = resized.select(col("media_id"), length(col("payload")).as("n2"))
+    assert(sizes.join(sizes2, "media_id").filter(col("n") =!= col("n2")).count() == 0)
+  }
+
+  test("metadata-only plans prune the binary column from the parquet scan") {
+    // pruning applies at the file-source boundary — persist then re-read
+    val dir = "target/test-fixtures/media_parquet"
+    media.toDF().write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select("media_id", "kind", "meta")
+      .filter(col("meta.n_frames") > 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("payload"), s"payload not pruned from scan:\n$plan")
+  }
+}
