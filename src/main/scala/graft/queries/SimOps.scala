@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expressions.CosineSimilarity
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2-B
   * "LLM-data-pipeline operators": q_sim_topk, q_sim_join, plus the
@@ -29,21 +30,19 @@ import graft.Tables
   */
 object SimOps extends QueryPack {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double
+    * — the HOF reference formulation; kept as the semantic spec the
+    * custom expression is asserted against (ExpressionSpec). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** (vec_id, embedding, norm): precompute each vector's norm ONCE so
-    * pairwise scoring folds one dot product instead of three — the
-    * norm product is numerically identical to cosine()'s
-    * sqrt(dot(a,a)) * sqrt(dot(b,b)). */
-  def withNorm(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+  /** Production cosine: the codegen'd Catalyst expression — one fused
+    * loop, bit-identical to [[cosineHof]] and to the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Sign-bit LSH bucket ids, one per hash table: each table has
     * `planes` fixed-seed pseudo-random hyperplanes; a bucket is the
@@ -82,20 +81,17 @@ object SimOps extends QueryPack {
         .limit(10)
     }),
 
-    // Best match (top-1 cosine) per vector within its `label` block.
-    // Norms are precomputed per vector (one fold each) so each of the
-    // O(block²) pairs folds only its dot product.
+    // Best match (top-1 cosine) per vector within its `label` block;
+    // pairwise scoring runs the codegen'd CosineSimilarity expression.
     "q_sim_join" -> ((spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+        .select(col("vec_id"), col("label"), col("embedding"))
       val joined = e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") &&
           col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("vec_id"),
           col("y.vec_id").as("match_id"),
-          (dot(col("x.embedding"), col("y.embedding")) /
-            (col("x.norm") * col("y.norm"))).as("cos"))
+          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("match_id").asc)
       joined.withColumn("rn", row_number().over(w))
@@ -110,7 +106,8 @@ object SimOps extends QueryPack {
     // candidates-then-score shape for 100 TB). No oracle (bucketing is
     // impl-specific); AnnSpec measures recall vs the exact top-1.
     "q_sim_ann_lsh" -> ((spark, sfDir) => {
-      val emb = withNorm(Tables.embeddings(spark, sfDir))
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
       val buckets = emb
         .select(col("vec_id"),
           posexplode(lshBuckets(col("embedding"), dim = 64, planes = 4, tables = 8)))
@@ -126,8 +123,7 @@ object SimOps extends QueryPack {
         .join(emb.as("e1"), col("d1") === col("e1.vec_id"))
         .join(emb.as("e2"), col("d2") === col("e2.vec_id"))
         .select(col("d1").as("vec_id"), col("d2").as("match_id"),
-          (dot(col("e1.embedding"), col("e2.embedding")) /
-            (col("e1.norm") * col("e2.norm"))).as("cos"))
+          cosine(col("e1.embedding"), col("e2.embedding")).as("cos"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("match_id").asc)
       scored.withColumn("rn", row_number().over(w))
