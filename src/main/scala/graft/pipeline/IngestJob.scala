@@ -29,22 +29,26 @@ final class IngestJob(
     config: PipelineConfig,
     checkpoints: CheckpointStore,
     sink: WarehouseSink,
-    notifier: Notifier) {
+    notifier: Notifier,
+    client: ExportClient,
+    poller: ExportPoller) {
 
   /** Ingest everything new for one (app, reportType); returns rows
-    * loaded. */
+    * loaded. Mirrors reference A11: checkpoint lookup → export request
+    * (continueFrom) → readiness poll → save → checkpoint append (only
+    * when the job had data — `is_files`, so an empty job is retried by
+    * the next run, exactly like the reference). */
   def run(appId: String, jobType: String): Long = {
     val dataset = config.datasetFor(appId).getOrElse(
       throw new IllegalArgumentException(s"unknown tenant: $appId"))
-    val previous = checkpoints.findPreviousJobId(jobType, appId)
-    val pending = UnityExport
-      .listJobs(config.exportRoot, appId, jobType)
-      .filter { case (jobId, _) => previous.forall(jobId > _) }
 
     var total = 0L
-    var prev  = previous
-    pending.foreach { case (jobId, dir) =>
-      val batch = UnityExport.readJob(spark, dir, jobId)
+    var prev  = checkpoints.findPreviousJobId(jobType, appId)
+    var next  = client.requestExport(appId, jobType, prev)
+    while (next.isDefined) {
+      val jobId = next.get
+      poller.awaitReady(appId, jobType, jobId)
+      val batch = UnityExport.readJob(spark, client.jobDir(appId, jobType, jobId), jobId)
       val n = batch.count()
       if (n > 0) {
         sink.load(batch, dataset, jobType)
@@ -55,9 +59,10 @@ final class IngestJob(
           app_id = appId,
           previous_job_id = prev,
           date_range = None))
-        prev = Some(jobId)
         total += n
       }
+      prev = Some(jobId)
+      next = client.requestExport(appId, jobType, prev)
     }
     total
   }
@@ -80,4 +85,16 @@ final class IngestJob(
         }
       (tenant.appId, jobType) -> n
     }).toMap
+}
+
+object IngestJob {
+  /** Standard local wiring: filesystem export service, no-sleep poller
+    * (local job dirs are ready immediately). */
+  def apply(spark: SparkSession, config: PipelineConfig,
+      checkpoints: CheckpointStore, sink: WarehouseSink,
+      notifier: Notifier): IngestJob = {
+    val client = new LocalDirExportClient(config.exportRoot)
+    new IngestJob(spark, config, checkpoints, sink, notifier, client,
+      new ExportPoller(client, pollIntervalMs = 0L, sleep = _ => ()))
+  }
 }

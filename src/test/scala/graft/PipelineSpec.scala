@@ -51,7 +51,7 @@ class PipelineSpec extends SparkSuite {
     tenants = Seq(TenantConfig("app-a", "Dataset_A"), TenantConfig("app-b", "Dataset_B")),
     reportTypes = Seq("custom", "transaction"))
 
-  private def mkJob(notifier: Notifier = new LogNotifier) = new IngestJob(
+  private def mkJob(notifier: Notifier = new LogNotifier) = IngestJob(
     spark, config,
     new ParquetCheckpointStore(spark, config.checkpointPath),
     new ParquetWarehouseSink(config.warehouseRoot),
@@ -103,7 +103,7 @@ class PipelineSpec extends SparkSuite {
 
   test("a failing tenant posts to the notifier and does not kill the sweep") {
     val notifier = new RecordingNotifier
-    val failing = new IngestJob(
+    val failing = IngestJob(
       spark,
       config.copy(checkpointPath = s"$root/checkpoints2",
         warehouseRoot = s"$root/warehouse2"),
