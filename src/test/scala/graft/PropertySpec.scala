@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.2) of the pure formulas the
+  * distributed operators rely on — fast (no Spark jobs), wide input
+  * coverage. ScalaCheck generators are driven with fixed seeds
+  * (deterministic runs; scalatestplus bridge is not on the offline
+  * classpath). */
+class PropertySpec extends SparkSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 200): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** The q_win_ntile CASE formula, extracted: SQL NTILE(k) of rank rn
+    * (1-based) among n rows. */
+  private def ntileFormula(rn: Long, n: Long, k: Long): Long = {
+    val q = n / k
+    val r = n % k
+    if (rn <= (q + 1) * r) (rn - 1) / (q + 1) + 1
+    else r + (rn - 1 - (q + 1) * r) / q + 1
+  }
+
+  /** Reference NTILE: first (n mod k) buckets get ceil(n/k) rows. */
+  private def ntileReference(n: Int, k: Int): Seq[Long] = {
+    val q = n / k
+    val r = n % k
+    (1 to k).flatMap { b =>
+      val size = if (b <= r) q + 1 else q
+      Seq.fill(size)(b.toLong)
+    }
+  }
+
+  test("ntile formula matches the bucket-size definition for all n") {
+    val cases = samples(Gen.zip(Gen.choose(1, 400), Gen.choose(1, 10)))
+      .filter { case (n, k) => n >= k } // ntile defined: more rows than buckets
+    assert(cases.size > 100)
+    cases.foreach { case (n, k) =>
+      val got = (1 to n).map(rn => ntileFormula(rn.toLong, n.toLong, k.toLong))
+      assert(got == ntileReference(n, k), s"n=$n k=$k")
+    }
+  }
+
+  /** The q_text_fingerprint fold, extracted. */
+  private def fingerprint(feats: Seq[Long]): Long =
+    feats.foldLeft(0L)((acc, f) => (acc * 31 + f) % 1000000007L)
+
+  test("fingerprint stays in [0, p) and is deterministic and order-sensitive") {
+    samples(Gen.listOf(Gen.choose(0L, 100000L))).foreach { feats =>
+      val h = fingerprint(feats)
+      assert(h >= 0L && h < 1000000007L)
+      assert(h == fingerprint(feats))
+    }
+    assert(fingerprint(Seq(1L, 2L)) != fingerprint(Seq(2L, 1L)))
+  }
+
+  /** Jaccard over sets, as computed by q_dedup_jaccard. */
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+
+  test("jaccard is symmetric, bounded, and 1 only for equal sets") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.toSet)
+    samples(Gen.zip(tokGen, tokGen)).foreach { case (a, b) =>
+      val j = jaccard(a, b)
+      assert(j == jaccard(b, a))
+      assert(j >= 0.0 && j <= 1.0)
+      if (a.nonEmpty && j == 1.0) assert(a == b)
+    }
+  }
+
+  /** LSH band-match probability: more bands can only add candidates
+    * (monotonicity backing the minhash superset test). */
+  test("band signatures: equal token sets give equal signatures") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "z y x"), (4L, "p q")
+    ).toDF("doc_id", "text")
+    val sigs = df
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => array_min(transform(col("toks"), t => xxhash64(i, t)))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must collide")
+    assert(sigs(1L) == sigs(3L), "signature must be order-insensitive (set semantics)")
+    assert(sigs(1L) != sigs(4L), "disjoint docs must (generically) differ")
+  }
+}
