@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables.dec
+
+/** Typed records for the custom-state operator. */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+case class UserActivity(user_id: Long, n_events: Long, n_sessions: Long)
+case class ActivityState(nEvents: Long, nSessions: Long, lastTsMs: Long)
 
 /** Structured Streaming transforms generalizing the reference's
   * incremental `continueFrom` protocol
@@ -62,4 +68,34 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key state via flatMapGroupsWithState (the
+    * KeyValueGroupedDataset escape hatch for semantics windows can't
+    * express): per user, lifetime event count and session count with a
+    * `gapMinutes` gap, carried ACROSS micro-batches in the state store.
+    * Works identically on batch Datasets (empty initial state per key).
+    *
+    * Ordering note: within one invocation events are sorted by event
+    * time; cross-batch ordering is the responsibility of upstream
+    * watermarking (out-of-order rows older than the last seen ts would
+    * need a timeout+buffer design — out of scope here).
+    */
+  def userActivity(events: Dataset[UserEvent], gapMinutes: Int): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActivityState, UserActivity](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state) =>
+          var s = state.getOption.getOrElse(ActivityState(0L, 0L, Long.MinValue))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val newSession = s.lastTsMs == Long.MinValue ||
+              e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
+            s = ActivityState(s.nEvents + 1,
+              s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
+          }
+          state.update(s)
+          Iterator(UserActivity(userId, s.nEvents, s.nSessions))
+      }
+  }
 }
