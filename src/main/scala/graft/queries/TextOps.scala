@@ -33,6 +33,26 @@ object TextOps extends QueryPack {
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
+  /** Exact-Jaccard near-dup pairs (d1 < d2, jac ≥ threshold), blocked
+    * on `source` — shared by q_dedup_jaccard and the end-to-end
+    * q_dedup_pipeline. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks  = distinctTokens(docs)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    toks.as("a").join(toks.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** MinHash-LSH candidate pairs: `numHashes` fixed-seed min-hashes per
     * doc, split into `bands`; docs sharing any band hash are candidates.
     * Seeds are the hash index itself (xxhash64(i, token)) — fully
@@ -92,22 +112,23 @@ object TextOps extends QueryPack {
     // equi-join → |∩|, then |∪| = s1 + s2 − |∩|. The score is an exact
     // integer ratio → identical doubles on both engines.
     "q_dedup_jaccard" -> ((spark, sfDir) => {
-      val toks  = distinctTokens(Tables.documents(spark, sfDir))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairs = toks.as("a").join(toks.as("b"),
-          col("a.source") === col("b.source") &&
-          col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"),
-          (col("inter").cast("double") /
-            (col("s1.sz") + col("s2.sz") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.8)
+      jaccardPairs(Tables.documents(spark, sfDir), 0.8)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // End-to-end near-dup removal: every doc that matches (jac ≥ 0.8)
+    // an earlier doc (lower id) is dropped; survivors counted by lang.
+    // "Keep-first" pair semantics, not transitive closure — at scale
+    // the closure needs an iterative connected-components pass, which
+    // this keep-first policy approximates one-sidedly.
+    "q_dedup_pipeline" -> ((spark, sfDir) => {
+      val docs   = Tables.documents(spark, sfDir)
+      val losers = jaccardPairs(docs, 0.8)
+        .select(col("d2").as("doc_id")).distinct()
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("lang"))
     }),
 
     // Banded MinHash-LSH candidates (no oracle — sketch-specific;
@@ -207,6 +228,27 @@ object TextOps extends QueryPack {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_pipeline" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 FROM pairs
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8)
+        |SELECT lang, COUNT(*) AS n_survivors
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.d2 = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
