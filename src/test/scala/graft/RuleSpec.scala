@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AccelerateCosine
+import graft.queries.SimOps
+
+/** The AccelerateCosine optimizer rule must rewrite the HOF cosine
+  * formula into the native expression without changing results. */
+class RuleSpec extends SparkSuite {
+
+  test("HOF cosine rewrites to cosine_similarity with identical results") {
+    val emb = Tables.embeddings(spark, Sf).limit(50)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+    def query = emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"), SimOps.cosineHof(col("embedding"), col("p")).as("cos"))
+
+    val before = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ AccelerateCosine
+      val optimized = query
+      val plan = optimized.queryExecution.optimizedPlan.toString
+      assert(plan.contains("cosine_similarity"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("aggregate("), s"HOF fold should be gone:\n$plan")
+      val after = optimized.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(after == before, "rewrite changed results")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rule leaves non-matching folds alone") {
+    val emb = Tables.embeddings(spark, Sf).limit(10)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ AccelerateCosine
+      // plain sum fold (no cosine shape) must survive untouched
+      val df = emb.select(
+        aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("s"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("cosine_similarity"), plan)
+      assert(df.count() == 10)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+}
