@@ -25,6 +25,8 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
+      // session builders set this too; kept here as a safety net for
+      // driver-owned sessions that load tables without our builder
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$sfDir/events.parquet")

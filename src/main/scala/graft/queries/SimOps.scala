@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,25 @@ object SimOps extends QueryPack {
     array(buckets: _*)
   }
 
+  /** IVF (inverted-file) cell assignment: each vector joins its
+    * most-similar centroid's cell. Centroids are a deterministic
+    * sample (lowest `k` vec_ids) — production would refine them with a
+    * few k-means iterations, but the index/search plumbing (broadcast
+    * centroids → argmax assignment → inverted cell lists) is identical
+    * and is what must scale. */
+  def ivfAssign(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val centroids = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    (centroids, assigned)
+  }
+
   override def queries: Map[String, Query] = Map(
     // Brute-force cosine top-k against a single probe vector (vec_id 0).
     "q_sim_topk" -> ((spark, sfDir) => {
@@ -130,6 +149,27 @@ object SimOps extends QueryPack {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("match_id"), col("cos"))
         .orderBy(col("vec_id"))
+    }),
+
+    // IVF ANN: probe only the nprobe cells nearest the query vector —
+    // search cost scales with nprobe/k of the corpus, not the corpus.
+    "q_sim_ann_ivf" -> ((spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val (centroids, assigned) = ivfAssign(emb, k = 16)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      val probeCells = centroids.crossJoin(broadcast(probe))
+        .select(col("cell_id"), cosine(col("centroid"), col("probe")).as("sim"))
+        .orderBy(col("sim").desc, col("cell_id"))
+        .limit(4)
+      assigned
+        .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
     })
   )
 

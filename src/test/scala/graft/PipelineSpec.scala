@@ -122,6 +122,18 @@ class PipelineSpec extends SparkSuite {
     assert(notifier.messages.forall(_._1 == "pipeline-errors"))
   }
 
+  test("checkpoint lookup plans as TakeOrderedAndProject (k=1 top-k)") {
+    // the scaladoc's claim, held to: filter+orderBy+limit(1) must not
+    // global-sort
+    import org.apache.spark.sql.functions._
+    val plan = spark.read.parquet(config.checkpointPath)
+      .filter(col("job_type") === "custom" && col("app_id") === "app-a")
+      .orderBy(col("ts").desc, col("job_id").desc)
+      .limit(1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("unknown tenant is rejected") {
     intercept[IllegalArgumentException] {
       mkJob().run("no-such-app", "custom")

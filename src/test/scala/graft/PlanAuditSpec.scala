@@ -7,10 +7,12 @@ package graft
   * turning a blocked join into an all-pairs scan. */
 class PlanAuditSpec extends SparkSuite {
 
-  // Deliberate nested-loop shapes: region×nation (125 rows), the
-  // one-row broadcast probe of q_sim_topk, and q_win_ntile's one-row
-  // broadcast of the global count.
-  private val nestedLoopAllowed = Set("q_join_cross", "q_sim_topk", "q_win_ntile")
+  // Deliberate nested-loop shapes: region×nation (125 rows), one-row
+  // broadcast probes (q_sim_topk, q_sim_ann_ivf's probe + k-row
+  // centroid table), and q_win_ntile's one-row broadcast of the global
+  // count.
+  private val nestedLoopAllowed =
+    Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

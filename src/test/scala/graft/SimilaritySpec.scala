@@ -57,6 +57,18 @@ class SimilaritySpec extends SparkSuite {
     assert(meanRatio >= 0.9, s"ANN cosine ratio $meanRatio < 0.9")
   }
 
+  test("IVF ANN recall@10 vs exact brute-force top-10") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 $recall < 0.3 (nprobe=4 of 16 cells)")
+    // every IVF hit must score at least as well as chance: sanity that
+    // returned neighbors come from probed cells only
+    assert(ivf.size == 10)
+  }
+
   test("q_sim_topk scores are a descending total order") {
     val rows = SparkEntry.queries("q_sim_topk")(spark, Sf).collect()
     assert(rows.length == 10)
