@@ -33,11 +33,23 @@ object TextOps extends QueryPack {
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
-  /** Exact-Jaccard near-dup pairs (d1 < d2, jac ≥ threshold), blocked
-    * on `source` — shared by q_dedup_jaccard and the end-to-end
-    * q_dedup_pipeline. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks  = distinctTokens(docs)
+  /** Distinct 3-token shingle rows (doc_id, source, tok) — the n-gram
+    * unit for near-dup detection (unigram sets saturate on a small
+    * vocabulary; shingles isolate genuinely copied passages). */
+  private def distinctShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          // sequence(1, n) is DESCENDING for n < 1 — guard short docs
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => array_join(slice(col("toks"), i, lit(3)), " ")))
+            .otherwise(array().cast("array<string>")))).as("tok"))
+
+  /** Jaccard ≥ threshold pairs (d1 < d2) over arbitrary
+    * (doc_id, source, tok) rows, blocked on `source`. */
+  private def jaccardOver(toks: DataFrame, threshold: Double): DataFrame = {
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     toks.as("a").join(toks.as("b"),
         col("a.source") === col("b.source") &&
@@ -51,6 +63,62 @@ object TextOps extends QueryPack {
         (col("inter").cast("double") /
           (col("s1.sz") + col("s2.sz") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Exact unigram-Jaccard near-dup pairs — shared by q_dedup_jaccard
+    * and the end-to-end q_dedup_pipeline. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardOver(distinctTokens(docs), threshold)
+
+  /** 3-gram-shingle Jaccard pairs (q_dedup_ngram). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardOver(distinctShingles(docs), threshold)
+
+  /** SimHash signatures and banded candidates: 64 signed bit counters
+    * folded over 3-gram SHINGLE hashes (unigram features of a small
+    * vocabulary make every doc's signature collide — measured: 9k of
+    * 125k fixture pairs within hamming 8 while a true near-dup shared
+    * no band) → sign bits → one packed BIGINT signature + 8×8-bit
+    * bands. Docs sharing any band are candidates, scored by hamming
+    * distance (bit_count of xor); by pigeonhole, any pair with
+    * hamming ≤ 7 is GUARANTEED to share one of the 8 bands. Pure
+    * expression pipeline — no UDF, stays in codegen. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs
+      .withColumn("__t", split(col("text"), " "))
+      .withColumn("toks",
+        when(size(col("__t")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("__t")) - 2),
+            i => array_join(slice(col("__t"), i, lit(3)), " "))))
+          .otherwise(array_distinct(col("__t"))))
+      .withColumn("bits", expr(
+        """transform(
+          |  aggregate(toks, array_repeat(CAST(0 AS BIGINT), 64),
+          |    (acc, t) -> zip_with(acc, sequence(0, 63),
+          |      (a, i) -> a + IF((shiftright(xxhash64(t), CAST(i AS INT)) & 1) = 1,
+          |                       CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))),
+          |  c -> IF(c >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin))
+      // pack via shift/or — ANSI mode rejects acc*2 overflow when the
+      // sign bit lands
+      .withColumn("simhash",
+        expr("aggregate(bits, CAST(0 AS BIGINT), (acc, x) -> shiftleft(acc, 1) | x)"))
+      .withColumn("bands", expr(
+        """transform(sequence(0, 7),
+          |  b -> aggregate(slice(bits, b * 8 + 1, 8), CAST(0 AS BIGINT),
+          |         (acc, x) -> shiftleft(acc, 1) | x))""".stripMargin))
+      .select(col("doc_id"), col("simhash"), col("bands"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(col("bands"))).select(
+      col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** MinHash-LSH candidate pairs: `numHashes` fixed-seed min-hashes per
@@ -129,6 +197,24 @@ object TextOps extends QueryPack {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_survivors"))
         .orderBy(col("lang"))
+    }),
+
+    // 3-gram-shingle Jaccard: unigram sets saturate on this corpus's
+    // ~30-word vocabulary (1500+ incidental pairs ≥ 0.8); trigram
+    // shingles isolate genuinely copied passages (the fixture's
+    // planted near-dup scores 0.97, the noise floor is < 0.04).
+    "q_dedup_ngram" -> ((spark, sfDir) => {
+      ngramJaccardPairs(Tables.documents(spark, sfDir), 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // SimHash near-dup candidates (no oracle — signature-specific;
+    // SimhashSpec pins identical/near/disjoint behavior). maxHamming 7
+    // pairs with the 8-band layout: ≤ 7 flipped bits cannot break all
+    // 8 bands, so every such pair is found.
+    "q_dedup_simhash" -> ((spark, sfDir) => {
+      simhashCandidates(Tables.documents(spark, sfDir), maxHamming = 7)
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // Banded MinHash-LSH candidates (no oracle — sketch-specific;
@@ -227,6 +313,25 @@ object TextOps extends QueryPack {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
+        |FROM pairs
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_pipeline" ->
