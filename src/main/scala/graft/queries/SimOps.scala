@@ -151,6 +151,24 @@ object SimOps extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-cosine near-dup: pairs above a similarity threshold
+    // inside label blocks — the embedding-space member of the dedup
+    // family (exact / Jaccard / n-gram / MinHash / SimHash / cosine).
+    // The fixture has no planted duplicate embeddings, so 0.4 sits
+    // just above the random-noise ceiling (~0.47 max observed) and
+    // returns the genuine top pairs.
+    "q_dedup_embed" -> ((spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // IVF ANN: probe only the nprobe cells nearest the query vector —
     // search cost scales with nprobe/k of the corpus, not the corpus.
     "q_sim_ann_ivf" -> ((spark, sfDir) => {
@@ -189,6 +207,14 @@ object SimOps extends QueryPack {
          |FROM embeddings, probe
          |WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""SELECT x.vec_id AS d1, y.vec_id AS d2,
+         |  ${cosSql("x.embedding", "y.embedding")} AS cos
+         |FROM embeddings x JOIN embeddings y
+         |  ON x.label = y.label AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4
+         |ORDER BY d1, d2""".stripMargin,
 
     "q_sim_join" ->
       s"""SELECT vec_id, match_id, cos FROM (
