@@ -25,9 +25,12 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // session builders set this too; kept here as a safety net for
-      // driver-owned sessions that load tables without our builder
+      // session builders set these too; kept as a safety net for
+      // driver-owned sessions that load tables without our builder —
+      // the ns→ntz cast below is session-timezone-dependent, so a
+      // non-UTC session would shift every event timestamp
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       spark.read
         .parquet(s"$sfDir/events.parquet")
         .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

@@ -19,21 +19,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * the DuckDB oracle SQL): elements widen float→double exactly, the
   * three accumulators add strictly left-to-right, sqrt is IEEE-exact,
   * and the final division is a single operation — asserted exactly in
-  * ExpressionSpec. Null/empty inputs yield null (expression is
-  * null-intolerant); element-level nulls are not expected (embeddings
-  * are dense).
+  * ExpressionSpec. Null inputs yield null, and MISMATCHED lengths also
+  * yield null — matching the HOF form, where zip_with pads the shorter
+  * array with nulls and the fold propagates them. Element-level nulls
+  * are not expected (embeddings are dense).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // can produce null (mismatched lengths) even from non-null inputs
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -55,14 +60,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $x.getFloat($i);
-         |  double $yv = (double) $y.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $x.getFloat($i);
+         |    double $yv = (double) $y.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

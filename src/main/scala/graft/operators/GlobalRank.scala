@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * The sort keys must define a TOTAL order (append a unique id as the
   * final tiebreak) — with ties across a range boundary the global rank
   * would otherwise depend on boundary placement.
+  *
+  * The offsets branch references the same ranged subtree as the main
+  * branch; AQE's exchange reuse materializes the range shuffle ONCE at
+  * runtime and serves both branches from it (verified: the executed
+  * plan contains a ReusedExchange over the rangepartitioning
+  * exchange), so no explicit cache is needed and both branches are
+  * guaranteed to see identical partition assignments.
   */
 object GlobalRank {
 

@@ -45,7 +45,8 @@ final class IngestJob(
     var total = 0L
     var prev  = checkpoints.findPreviousJobId(jobType, appId)
     var next  = client.requestExport(appId, jobType, prev)
-    while (next.isDefined) {
+    var halted = false
+    while (next.isDefined && !halted) {
       val jobId = next.get
       poller.awaitReady(appId, jobType, jobId)
       val batch = UnityExport.readJob(spark, client.jobDir(appId, jobType, jobId), jobId)
@@ -60,9 +61,15 @@ final class IngestJob(
           previous_job_id = prev,
           date_range = None))
         total += n
+        prev = Some(jobId)
+        next = client.requestExport(appId, jobType, prev)
+      } else {
+        // A file-less job is NOT checkpointed and the sweep must not
+        // advance past it — its files may still be landing; the next
+        // run retries from here (reference is_files semantics:
+        // checkpoint only moves when data was saved).
+        halted = true
       }
-      prev = Some(jobId)
-      next = client.requestExport(appId, jobType, prev)
     }
     total
   }

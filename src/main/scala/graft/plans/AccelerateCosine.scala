@@ -23,17 +23,33 @@ import graft.expressions.CosineSimilarity
 object AccelerateCosine extends Rule[LogicalPlan] {
 
   /** Matches the exact dot-product fold shape produced by
-    * SimOps.dot / its SQL equivalent: a zip_with multiply of
-    * double-cast elements folded with + from a 0.0 start. */
+    * SimOps.dot / its SQL equivalent: a zip_with multiply of the two
+    * double-cast LAMBDA VARIABLES (one from each input, in order)
+    * folded with + of the accumulator and element variables from a 0.0
+    * start. Operand identity is checked by exprId — a structural-only
+    * match would rewrite e.g. `(x, y) -> dbl(x) * dbl(x)` (sum of
+    * squares) into a dot product. */
   private object DotFold {
+    private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
+
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            zw @ ZipWith(_, _, LambdaFunction(Multiply(xc: Cast, yc: Cast, _), _, _)),
+            zw @ ZipWith(_, _,
+              LambdaFunction(Multiply(
+                Cast(xv, DoubleType, _, _), Cast(yv, DoubleType, _, _), _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(zero, DoubleType),
-            LambdaFunction(_: Add, _, _),
-            LambdaFunction(_: NamedLambdaVariable, _, _))
+            LambdaFunction(Add(al, ar, _),
+              Seq(ma: NamedLambdaVariable, mx: NamedLambdaVariable), _),
+            LambdaFunction(fv: NamedLambdaVariable,
+              Seq(fa: NamedLambdaVariable), _))
           if zero == 0.0 &&
-            xc.dataType == DoubleType && yc.dataType == DoubleType =>
+            isVar(xv, zx) && isVar(yv, zy) &&
+            ((isVar(al, ma) && isVar(ar, mx)) || (isVar(al, mx) && isVar(ar, ma))) &&
+            fv.exprId == fa.exprId =>
         Some((zw.left, zw.right))
       case _ => None
     }

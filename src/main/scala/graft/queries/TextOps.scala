@@ -33,6 +33,19 @@ object TextOps extends QueryPack {
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
+  /** Distinct 3-token shingles of a token-array column.
+    * `shortDocFallback`: what a doc with < 3 tokens yields — `empty`
+    * (no shingles → excluded from shingle similarity) or the unigrams
+    * themselves (so every doc still gets a signature, for simhash).
+    * sequence(1, n) is DESCENDING for n < 1, hence the guard. */
+  private def shingleArray(toks: org.apache.spark.sql.Column,
+      shortDocFallback: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(shortDocFallback))
+
   /** Distinct 3-token shingle rows (doc_id, source, tok) — the n-gram
     * unit for near-dup detection (unigram sets saturate on a small
     * vocabulary; shingles isolate genuinely copied passages). */
@@ -40,12 +53,7 @@ object TextOps extends QueryPack {
     docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(
-          // sequence(1, n) is DESCENDING for n < 1 — guard short docs
-          when(size(col("toks")) >= 3,
-            transform(sequence(lit(1), size(col("toks")) - 2),
-              i => array_join(slice(col("toks"), i, lit(3)), " ")))
-            .otherwise(array().cast("array<string>")))).as("tok"))
+        explode(shingleArray(col("toks"), array().cast("array<string>"))).as("tok"))
 
   /** Jaccard ≥ threshold pairs (d1 < d2) over arbitrary
     * (doc_id, source, tok) rows, blocked on `source`. */
@@ -86,11 +94,7 @@ object TextOps extends QueryPack {
   def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = docs
       .withColumn("__t", split(col("text"), " "))
-      .withColumn("toks",
-        when(size(col("__t")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("__t")) - 2),
-            i => array_join(slice(col("__t"), i, lit(3)), " "))))
-          .otherwise(array_distinct(col("__t"))))
+      .withColumn("toks", shingleArray(col("__t"), col("__t")))
       .withColumn("bits", expr(
         """transform(
           |  aggregate(toks, array_repeat(CAST(0 AS BIGINT), 64),

@@ -61,6 +61,10 @@ object Udfs extends QueryPack {
       Tables.events(spark, sfDir)
         .select(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // SQL SUM skips null weights; the tuple encoder's primitive
+        // fields would instead crash on one — filter to match the
+        // oracle exactly
+        .filter(col("k").isNotNull)
         .groupBy(col("event_type"))
         .agg(wm(col("value"), col("k")).as("wmean"))
         .orderBy(col("event_type"))

@@ -43,13 +43,19 @@ class ExpressionSpec extends SparkSuite {
       plan)
   }
 
-  test("null input yields null") {
+  test("null input yields null; mismatched lengths yield null (HOF parity)") {
     import spark.implicits._
     val df = Seq(
       (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
-      (None, Some(Array(1.0f, 0.0f)))).toDF("a", "b")
-    val rows = df.select(CosineSimilarity(col("a"), col("b")).as("c")).collect()
+      (None, Some(Array(1.0f, 0.0f))),
+      (Some(Array(1.0f, 0.0f, 3.0f)), Some(Array(1.0f, 0.0f)))).toDF("a", "b")
+    val rows = df.select(
+      CosineSimilarity(col("a"), col("b")).as("c"),
+      SimOps.cosineHof(col("a"), col("b")).as("h")).collect()
     assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
-    assert(rows(1).isNullAt(0))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    // ragged: zip_with pads with null and the fold propagates — the
+    // native expression must agree, not truncate to min length
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 }

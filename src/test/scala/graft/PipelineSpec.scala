@@ -122,6 +122,32 @@ class PipelineSpec extends SparkSuite {
     assert(notifier.messages.forall(_._1 == "pipeline-errors"))
   }
 
+  test("a file-less job halts the sweep and is retried next run") {
+    val cfg = config.copy(
+      checkpointPath = s"$root/checkpoints3",
+      warehouseRoot = s"$root/warehouse3",
+      tenants = Seq(TenantConfig("app-c", "Dataset_C")))
+    val job = IngestJob(spark, cfg,
+      new ParquetCheckpointStore(spark, cfg.checkpointPath),
+      new ParquetWarehouseSink(cfg.warehouseRoot), new LogNotifier)
+
+    // job 201 exists but its files haven't landed; 202 has data
+    // (same dir name writeJob uses, so the files later land in place)
+    new File(s"${cfg.exportRoot}/app-c/custom/2024-01-01_201").mkdirs()
+    writeJob("app-c", "custom", 202, rows = 4, gzip = false)
+    assert(job.run("app-c", "custom") == 0,
+      "sweep must not advance past the file-less job")
+    assert(!new File(cfg.checkpointPath).exists())
+
+    // 201's files land → the retry picks up BOTH jobs in order
+    writeJob("app-c", "custom", 201, rows = 3, gzip = true)
+    assert(job.run("app-c", "custom") == 7)
+    val ck = spark.read.parquet(cfg.checkpointPath)
+      .filter(col("app_id") === "app-c")
+      .orderBy(col("job_id")).select("job_id").collect().map(_.getLong(0))
+    assert(ck.toSeq == Seq(201L, 202L))
+  }
+
   test("checkpoint lookup plans as TakeOrderedAndProject (k=1 top-k)") {
     // the scaladoc's claim, held to: filter+orderBy+limit(1) must not
     // global-sort

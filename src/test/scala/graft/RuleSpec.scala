@@ -28,6 +28,31 @@ class RuleSpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rule does not rewrite a sum-of-squares fold wearing the cosine shape") {
+    val emb = Tables.embeddings(spark, Sf).limit(20)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+    // (x, y) -> dbl(x) * dbl(x): same tree shape, NOT a dot product —
+    // only operand-identity checking distinguishes it
+    def notDot = aggregate(
+      zip_with(col("embedding"), col("p"),
+        (x, _) => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def query = emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        (notDot / (sqrt(SimOps.dot(col("embedding"), col("embedding"))) *
+          sqrt(SimOps.dot(col("p"), col("p"))))).as("notcos"))
+    val before = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ AccelerateCosine
+      val plan = query.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("cosine_similarity"),
+        s"rule over-matched a non-dot fold:\n$plan")
+      val after = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(after == before)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rule leaves non-matching folds alone") {
     val emb = Tables.embeddings(spark, Sf).limit(10)
     val prev = spark.experimental.extraOptimizations
