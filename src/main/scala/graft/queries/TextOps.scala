@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expressions.SimHash64
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
   * (exact, Jaccard, MinHash-LSH), corpus analytics, term frequency,
@@ -82,34 +83,22 @@ object TextOps extends QueryPack {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOver(distinctShingles(docs), threshold)
 
-  /** SimHash signatures and banded candidates: 64 signed bit counters
-    * folded over 3-gram SHINGLE hashes (unigram features of a small
-    * vocabulary make every doc's signature collide — measured: 9k of
-    * 125k fixture pairs within hamming 8 while a true near-dup shared
-    * no band) → sign bits → one packed BIGINT signature + 8×8-bit
-    * bands. Docs sharing any band are candidates, scored by hamming
-    * distance (bit_count of xor); by pigeonhole, any pair with
-    * hamming ≤ 7 is GUARANTEED to share one of the 8 bands. Pure
-    * expression pipeline — no UDF, stays in codegen. */
+  /** SimHash signatures and banded candidates over 3-gram SHINGLE
+    * features (unigram features of a small vocabulary make every doc's
+    * signature collide — measured: 9k of 125k fixture pairs within
+    * hamming 8 while a true near-dup shared no band). The 64-bit
+    * signature comes from the codegen'd [[SimHash64]] expression (the
+    * HOF counter-fold formulation measured ~55 s at sf0.1 — 25M
+    * interpreted lambda evaluations); bands are its 8 bytes. Docs
+    * sharing any band are candidates, scored by hamming distance
+    * (bit_count of xor); by pigeonhole, any pair with hamming ≤ 7 is
+    * GUARANTEED to share one of the 8 bands. */
   def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = docs
       .withColumn("__t", split(col("text"), " "))
-      .withColumn("toks", shingleArray(col("__t"), col("__t")))
-      .withColumn("bits", expr(
-        """transform(
-          |  aggregate(toks, array_repeat(CAST(0 AS BIGINT), 64),
-          |    (acc, t) -> zip_with(acc, sequence(0, 63),
-          |      (a, i) -> a + IF((shiftright(xxhash64(t), CAST(i AS INT)) & 1) = 1,
-          |                       CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))),
-          |  c -> IF(c >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin))
-      // pack via shift/or — ANSI mode rejects acc*2 overflow when the
-      // sign bit lands
-      .withColumn("simhash",
-        expr("aggregate(bits, CAST(0 AS BIGINT), (acc, x) -> shiftleft(acc, 1) | x)"))
+      .withColumn("simhash", SimHash64(shingleArray(col("__t"), col("__t"))))
       .withColumn("bands", expr(
-        """transform(sequence(0, 7),
-          |  b -> aggregate(slice(bits, b * 8 + 1, 8), CAST(0 AS BIGINT),
-          |         (acc, x) -> shiftleft(acc, 1) | x))""".stripMargin))
+        "transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
       .select(col("doc_id"), col("simhash"), col("bands"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(col("bands"))).select(

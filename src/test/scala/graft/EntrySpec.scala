@@ -16,6 +16,14 @@ class EntrySpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle SQL without a query: $missing")
   }
 
+  test("every registered query id is documented in SURVEY.md §2") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val undocumented = SparkEntry.queries.keySet.filterNot(survey.contains)
+    assert(undocumented.isEmpty,
+      s"queries missing from the SURVEY inventory: $undocumented")
+  }
+
   test("no oracle query outputs decimal, array, or map columns") {
     import org.apache.spark.sql.types._
     val offenders = SparkEntry.oracleSql.keys.flatMap { name =>
