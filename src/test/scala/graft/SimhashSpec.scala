@@ -37,6 +37,28 @@ class SimhashSpec extends SparkSuite {
       s"simhash missed planted near-dup pairs: $missed")
   }
 
+  test("SimHash64 codegen path equals the interpreted eval path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.expressions.SimHash64
+    val df = Tables.documents(spark, Sf).limit(100)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val viaCodegen = df.select(col("doc_id"), SimHash64(col("toks")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // interpreted: evaluate the expression directly per row
+    val viaEval = df.collect().map { r =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.getSeq[String](1).map(
+          org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val e = graft.expressions.SimHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(arr,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+      r.getLong(0) -> e.eval(null).asInstanceOf[Long]
+    }.toMap
+    assert(viaCodegen == viaEval)
+  }
+
   test("hamming distances are within [0, 64]") {
     val rows = SparkEntry.queries("q_dedup_simhash")(spark, Sf).collect()
     rows.foreach { r =>
