@@ -38,8 +38,13 @@ final class ParquetCheckpointStore(spark: SparkSession, path: String)
     extends CheckpointStore {
   import spark.implicits._
 
-  private def exists: Boolean =
-    new java.io.File(path).exists()
+  // Resolve through the Hadoop FileSystem for the configured path —
+  // java.io.File would silently report "no checkpoint" for any
+  // non-local scheme (hdfs://, s3a://) and re-ingest from scratch.
+  private def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   override def findPreviousJobId(jobType: String, appId: String): Option[Long] = {
     if (!exists) return None

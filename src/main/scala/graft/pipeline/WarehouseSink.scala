@@ -14,15 +14,24 @@ trait WarehouseSink {
 
 /** Local Parquet implementation (offline substitution for the BigQuery
   * connector, SURVEY.md §7.3): one directory per (dataset, table),
-  * partitioned by the lineage `job_id` column when present so re-runs
-  * append whole jobs and partition pruning can target a single export.
+  * partitioned by the lineage `job_id` column when present.
+  *
+  * Writes with job_id lineage use DYNAMIC PARTITION OVERWRITE: the
+  * sink-then-checkpoint sequence in [[IngestJob.run]] is not atomic
+  * (the reference has the same window), so a crash between them makes
+  * the next run re-ingest the job — overwriting exactly the job's own
+  * job_id partition makes that re-run idempotent instead of
+  * duplicating rows. Without a job_id column the sink degrades to
+  * plain append (at-least-once).
   */
 final class ParquetWarehouseSink(root: String) extends WarehouseSink {
   override def load(df: DataFrame, dataset: String, table: String): Unit = {
-    val writer = df.write.mode(SaveMode.Append)
     val target = s"$root/$dataset/$table"
-    if (df.columns.contains("job_id")) writer.partitionBy("job_id").parquet(target)
-    else writer.parquet(target)
+    if (df.columns.contains("job_id"))
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("job_id").parquet(target)
+    else df.write.mode(SaveMode.Append).parquet(target)
   }
 }
 

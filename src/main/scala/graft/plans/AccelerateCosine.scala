@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.expressions.CosineSimilarity
 
@@ -12,9 +12,12 @@ import graft.expressions.CosineSimilarity
   * formula — `aggregate(zip_with(a,b,(x,y)->dbl(x)*dbl(y)),0.0,+) /
   * (sqrt(dot(a,a)) * sqrt(dot(b,b)))` — into the codegen'd
   * [[CosineSimilarity]] expression. Users write the portable HOF
-  * formulation; plans run the fused loop. Semantics are unchanged for
-  * every input (the native expression is bit-identical by construction,
-  * ExpressionSpec), so the rewrite is unconditionally safe.
+  * formulation; plans run the fused loop. The rewrite only fires when
+  * both operands are `array<float>` — [[CosineSimilarity]] reads via
+  * `ArrayData.getFloat`, so on any other element type (where the HOF
+  * form's Cast-to-double is still valid) the rewrite would reinterpret
+  * bytes; for float arrays the native expression is bit-identical by
+  * construction (ExpressionSpec), so the guarded rewrite is safe.
   *
   * Installed per session via `spark.experimental.extraOptimizations`
   * or cluster-wide with
@@ -61,9 +64,15 @@ object AccelerateCosine extends Rule[LogicalPlan] {
             DotFold(a, b),
             Multiply(Sqrt(DotFold(a2, a3)), Sqrt(DotFold(b2, b3)), _), _)
           if a.semanticEquals(a2) && a.semanticEquals(a3) &&
-            b.semanticEquals(b2) && b.semanticEquals(b3) =>
+            b.semanticEquals(b2) && b.semanticEquals(b3) &&
+            isFloatArray(a) && isFloatArray(b) =>
         CosineSimilarity(a, b)
     }
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 }
 
 /** Cluster-wide installation hook:

@@ -15,10 +15,16 @@ object Reshape extends QueryPack {
 
   override def queries: Map[String, Query] = Map(
     "q_pivot" -> ((spark, sfDir) => {
-      Tables.orders(spark, sfDir)
+      // Spark's PivotFirst leaves NULL for empty (status, priority)
+      // cells where the oracle's COUNT(*) FILTER yields 0 — coalesce
+      // so sparse combinations match on both engines.
+      val pivoted = Tables.orders(spark, sfDir)
         .groupBy(col("o_orderstatus"))
         .pivot("o_orderpriority", priorities)
         .agg(count(lit(1)))
+      pivoted
+        .select(col("o_orderstatus") +:
+          priorities.map(p => coalesce(pivoted(s"`$p`"), lit(0L)).as(p)): _*)
         .orderBy(col("o_orderstatus"))
     }),
 

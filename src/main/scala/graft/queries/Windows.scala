@@ -76,7 +76,14 @@ object Windows extends QueryPack {
             expr("(rn - 1) div (q4 + 1) + 1"))
             .otherwise(expr("r4 + (rn - 1 - (q4 + 1) * r4) div q4 + 1"))
             .cast("long").as("quartile"),
-          ((col("rn") - 1).cast("double") / (col("n_total") - 1)).as("pr"),
+          // n_total == 1 would divide by zero (null) where built-in
+          // percent_rank and the oracle return 0.0. (The quartile
+          // branches above are total: when q4 == 0, n_total < 4, so
+          // every rn satisfies rn <= (q4+1)*r4 and the otherwise-branch
+          // never divides by q4.)
+          when(col("n_total") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("n_total") - 1))
+            .as("pr"),
           (col("rn").cast("double") / col("n_total")).as("cd"))
         .orderBy(col("c_custkey"))
     }),

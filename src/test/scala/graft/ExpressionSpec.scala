@@ -58,4 +58,13 @@ class ExpressionSpec extends SparkSuite {
     // native expression must agree, not truncate to min length
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
+
+  test("non-float-array inputs are rejected at analysis time") {
+    import spark.implicits._
+    val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(CosineSimilarity(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+  }
 }

@@ -148,6 +148,42 @@ class PipelineSpec extends SparkSuite {
     assert(ck.toSeq == Seq(201L, 202L))
   }
 
+  test("re-run of a partially-committed job is idempotent (no duplicate rows)") {
+    val cfg = config.copy(
+      checkpointPath = s"$root/checkpoints4",
+      warehouseRoot = s"$root/warehouse4",
+      tenants = Seq(TenantConfig("app-d", "Dataset_D")),
+      reportTypes = Seq("custom"))
+    writeJob("app-d", "custom", 301, rows = 6, gzip = false)
+
+    // Crash in the window between sink.load and checkpoint append: the
+    // job's rows land in the warehouse but no checkpoint is written.
+    val real = new ParquetCheckpointStore(spark, cfg.checkpointPath)
+    val crashing = new CheckpointStore {
+      override def findPreviousJobId(jobType: String, appId: String): Option[Long] =
+        real.findPreviousJobId(jobType, appId)
+      override def append(entry: CheckpointEntry): Unit =
+        throw new RuntimeException("crash before checkpoint")
+    }
+    val sink = new ParquetWarehouseSink(cfg.warehouseRoot)
+    val notifier = new RecordingNotifier
+    assert(new IngestJob(spark, cfg, crashing, sink, notifier,
+      new LocalDirExportClient(cfg.exportRoot),
+      new ExportPoller(new LocalDirExportClient(cfg.exportRoot),
+        pollIntervalMs = 0L, sleep = _ => ()))
+      .runAll().values.toSeq == Seq(-1L))
+    val target = s"${cfg.warehouseRoot}/Dataset_D/custom"
+    assert(spark.read.parquet(target).count() == 6, "rows landed pre-crash")
+
+    // The retry re-ingests job 301; dynamic partition overwrite on its
+    // job_id partition must leave exactly one copy.
+    val retried = IngestJob(spark, cfg, real, sink, new LogNotifier).runAll()
+    assert(retried(("app-d", "custom")) == 6)
+    assert(spark.read.parquet(target).count() == 6,
+      "partially-committed job duplicated rows on retry")
+    assert(real.findPreviousJobId("custom", "app-d").contains(301L))
+  }
+
   test("checkpoint lookup plans as TakeOrderedAndProject (k=1 top-k)") {
     // the scaladoc's claim, held to: filter+orderBy+limit(1) must not
     // global-sort

@@ -53,6 +53,28 @@ class RuleSpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rule does not rewrite the cosine shape over non-float arrays") {
+    val emb = Tables.embeddings(spark, Sf).limit(20)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x * lit(100)).cast("int")).as("iv"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("iv").as("p"))
+    // Same HOF tree (Cast int→double survives into the plan), but
+    // CosineSimilarity reads getFloat — a rewrite would reinterpret
+    // int bytes as floats.
+    def query = emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"), SimOps.cosineHof(col("iv"), col("p")).as("cos"))
+    val before = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ AccelerateCosine
+      val plan = query.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("cosine_similarity"),
+        s"rule rewrote an array<int> cosine:\n$plan")
+      val after = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(after == before)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rule leaves non-matching folds alone") {
     val emb = Tables.embeddings(spark, Sf).limit(10)
     val prev = spark.experimental.extraOptimizations
