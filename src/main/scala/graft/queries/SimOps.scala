@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, FirstEqualIndex}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2-B
   * "LLM-data-pipeline operators": q_sim_topk, q_sim_join, plus the
@@ -127,16 +127,27 @@ object SimOps extends QueryPack {
     "q_sim_ann_lsh" -> ((spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
+      // Bucket array computed once per row in its own projection; the
+      // generator explodes a literal table range and element_at picks
+      // the bucket above it (exploding the bucket array directly makes
+      // InferFiltersFromGenerate clone the 32 hyperplane dot-folds
+      // into scan filters — same trap as TextOps.simhashCandidates).
       val buckets = emb
         .select(col("vec_id"),
-          posexplode(lshBuckets(col("embedding"), dim = 64, planes = 4, tables = 8)))
-        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+          lshBuckets(col("embedding"), dim = 64, planes = 4, tables = 8).as("bkts"))
+        .select(col("vec_id"), col("bkts"),
+          explode(sequence(lit(0), lit(7))).as("tbl"))
+        .select(col("vec_id"), col("bkts"), col("tbl"),
+          element_at(col("bkts"), col("tbl") + 1).as("bucket"))
+      // First-shared-table filter dedups candidate pairs inside the
+      // join stage (a pair colliding in k tables is generated k times)
+      // — replaces a full `.distinct()` shuffle of the raw pair stream.
       val half = buckets.as("x").join(buckets.as("y"),
           col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+        .filter(col("x.tbl") === FirstEqualIndex(col("x.bkts"), col("y.bkts")))
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-        .distinct()
       val cand = half.unionAll(half.select(col("d2").as("d1"), col("d1").as("d2")))
       val scored = cand
         .join(emb.as("e1"), col("d1") === col("e1.vec_id"))

@@ -59,6 +59,48 @@ class ExpressionSpec extends SparkSuite {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
+  test("MinHashBands equals the HOF minhash formulation bit-for-bit") {
+    import graft.expressions.MinHashBands
+    val docs = Tables.documents(spark, Sf)
+    val toks = array_distinct(split(col("text"), " "))
+    val hof = {
+      val sig = transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(toks, t => xxhash64(i, t))))
+      transform(sequence(lit(0), lit(7)),
+        b => xxhash64(slice(sig, b * lit(2) + 1, lit(2))))
+    }
+    val rows = docs.select(col("doc_id"),
+      MinHashBands(toks, numHashes = 16, bands = 8).as("native"),
+      hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"minhash bands diverge for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("MinHashBands codegen and interpreted paths agree") {
+    import graft.expressions.MinHashBands
+    import spark.implicits._
+    val df = Seq(
+      Seq("a", "b", "c"), Seq("a"), Seq("x", "y", "x"), Seq.empty[String]
+    ).toDF("toks")
+    val cg = df.select(MinHashBands(col("toks"), 16, 8).as("b")).collect()
+    val interp = df.select(MinHashBands(col("toks"), 16, 8).as("b")).collect()
+    // force interpreted evaluation via local relation + eval
+    val expr = graft.expressions.MinHashBands(
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("toks")), 16, 8)
+    val direct = Seq(Seq("a", "b", "c"), Seq("a"), Seq("x", "y", "x")).map { s =>
+      expr.nullSafeEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          s.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    }
+    assert(cg.take(3).map(_.getSeq[Long](0)) sameElements direct.toArray.map(identity))
+    assert(cg(3).isNullAt(0), "empty token array must yield null")
+    assert(interp.map(_.toString) sameElements cg.map(_.toString))
+  }
+
   test("non-float-array inputs are rejected at analysis time") {
     import spark.implicits._
     val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
