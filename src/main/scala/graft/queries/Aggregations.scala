@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -145,6 +146,67 @@ object Aggregations extends QueryPack {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_suppkey")).as("approx_nd"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // EXACT distributed percentiles by integer position selection
+    // (percentile_disc semantics): rank within group, pick the value
+    // at ceil(p·n). Pure integer/comparison arithmetic — identical on
+    // both engines, unlike interpolated percentiles whose FP formula
+    // ((1-f)·a + f·b vs a + f·(b-a)) differs in the last ulp between
+    // implementations. The group-partitioned window sorts per group —
+    // no global single-partition collapse.
+    "q_agg_percentile_disc" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wn = Window.partitionBy(col("o_orderpriority"))
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.25), col("o_totalprice")))
+            .cast("double").as("p25"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice")))
+            .cast("double").as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.75), col("o_totalprice")))
+            .cast("double").as("p75"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Exact distinct counting via mergeable BITMAPS: bucket the key
+    // space, OR per-bucket bitmaps, sum the bucket cardinalities. At
+    // scale this beats COUNT(DISTINCT) re-shuffles: bitmaps are small,
+    // associative partial states that re-aggregate without touching
+    // raw rows (the same property HLL gives approximately, exact for
+    // integer keys).
+    "q_agg_bitmap_distinct" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderpriority"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_cust"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Mergeable Apache DataSketches HLL: per-language token sketches
+    // PLUS a global row re-aggregated from the per-language sketch
+    // BINARIES (hll_union_agg) — the 100 TB pattern: store small
+    // sketches per partition/tenant, answer rollups without rescanning
+    // raw data. No oracle (sketch binaries are impl-specific);
+    // ApproxDistinctSpec bounds both estimate levels against exact.
+    "q_sketch_hll" -> ((spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val perLang = toks.groupBy(col("lang"))
+        .agg(hll_sketch_agg(col("tok")).as("sk"))
+      val langRows = perLang.select(col("lang"),
+        hll_sketch_estimate(col("sk")).as("est_tokens"))
+      val allRow = perLang
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("*ALL*").as("lang"),
+          hll_sketch_estimate(col("sk")).as("est_tokens"))
+      langRows.unionAll(allRow).orderBy(col("lang"))
     })
   )
 
@@ -225,6 +287,23 @@ object Aggregations extends QueryPack {
     "q_agg_collect" ->
       """SELECT o_custkey,
         |  list_aggr(list_sort(list(o_orderkey)), 'string_agg', ',') AS ids
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_percentile_disc" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(MAX(CASE WHEN rn = CEIL(n * 0.25) THEN o_totalprice END) AS DOUBLE) AS p25,
+        |  CAST(MAX(CASE WHEN rn = CEIL(n * 0.5)  THEN o_totalprice END) AS DOUBLE) AS p50,
+        |  CAST(MAX(CASE WHEN rn = CEIL(n * 0.75) THEN o_totalprice END) AS DOUBLE) AS p75
+        |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_bitmap_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -130,6 +130,29 @@ object Joins extends QueryPack {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n_name"))
+    }),
+
+    // Range (interval) join via BIN BLOCKING: overlapping price bands
+    // [900+10k, 925+10k) matched to parts. A bare range predicate
+    // plans as a broadcast-nested-loop scan of every (row, band) pair
+    // — quadratic, dead at scale. Instead each band explodes to the
+    // fixed-width bins it covers, the fact row computes its single
+    // bin, an EQUI-join on the bin prunes to candidates, and the
+    // original range predicate remains as a cheap residual. Pattern
+    // generalizes to any interval/temporal join (bin = time bucket).
+    "q_join_range" -> ((spark, sfDir) => {
+      val bands = spark.range(0, 10).select(
+        (col("id") * 10 + 900).as("lo"), (col("id") * 10 + 925).as("hi"))
+      val binned = bands.select(col("lo"), col("hi"),
+        explode(sequence(expr("lo div 10"), expr("(hi - 1) div 10"))).as("bin"))
+      val p = Tables.part(spark, sfDir)
+        .withColumn("bin", expr("cast(floor(p_retailprice / 10) as bigint)"))
+      p.join(broadcast(binned),
+          p("bin") === binned("bin") &&
+          p("p_retailprice") >= binned("lo") && p("p_retailprice") < binned("hi"))
+        .groupBy(col("lo"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("lo"))
     })
   )
 
@@ -200,6 +223,13 @@ object Joins extends QueryPack {
         |FROM supplier s
         |JOIN customer c ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT lo, COUNT(*) AS n_parts
+        |FROM part,
+        |  (SELECT k * 10 + 900 AS lo, k * 10 + 925 AS hi FROM range(0, 10) t(k)) bands
+        |WHERE p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY lo ORDER BY lo""".stripMargin
   )
 }

@@ -276,6 +276,49 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Connected components over the near-dup pair graph — the
+    // transitive-closure step a real dedup pipeline runs after pair
+    // generation (keep-first pair semantics alone under-merge: A~B,
+    // B~C but A!~C leaves {A,C} as separate survivors). Iterative
+    // min-label propagation, the scalable formulation: every round is
+    // one distributed join+groupBy; rounds ≤ graph diameter (near-dup
+    // components are near-cliques, so a handful); convergence is
+    // detected by the strictly-decreasing label sum, and each round is
+    // localCheckpoint'ed so lineage (and analysis time) stays flat.
+    // The quadratic transitive closure lives only in the DuckDB
+    // oracle's recursive CTE, where fixture scale makes it harmless.
+    "q_dedup_components" -> ((spark, sfDir) => {
+      val pairs = jaccardPairs(Tables.documents(spark, sfDir), 0.8)
+        .select(col("d1"), col("d2"))
+      val edges = pairs
+        .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint()
+      var labels = edges.select(col("d1").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint()
+      def labelSum(): Long =
+        labels.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
+      var prevSum = Long.MaxValue
+      var curSum = labelSum()
+      var rounds = 0
+      while (curSum < prevSum && rounds < 25) {
+        val neighborMin = edges.join(labels, edges("d2") === labels("id"))
+          .groupBy(edges("d1").as("nid"))
+          .agg(min(col("comp")).as("ncomp"))
+        labels = labels.as("l")
+          .join(neighborMin, col("l.id") === col("nid"), "left")
+          .select(col("l.id").as("id"),
+            least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labelSum()
+        rounds += 1
+      }
+      labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("comp"))
+    }),
+
     // Document fingerprint: deterministic rolling polynomial hash over
     // token features, all in exact BIGINT modular arithmetic (no
     // overflow: acc < 1e9+7, acc*31 + feature < 2^63).
@@ -357,6 +400,32 @@ object TextOps extends QueryPack {
         |FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.d2 = d.doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM rawpairs
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8),
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT comp, COUNT(*) AS n_members FROM (
+        |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+        |GROUP BY comp ORDER BY comp""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,

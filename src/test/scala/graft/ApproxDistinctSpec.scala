@@ -21,4 +21,23 @@ class ApproxDistinctSpec extends SparkSuite {
         s"group $k: approx $ap vs exact $ex")
     }
   }
+
+  test("HLL sketch estimates (per-lang and merged) within 10% of exact") {
+    val est = SparkEntry.queries("q_sketch_hll")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, Sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val exactPerLang = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = toks.select(countDistinct(col("tok"))).collect().head.getLong(0)
+    assert(est.keySet == exactPerLang.keySet + "*ALL*")
+    (exactPerLang + ("*ALL*" -> exactAll)).foreach { case (k, ex) =>
+      assert(math.abs(est(k) - ex).toDouble / ex <= 0.10,
+        s"lang $k: sketch ${est(k)} vs exact $ex")
+    }
+    // the merged row must come from sketch union, not a rescan: its
+    // estimate is >= the largest single-language estimate
+    assert(est("*ALL*") >= est.filterKeys(_ != "*ALL*").values.max)
+  }
 }

@@ -42,6 +42,47 @@ class PlanSpec extends SparkSuite {
     assert(executedPlan("q_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("q_join_range plans an equi hash join on the bin (no nested loop)") {
+    val plan = executedPlan("q_join_range")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a quadratic nested-loop scan\n" + plan.take(2000))
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact scan") {
+    val dir = "target/test-fixtures/dpp_events"
+    Tables.events(spark, Sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim filter on an aggregate (not statically inferable to the fact
+    // side — a literal event_type filter would constraint-propagate
+    // and prune STATICALLY, bypassing DPP)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dim = Tables.events(spark, Sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 100)
+    val joined = fact.join(dim, "event_type")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "partitioned scan not dynamically pruned\n" + plan.take(3000))
+  }
+
+  test("runtime bloom filter injects on a selective shuffled join") {
+    import org.apache.spark.sql.functions.col
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val big = Tables.lineitem(spark, Sf)
+      val small = Tables.part(spark, Sf).filter(col("p_size") === 1)
+      val joined = big.join(small, big("l_partkey") === small("p_partkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        "no runtime bloom filter on the probe side\n" + plan.take(3000))
+    }
+  }
+
   test("partitioned window specs everywhere data-scale windows run") {
     // Every Window over table-sized input must carry a partitionSpec.
     // q_win_ntile is exempt BY DESIGN: its GlobalRank offsets window

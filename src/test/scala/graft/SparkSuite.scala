@@ -17,4 +17,17 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Set session confs for the duration of `f`, restoring previous
+    * values after (the session is shared JVM-wide across suites). */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
