@@ -59,6 +59,10 @@ object TextOps extends QueryPack {
   /** Jaccard ≥ threshold pairs (d1 < d2) over arbitrary
     * (doc_id, source, tok) rows, blocked on `source`. */
   private def jaccardOver(toks: DataFrame, threshold: Double): DataFrame = {
+    // sizes is doc-level (one row per doc — tiny next to the pair
+    // stream); broadcast both lookups so the (d1, d2) intersection
+    // stream is never re-shuffled on d1/d2 (post-aggregation stats are
+    // unknown to the planner, which would otherwise pick SMJ)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     toks.as("a").join(toks.as("b"),
         col("a.source") === col("b.source") &&
@@ -66,8 +70,8 @@ object TextOps extends QueryPack {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+      .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("s1.sz") + col("s2.sz") - col("inter"))).as("jac"))
