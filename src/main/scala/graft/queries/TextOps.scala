@@ -323,6 +323,35 @@ object TextOps extends QueryPack {
         .orderBy(col("comp"))
     }),
 
+    // Token counting two ways: whitespace tokens and a BPE-ish regex
+    // lexer (letter runs / digit runs / single punctuation — the
+    // pre-tokenization split BPE vocabularies start from). Pure
+    // per-row map, embarrassingly parallel.
+    "q_text_tokens" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(expr(
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+            .cast("long").as("n_re_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: multiplicative-hash residue
+    // per doc_id with per-stratum rates (en 10%, others 5%). Unlike
+    // rand()-seeded sample(), the selection is a pure row function —
+    // reproducible across runs, engines, and repartitioning, which is
+    // what makes training-data subsets auditable; rates rebalance
+    // strata without a shuffle (the whole operator is map-side).
+    "q_sample_stratified" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .filter((col("doc_id") * 2654435761L) % 100 <
+          when(col("lang") === "en", 10).otherwise(5))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // Document fingerprint: deterministic rolling polynomial hash over
     // token features, all in exact BIGINT modular arithmetic (no
     // overflow: acc < 1e9+7, acc*31 + feature < 2^63).
@@ -465,6 +494,19 @@ object TextOps extends QueryPack {
         |      t -> t IN ('el', 'la', 'de'))) AS es_hits
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_sampled FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |  CASE WHEN lang = 'en' THEN 10 ELSE 5 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,
