@@ -101,6 +101,28 @@ class ExpressionSpec extends SparkSuite {
     assert(interp.map(_.toString) sameElements cg.map(_.toString))
   }
 
+  test("FirstEqualIndex: first match, no match, ragged lengths, nulls") {
+    import graft.expressions.FirstEqualIndex
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(9L, 2L, 3L))), // first match at 1
+      (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),         // no match -> -1
+      (Some(Seq(7L, 8L, 9L)), Some(Seq(7L))),         // ragged: compare prefix
+      (None, Some(Seq(1L)))                            // null in -> null out
+    ).toDF("a", "b")
+    val rows = df.select(FirstEqualIndex(col("a"), col("b")).as("i")).collect()
+    assert(rows(0).getInt(0) == 1)
+    assert(rows(1).getInt(0) == -1)
+    assert(rows(2).getInt(0) == 0)
+    assert(rows(3).isNullAt(0))
+    // non-long arrays rejected at analysis time
+    val ints = Seq((Array(1, 2), Array(1, 2))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(FirstEqualIndex(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
+
   test("non-float-array inputs are rejected at analysis time") {
     import spark.implicits._
     val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
