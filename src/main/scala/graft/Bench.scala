@@ -17,6 +17,11 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // Warm the JVM/codegen/parquet paths once so fixed session startup
+    // (~4 s measured) is not attributed to whichever query runs first —
+    // per-query numbers then reflect steady-state cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1).collect()
     // failed queries report -1 seconds (unmistakable in the JSON) and
     // are excluded from the total
     val results = selected.map { case (name, fn) =>

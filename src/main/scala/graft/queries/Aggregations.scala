@@ -154,7 +154,10 @@ object Aggregations extends QueryPack {
     // both engines, unlike interpolated percentiles whose FP formula
     // ((1-f)·a + f·b vs a + f·(b-a)) differs in the last ulp between
     // implementations. The group-partitioned window sorts per group —
-    // no global single-partition collapse.
+    // no global single-partition collapse. Caveat for extreme scale:
+    // parallelism is bounded by group cardinality (5 priorities here);
+    // for huge low-cardinality groups the two-pass GlobalRank pattern
+    // applies per group.
     "q_agg_percentile_disc" -> ((spark, sfDir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
