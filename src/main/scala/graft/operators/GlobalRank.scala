@@ -52,4 +52,44 @@ object GlobalRank {
       .withColumn(rankCol, col("__offset") + col("__local_rn"))
       .drop("__pid", "__opid", "__local_rn", "__offset")
   }
+
+  /** Per-GROUP row numbering with the same two-pass trick.
+    *
+    * `Window.partitionBy(group).orderBy(keys)` bounds parallelism by
+    * group cardinality — five groups means five tasks sorting 20% of
+    * the table each, however large it is. Here the range partitioner
+    * sorts on (group ++ keys), so a huge group spans MANY consecutive
+    * range partitions; ranks are local to (partition, group) and the
+    * broadcast offset table (one row per (partition, group-run) —
+    * bounded by partitions + groups, metadata-scale when a few huge
+    * groups are the problem) restores the per-group global rank.
+    * As with [[withRowNumber]], `keys` must total-order rows WITHIN a
+    * group (append a unique id tiebreak).
+    */
+  def withRowNumberPerGroup(df: DataFrame, rankCol: String,
+      groupCols: Seq[String], keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val groupRefs = groupCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, (groupRefs ++ keys): _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid") +: groupRefs: _*).orderBy(keys: _*)
+    val local  = ranged.withColumn("__local_rn", row_number().over(localW))
+    val offsetW = Window.partitionBy(groupRefs: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid") +: groupRefs: _*).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(offsetW), lit(0L)))
+      .select(col("__pid").as("__opid") +:
+        groupCols.map(n => col(n).as(s"__og_$n")) :+ col("__offset"): _*)
+    val joinCond = groupCols.foldLeft(col("__pid") === col("__opid")) {
+      (acc, n) => acc && col(n) === col(s"__og_$n")
+    }
+    local
+      .join(broadcast(offsets), joinCond)
+      .withColumn(rankCol, col("__offset") + col("__local_rn"))
+      .drop("__pid" +: "__opid" +: "__local_rn" +: "__offset" +:
+        groupCols.map(n => s"__og_$n"): _*)
+  }
 }

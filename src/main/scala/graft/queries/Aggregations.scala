@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.Tables.dec
+import graft.operators.GlobalRank
 
 /** Aggregation operators (SURVEY.md §2-B "Aggregations").
   *
@@ -153,18 +154,17 @@ object Aggregations extends QueryPack {
     // at ceil(p·n). Pure integer/comparison arithmetic — identical on
     // both engines, unlike interpolated percentiles whose FP formula
     // ((1-f)·a + f·b vs a + f·(b-a)) differs in the last ulp between
-    // implementations. The group-partitioned window sorts per group —
-    // no global single-partition collapse. Caveat for extreme scale:
-    // parallelism is bounded by group cardinality (5 priorities here);
-    // for huge low-cardinality groups the two-pass GlobalRank pattern
-    // applies per group.
+    // implementations. Ranks come from the per-group two-pass
+    // GlobalRank, so parallelism is NOT bounded by group cardinality
+    // (a `Window.partitionBy(group)` sorts each of the 5 priority
+    // groups in a single task, however large); group sizes come from a
+    // plain partial-aggregated groupBy, broadcast back.
     "q_agg_percentile_disc" -> ((spark, sfDir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val wn = Window.partitionBy(col("o_orderpriority"))
-      Tables.orders(spark, sfDir)
-        .select(col("o_orderpriority"), col("o_totalprice"),
-          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      val orders = Tables.orders(spark, sfDir)
+      val ranked = GlobalRank.withRowNumberPerGroup(orders, "rn",
+        Seq("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      val ns = orders.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(ns), "o_orderpriority")
         .groupBy(col("o_orderpriority"))
         .agg(
           max(when(col("rn") === ceil(col("n") * 0.25), col("o_totalprice")))

@@ -40,6 +40,33 @@ class GlobalRankSpec extends SparkSuite {
     assert(GlobalRank.withRowNumber(df, "rn", col("v"), col("id")).count() == 0)
   }
 
+  test("per-group variant matches Window.partitionBy row_number") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = Seq.tabulate(600)(i =>
+      (s"g${i % 3}", rng.nextDouble(), i.toLong)).toDF("g", "v", "id")
+      .repartition(4)
+    val got = GlobalRank
+      .withRowNumberPerGroup(df, "rn", Seq("g"), col("v").asc, col("id").asc)
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // multi-column grouping, duplicate sort values, singleton group
+    val df2 = Seq(("a", 1, 1.0, 1L), ("a", 1, 1.0, 2L), ("a", 2, 0.5, 3L),
+      ("b", 1, 9.0, 4L)).toDF("g1", "g2", "v", "id")
+    val got2 = GlobalRank
+      .withRowNumberPerGroup(df2, "rn", Seq("g1", "g2"), col("v"), col("id"))
+      .select(col("id"), col("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("q_win_ntile matches the built-in ntile/percent_rank/cume_dist") {
     val got = SparkEntry.queries("q_win_ntile")(spark, Sf).collect()
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
