@@ -70,22 +70,52 @@ object SimOps extends QueryPack {
   }
 
   /** IVF (inverted-file) cell assignment: each vector joins its
-    * most-similar centroid's cell. Centroids are a deterministic
-    * sample (lowest `k` vec_ids) — production would refine them with a
-    * few k-means iterations, but the index/search plumbing (broadcast
-    * centroids → argmax assignment → inverted cell lists) is identical
-    * and is what must scale. */
+    * most-similar centroid's cell. Seed centroids are a deterministic
+    * sample (lowest `k` vec_ids); [[kmeansRefine]] runs Lloyd
+    * iterations on top. The index/search plumbing (broadcast centroids
+    * → argmax assignment → inverted cell lists) is what must scale. */
   def ivfAssign(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val centroids = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    (centroids, assignCells(emb, centroids))
+  }
+
+  /** Argmax-cosine cell assignment against a broadcast centroid table. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         cosine(col("embedding"), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
-    (centroids, assigned)
+  }
+
+  /** Lloyd's k-means refinement of an IVF centroid table: assign →
+    * per-cell mean → repeat. Each round is one distributed argmax
+    * assignment (broadcast centroids) plus one aggregation — the mean
+    * is computed per (cell, dimension) by exploding the vectors, so no
+    * per-cell collect and no single-task reduction; a cell that loses
+    * all members keeps its previous centroid. Centroid tables stay
+    * k × dim (driver/broadcast scale) while the corpus side is only
+    * ever scanned, never collected. */
+  def kmeansRefine(emb: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var centroids = seed
+    for (_ <- 1 to iters) {
+      val means = assignCells(emb, centroids)
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+      centroids = centroids.as("c")
+        .join(means.as("n"), col("c.cell_id") === col("n.cell_id"), "left")
+        .select(col("c.cell_id").as("cell_id"),
+          coalesce(col("n.centroid"), col("c.centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
   }
 
   override def queries: Map[String, Query] = Map(

@@ -75,4 +75,20 @@ class SimilaritySpec extends SparkSuite {
     val scores = rows.map(_.getDouble(1))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("k-means refinement improves IVF centroid quality") {
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val (seed, _) = SimOps.ivfAssign(emb, k = 8)
+    val refined = SimOps.kmeansRefine(emb, seed, iters = 3)
+    assert(refined.count() == 8, "cell count must be preserved")
+    // quality = mean best-centroid cosine over the corpus
+    def quality(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          SimOps.cosine(col("embedding"), col("centroid")).as("sim"))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).collect().head.getDouble(0)
+    val (q0, q1) = (quality(seed), quality(refined))
+    assert(q1 > q0, s"refinement did not improve quality: $q0 -> $q1")
+  }
 }
