@@ -53,6 +53,22 @@ object Streaming extends QueryPack {
         .select(col("event_id"), col("user_id"), col("ts"),
           dec(col("value")).cast("double").as("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Batch form of the stream-stream interval join (purchases ×
+    // same-user signups within the preceding hour); the watermarked
+    // streaming form is StreamOps.intervalJoinStream, parity-tested in
+    // StreamingSpec.
+    "q_stream_join" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("s_user_id"), col("ts").as("sts"))
+      StreamOps.intervalJoin(purchases, signups)
+        .orderBy(col("purchase_id"), col("signup_id"))
     })
   )
 
@@ -96,6 +112,14 @@ object Streaming extends QueryPack {
       """SELECT event_id, user_id, ts,
         |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+        |FROM events p JOIN events s
+        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND s.user_id = p.user_id
+        | AND s.ts >= p.ts - INTERVAL '1 hour' AND s.ts <= p.ts
+        |ORDER BY purchase_id, signup_id""".stripMargin
   )
 }

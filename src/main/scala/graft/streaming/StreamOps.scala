@@ -69,6 +69,31 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream INTERVAL join: purchases matched to same-user
+    * signups within the preceding hour. One equi key (user_id) plus a
+    * bounded time-range residual — the equi key keeps it a shuffled
+    * hash/merge join at scale (never all-pairs), and the time bound is
+    * what lets the streaming form evict join state.
+    *
+    * Expects pre-projected sides: purchases(purchase_id, user_id, pts),
+    * signups(signup_id, s_user_id, sts).
+    */
+  def intervalJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases.join(signups,
+        col("s_user_id") === col("user_id") &&
+        col("sts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("sts") <= col("pts"))
+      .select(col("purchase_id"), col("signup_id"))
+
+  /** Streaming form: watermarks on BOTH sides so the interval bound
+    * becomes a state-eviction guarantee (signup state older than the
+    * purchase watermark minus 1h is dropped). */
+  def intervalJoinStream(purchases: DataFrame, signups: DataFrame,
+      watermark: String): DataFrame =
+    intervalJoin(
+      purchases.withWatermark("pts", watermark),
+      signups.withWatermark("sts", watermark))
+
   /** Custom per-key state via flatMapGroupsWithState (the
     * KeyValueGroupedDataset escape hatch for semantics windows can't
     * express): per user, lifetime event count and session count with a

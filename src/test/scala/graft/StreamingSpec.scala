@@ -14,6 +14,8 @@ import graft.streaming.StreamOps
   */
 case class Ev(event_id: Long, user_id: Long, event_type: String,
     ts: Timestamp, value: Double)
+case class Purchase(purchase_id: Long, user_id: Long, pts: Timestamp)
+case class Signup(signup_id: Long, s_user_id: Long, sts: Timestamp)
 
 class StreamingSpec extends SparkSuite {
 
@@ -39,6 +41,34 @@ class StreamingSpec extends SparkSuite {
         .orderBy(col("event_type"), col("win_start")).collect()
       assert(streamed.toSeq == batch.toSeq)
       assert(batch.length == 4) // (view,0h) (click,1h) (view,1h) (view,2h)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: streaming result equals batch") {
+    import spark.implicits._
+    val purchases = Seq(
+      Purchase(1, 1, t(90)), Purchase(2, 1, t(200)),
+      Purchase(3, 2, t(60)), Purchase(4, 3, t(30)))
+    val signups = Seq(
+      Signup(10, 1, t(40)),  // within 1h of purchase 1 (90) only
+      Signup(11, 1, t(199)), // within 1h of purchase 2
+      Signup(12, 2, t(61)),  // AFTER purchase 3 -> no match
+      Signup(13, 9, t(10)))  // different user -> no match
+    val pMem = MemoryStream[Purchase](spark)
+    val sMem = MemoryStream[Signup](spark)
+    val q = StreamOps.intervalJoinStream(pMem.toDF(), sMem.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("ssjoin_parity")
+      .outputMode("append").start()
+    try {
+      pMem.addData(purchases: _*)
+      sMem.addData(signups: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamOps.intervalJoin(purchases.toDF(), signups.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((1L, 10L), (2L, 11L)))
     } finally q.stop()
   }
 
