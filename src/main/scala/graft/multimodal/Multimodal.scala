@@ -96,4 +96,26 @@ object Multimodal {
   def resizeMeta(media: DataFrame, width: Int, height: Int): DataFrame =
     media.withColumn("meta",
       col("meta").withField("width", lit(width)).withField("height", lit(height)))
+
+  /** Payload-level resize of raw 1-byte-per-pixel images by
+    * nearest-neighbor sampling; non-images pass through untouched. The
+    * 1-byte-pixel layout is the decode stub's representation — a
+    * codec-backed version swaps the pixel accessor and keeps the
+    * map shape, metadata update, and pass-through semantics. */
+  def resizeImage(media: Dataset[MediaRecord], newW: Int, newH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(newW > 0 && newH > 0, "target dimensions must be positive")
+    media.map { r =>
+      if (r.kind != "image" || r.meta.width <= 0 || r.meta.height <= 0) r
+      else {
+        val (w, h) = (r.meta.width, r.meta.height)
+        val out = Array.tabulate(newW * newH) { i =>
+          val x = i % newW
+          val y = i / newW
+          r.payload((y * h / newH) * w + (x * w / newW))
+        }
+        r.copy(meta = r.meta.copy(width = newW, height = newH), payload = out)
+      }
+    }
+  }
 }

@@ -28,6 +28,15 @@ object MultimodalPack extends QueryPack {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    "q_multimodal_resize" -> ((spark, _) => {
+      Multimodal.resizeImage(Multimodal.synthesize(spark, 300), newW = 8, newH = 8)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          length(col("payload")).as("payload_bytes"))
+        .orderBy(col("media_id"))
     })
   )
 

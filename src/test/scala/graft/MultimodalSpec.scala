@@ -55,6 +55,24 @@ class MultimodalSpec extends SparkSuite {
     assert(sizes.join(sizes2, "media_id").filter(col("n") =!= col("n2")).count() == 0)
   }
 
+  test("resizeImage nearest-neighbor samples pixels; non-images pass through") {
+    val resized = Multimodal.resizeImage(media, newW = 8, newH = 8)
+    val byId = media.collect().map(r => r.media_id -> r).toMap
+    resized.collect().foreach { r =>
+      val orig = byId(r.media_id)
+      if (orig.kind == "image") {
+        assert(r.meta.width == 8 && r.meta.height == 8)
+        assert(r.payload.length == 64)
+        // pixel (x, y) of the 8x8 output == pixel (2x, 2y) of the 16x16 input
+        for (y <- 0 until 8; x <- 0 until 8)
+          assert(r.payload(y * 8 + x) == orig.payload((y * 2) * 16 + x * 2),
+            s"pixel ($x,$y) of media ${r.media_id}")
+      } else {
+        assert(r.meta == orig.meta && r.payload.toSeq == orig.payload.toSeq)
+      }
+    }
+  }
+
   test("metadata-only plans prune the binary column from the parquet scan") {
     // pruning applies at the file-source boundary — persist then re-read
     val dir = "target/test-fixtures/media_parquet"
