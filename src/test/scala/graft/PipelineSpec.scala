@@ -148,6 +148,37 @@ class PipelineSpec extends SparkSuite {
     assert(ck.toSeq == Seq(201L, 202L))
   }
 
+  test("JDBC (Derby) checkpoint store: roundtrip + incremental continuation") {
+    val url = s"jdbc:derby:$root/ckpt_db;create=true"
+    val store = new JdbcCheckpointStore(spark, url)
+    assert(store.findPreviousJobId("custom", "app-j").isEmpty)
+    store.append(CheckpointEntry(11L, "custom",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "app-j", None, None))
+    store.append(CheckpointEntry(12L, "custom",
+      java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "app-j", Some(11L), None))
+    store.append(CheckpointEntry(99L, "transaction",
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "app-j", None, None))
+    assert(store.findPreviousJobId("custom", "app-j").contains(12L))
+    assert(store.findPreviousJobId("transaction", "app-j").contains(99L))
+    assert(store.findPreviousJobId("custom", "other-app").isEmpty)
+    // re-opening the same database sees the committed rows
+    assert(new JdbcCheckpointStore(spark, url)
+      .findPreviousJobId("custom", "app-j").contains(12L))
+
+    // the full ingest flow works unchanged over the JDBC store
+    val cfg = config.copy(
+      checkpointPath = "unused",
+      warehouseRoot = s"$root/warehouse-jdbc",
+      tenants = Seq(TenantConfig("app-j", "Dataset_J")),
+      reportTypes = Seq("custom"))
+    writeJob("app-j", "custom", 401, rows = 4, gzip = true)
+    val job = IngestJob(spark, cfg, store,
+      new ParquetWarehouseSink(cfg.warehouseRoot), new LogNotifier)
+    assert(job.run("app-j", "custom") == 4)
+    assert(store.findPreviousJobId("custom", "app-j").contains(401L))
+    assert(job.run("app-j", "custom") == 0, "continuation must skip job 401")
+  }
+
   test("re-run of a partially-committed job is idempotent (no duplicate rows)") {
     val cfg = config.copy(
       checkpointPath = s"$root/checkpoints4",
