@@ -101,6 +101,17 @@ object ScansSinks extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ORC round-trip (the second columnar format Spark ships a native
+    // vectorized reader for): write the export records as ORC, read
+    // back with explicit schema, aggregate — oracle computes the same
+    // result from the parquet source, so ORC encode/decode fidelity is
+    // what's under test.
+    "q_scan_orc" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "events_orc")
+      exportRecords(spark, sfDir).write.mode("overwrite").orc(dir)
+      exportAgg(spark.read.schema(exportSchema).orc(dir))
+    }),
+
     // Partitioned write (ref A7 layout) → read back through the
     // partition-discovered directory tree; per-partition rollup must
     // equal the source aggregation.
@@ -123,6 +134,7 @@ object ScansSinks extends QueryPack {
 
     "q_scan_ndjson" -> exportAggOracle,
     "q_scan_ndjson_gz" -> exportAggOracle,
+    "q_scan_orc" -> exportAggOracle,
 
     "q_scan_csv_header" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
