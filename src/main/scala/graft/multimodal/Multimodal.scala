@@ -97,6 +97,32 @@ object Multimodal {
     media.withColumn("meta",
       col("meta").withField("width", lit(width)).withField("height", lit(height)))
 
+  /** Ingest raw media FILES into the payload-column model via Spark's
+    * `binaryFile` source — the distributed path media actually arrives
+    * through at scale (a directory tree of image/audio files), with
+    * pushdown-capable path/size metadata and the payload kept opaque.
+    * `kind` derives from the file extension; metadata defaults to
+    * unknown dimensions until a decode pass fills them. */
+  def ingestFiles(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, content) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val digits = name.takeWhile(_.isDigit)
+        val id = if (digits.isEmpty) -1L else digits.toLong
+        val kind = name.substring(name.lastIndexOf('.') + 1) match {
+          case "png" | "jpg" => "image"
+          case "pcm" | "wav" => "audio"
+          case _             => "video"
+        }
+        MediaRecord(id, kind, MediaMeta("file", -1, -1, -1, -1), content)
+      }
+  }
+
   /** Payload-level resize of raw 1-byte-per-pixel images by
     * nearest-neighbor sampling; non-images pass through untouched. The
     * 1-byte-pixel layout is the decode stub's representation — a

@@ -73,6 +73,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("binaryFile ingestion: files become payload rows, glob filters kinds") {
+    val dir = new java.io.File("target/test-fixtures/media_files")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(dir); dir.mkdirs()
+    val payloads = Map("7.png" -> Array[Byte](1, 2, 3),
+      "8.wav" -> Array[Byte](4, 5), "9.bin" -> Array[Byte](6))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, name).toPath, bytes): Unit
+    }
+    val all = Multimodal.ingestFiles(spark, dir.getPath).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(all.keySet == Set(7L, 8L, 9L))
+    assert(all(7L).kind == "image" && all(7L).payload.toSeq == Seq[Byte](1, 2, 3))
+    assert(all(8L).kind == "audio" && all(8L).payload.toSeq == Seq[Byte](4, 5))
+    assert(all(9L).kind == "video")
+    // glob pushdown: only images listed, not filtered post-read
+    val images = Multimodal.ingestFiles(spark, dir.getPath, glob = "*.png").collect()
+    assert(images.map(_.media_id).toSeq == Seq(7L))
+  }
+
   test("metadata-only plans prune the binary column from the parquet scan") {
     // pruning applies at the file-source boundary — persist then re-read
     val dir = "target/test-fixtures/media_parquet"
