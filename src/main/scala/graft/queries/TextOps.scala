@@ -83,6 +83,41 @@ object TextOps extends QueryPack {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOver(distinctTokens(docs), threshold)
 
+  /** Connected components of an undirected (d1, d2) pair graph by
+    * iterative min-label propagation: every round is one distributed
+    * join+groupBy; rounds ≤ graph diameter (near-dup components are
+    * near-cliques, so a handful); convergence is detected by the
+    * strictly-decreasing label sum and each round is
+    * localCheckpoint'ed so lineage (and analysis time) stays flat.
+    * Returns (id, comp) with comp = the component's minimum id. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    def labelSum(): Long =
+      labels.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
+    var prevSum = Long.MaxValue
+    var curSum = labelSum()
+    var rounds = 0
+    while (curSum < prevSum && rounds < 25) {
+      val neighborMin = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(edges("d1").as("nid"))
+        .agg(min(col("comp")).as("ncomp"))
+      labels = labels.as("l")
+        .join(neighborMin, col("l.id") === col("nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labelSum()
+      rounds += 1
+    }
+    labels
+  }
+
   /** 3-gram-shingle Jaccard pairs (q_dedup_ngram). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOver(distinctShingles(docs), threshold)
@@ -292,33 +327,10 @@ object TextOps extends QueryPack {
     // The quadratic transitive closure lives only in the DuckDB
     // oracle's recursive CTE, where fixture scale makes it harmless.
     "q_dedup_components" -> ((spark, sfDir) => {
-      val pairs = jaccardPairs(Tables.documents(spark, sfDir), 0.8)
-        .select(col("d1"), col("d2"))
-      val edges = pairs
-        .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint()
-      var labels = edges.select(col("d1").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .localCheckpoint()
-      def labelSum(): Long =
-        labels.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
-      var prevSum = Long.MaxValue
-      var curSum = labelSum()
-      var rounds = 0
-      while (curSum < prevSum && rounds < 25) {
-        val neighborMin = edges.join(labels, edges("d2") === labels("id"))
-          .groupBy(edges("d1").as("nid"))
-          .agg(min(col("comp")).as("ncomp"))
-        labels = labels.as("l")
-          .join(neighborMin, col("l.id") === col("nid"), "left")
-          .select(col("l.id").as("id"),
-            least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
-          .localCheckpoint()
-        prevSum = curSum
-        curSum = labelSum()
-        rounds += 1
-      }
-      labels.groupBy(col("comp"))
+      connectedComponents(
+        jaccardPairs(Tables.documents(spark, sfDir), 0.8)
+          .select(col("d1"), col("d2")))
+        .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("comp"))
     }),
