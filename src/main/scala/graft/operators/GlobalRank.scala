@@ -67,7 +67,23 @@ object GlobalRank {
     * group (append a unique id tiebreak).
     */
   def withRowNumberPerGroup(df: DataFrame, rankCol: String,
-      groupCols: Seq[String], keys: Column*): DataFrame = {
+      groupCols: Seq[String], keys: Column*): DataFrame =
+    perGroupImpl(df, rankCol, None, groupCols, keys)
+
+  /** [[withRowNumberPerGroup]] plus the GROUP TOTAL as `countCol` on
+    * every row, from the same single range shuffle: the offsets table
+    * already holds per-(partition, group) counts, so the group total is
+    * one more metadata-scale window over it — never a second ranking
+    * pass (two GlobalRank calls see DIFFERENT range boundaries when
+    * exchange reuse misses, mis-joining offsets — measured on nested
+    * calls) and never a one-row-per-group count table built from the
+    * data (unbounded broadcast, the PlanAuditSpec hazard). */
+  def withRowNumberAndCountPerGroup(df: DataFrame, rankCol: String,
+      countCol: String, groupCols: Seq[String], keys: Column*): DataFrame =
+    perGroupImpl(df, rankCol, Some(countCol), groupCols, keys)
+
+  private def perGroupImpl(df: DataFrame, rankCol: String,
+      countCol: Option[String], groupCols: Seq[String], keys: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val groupRefs = groupCols.map(col)
@@ -78,18 +94,21 @@ object GlobalRank {
     val local  = ranged.withColumn("__local_rn", row_number().over(localW))
     val offsetW = Window.partitionBy(groupRefs: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val totalW = Window.partitionBy(groupRefs: _*)
     val offsets = local
       .groupBy(col("__pid") +: groupRefs: _*).agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset", coalesce(sum(col("__cnt")).over(offsetW), lit(0L)))
+      .withColumn("__gn", sum(col("__cnt")).over(totalW))
       .select(col("__pid").as("__opid") +:
-        groupCols.map(n => col(n).as(s"__og_$n")) :+ col("__offset"): _*)
+        groupCols.map(n => col(n).as(s"__og_$n")) :+ col("__offset") :+ col("__gn"): _*)
     val joinCond = groupCols.foldLeft(col("__pid") === col("__opid")) {
       (acc, n) => acc && col(n) === col(s"__og_$n")
     }
-    local
+    val joined = local
       .join(broadcast(offsets), joinCond)
       .withColumn(rankCol, col("__offset") + col("__local_rn"))
-      .drop("__pid" +: "__opid" +: "__local_rn" +: "__offset" +:
+    countCol.fold(joined)(c => joined.withColumn(c, col("__gn")))
+      .drop("__pid" +: "__opid" +: "__local_rn" +: "__offset" +: "__gn" +:
         groupCols.map(n => s"__og_$n"): _*)
   }
 }

@@ -158,13 +158,16 @@ object Aggregations extends QueryPack {
     // GlobalRank, so parallelism is NOT bounded by group cardinality
     // (a `Window.partitionBy(group)` sorts each of the 5 priority
     // groups in a single task, however large); group sizes come from a
-    // plain partial-aggregated groupBy, broadcast back.
+    // GlobalRank's own offsets table (per-(partition, group) counts —
+    // metadata-scale), attached per row by the same single range
+    // shuffle, so no one-row-per-group count table is ever built or
+    // broadcast (group cardinality is data-dependent; a broadcast of it
+    // would be the same unbounded-aggregate hazard PlanAuditSpec bans).
     "q_agg_percentile_disc" -> ((spark, sfDir) => {
       val orders = Tables.orders(spark, sfDir)
-      val ranked = GlobalRank.withRowNumberPerGroup(orders, "rn",
+      val ranked = GlobalRank.withRowNumberAndCountPerGroup(orders, "rn", "n",
         Seq("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      val ns = orders.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(ns), "o_orderpriority")
+      ranked
         .groupBy(col("o_orderpriority"))
         .agg(
           max(when(col("rn") === ceil(col("n") * 0.25), col("o_totalprice")))

@@ -59,10 +59,14 @@ object TextOps extends QueryPack {
   /** Jaccard ≥ threshold pairs (d1 < d2) over arbitrary
     * (doc_id, source, tok) rows, blocked on `source`. */
   private def jaccardOver(toks: DataFrame, threshold: Double): DataFrame = {
-    // sizes is doc-level (one row per doc — tiny next to the pair
-    // stream); broadcast both lookups so the (d1, d2) intersection
-    // stream is never re-shuffled on d1/d2 (post-aggregation stats are
-    // unknown to the planner, which would otherwise pick SMJ)
+    // sizes is doc-level (one row per doc). It must NOT be broadcast:
+    // at corpus scale that is every document's stats on the driver and
+    // every executor — OOM. SHUFFLE_HASH pins the scale-safe plan (the
+    // pair stream streams, the per-doc side builds a partition-local
+    // hash map, no sort of either side); planner stats are unknown
+    // post-aggregation, so it would otherwise pick SMJ. AQE may still
+    // locally convert when the built side is tiny at runtime — a
+    // size-gated upgrade, never a size-blind broadcast.
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     toks.as("a").join(toks.as("b"),
         col("a.source") === col("b.source") &&
@@ -70,8 +74,8 @@ object TextOps extends QueryPack {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-      .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+      .join(sizes.as("s1").hint("shuffle_hash"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2").hint("shuffle_hash"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("s1.sz") + col("s2.sz") - col("inter"))).as("jac"))

@@ -67,6 +67,26 @@ class GlobalRankSpec extends SparkSuite {
     assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("count variant attaches the exact per-group total to every row") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = Seq.tabulate(500)(i =>
+      (s"g${i % 4}", rng.nextDouble(), i.toLong)).toDF("g", "v", "id")
+      .repartition(4)
+    val got = GlobalRank
+      .withRowNumberAndCountPerGroup(df, "rn", "n", Seq("g"), col("v"), col("id"))
+    // every row's n equals its group's true cardinality, and ranks are
+    // unchanged relative to the plain per-group variant
+    val perGroup = got.groupBy(col("g")).agg(
+      countDistinct(col("n")).as("ndist"), max(col("n")).as("nmax"),
+      count(lit(1)).as("true_n"), max(col("rn")).as("rnmax")).collect()
+    perGroup.foreach { r =>
+      assert(r.getLong(1) == 1L, s"inconsistent n within group in $r")
+      assert(r.getLong(2) == r.getLong(3), s"n != |group| in $r")
+      assert(r.getLong(4) == r.getLong(3), s"rank broken in $r")
+    }
+  }
+
   test("q_win_ntile matches the built-in ntile/percent_rank/cume_dist") {
     val got = SparkEntry.queries("q_win_ntile")(spark, Sf).collect()
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)

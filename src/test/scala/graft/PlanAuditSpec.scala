@@ -27,4 +27,43 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("no broadcast hint on an unbounded aggregate in any query") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, SparkPartitionID}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // A grouped aggregate's cardinality scales with its input (at corpus
+    // scale: one row per document = driver OOM when broadcast); a
+    // global aggregate is 1 row and a Limit bounds whatever is under it.
+    // Aggregates keyed by spark_partition_id() (GlobalRank's offset
+    // tables) are bounded by the partition count — metadata-scale.
+    def pidKeyed(a: Aggregate): Boolean = {
+      val pidIds = a.child.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case al @ Alias(_: SparkPartitionID, _) => al.exprId
+        })
+      }.flatten.toSet
+      a.groupingExpressions.exists {
+        case ar: AttributeReference => pidIds.contains(ar.exprId)
+        case _: SparkPartitionID => true
+        case al: Alias => al.child.isInstanceOf[SparkPartitionID]
+        case _ => false
+      }
+    }
+    def unbounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => false
+      case a: Aggregate => a.groupingExpressions.nonEmpty && !pidKeyed(a)
+      case other => other.children.exists(unbounded)
+    }
+    def isBroadcast(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.contains(BROADCAST))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, Sf).queryExecution.optimizedPlan.collect {
+          case j: Join if (isBroadcast(j.hint.leftHint) && unbounded(j.left)) ||
+              (isBroadcast(j.hint.rightHint) && unbounded(j.right)) =>
+            s"$name: broadcast hint over an unbounded aggregate"
+        }
+    }.distinct
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
