@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.{CosineSimilarity, FirstEqualIndex}
+import graft.expressions.{CosineSimilarity, FirstEqualIndex, SignBitLsh}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2-B
   * "LLM-data-pipeline operators": q_sim_topk, q_sim_join, plus the
@@ -46,14 +46,20 @@ object SimOps extends QueryPack {
 
   /** Sign-bit LSH bucket ids, one per hash table: each table has
     * `planes` fixed-seed pseudo-random hyperplanes; a bucket is the
-    * packed vector of sign bits of the projections. The hyperplane
-    * coefficients are materialized once driver-side as LITERAL arrays
-    * (they are constants — deriving them per row from hash expressions
-    * wastes ~dim × planes × tables hash evaluations on every row).
-    * Multiple tables trade candidate volume for recall
+    * packed vector of sign bits of the projections. Multiple tables
+    * trade candidate volume for recall
     * (recall = 1 − (1 − p^planes)^tables).
-    */
-  def lshBuckets(embedding: Column, dim: Int, planes: Int, tables: Int): Column = {
+    *
+    * Production path is the codegen'd [[SignBitLsh]] expression — the
+    * HOF formulation below runs `planes × tables` interpreted folds
+    * per row (HOF lambdas never codegen; dominated q_sim_ann_lsh at
+    * sf0.1) — bit-parity asserted in ExpressionSpec. */
+  def lshBuckets(embedding: Column, dim: Int, planes: Int, tables: Int): Column =
+    SignBitLsh(embedding, dim, planes, tables)
+
+  /** The declarative reference formulation of [[lshBuckets]] — kept as
+    * the semantic spec [[SignBitLsh]] is asserted against. */
+  def lshBucketsHof(embedding: Column, dim: Int, planes: Int, tables: Int): Column = {
     val rng = new scala.util.Random(42)
     val coeffs: Seq[Seq[Array[Double]]] =
       Seq.fill(tables)(Seq.fill(planes)(Array.fill(dim)(rng.nextDouble() - 0.5)))

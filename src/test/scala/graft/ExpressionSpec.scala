@@ -123,6 +123,48 @@ class ExpressionSpec extends SparkSuite {
     assert(e.getMessage.contains("array<bigint>"), e.getMessage)
   }
 
+  test("SignBitLsh equals the HOF bucket formulation bit-for-bit") {
+    import graft.expressions.SignBitLsh
+    val emb = Tables.embeddings(spark, Sf)
+    val rows = emb.select(col("vec_id"),
+      SignBitLsh(col("embedding"), 64, 4, 8).as("native"),
+      SimOps.lshBucketsHof(col("embedding"), 64, 4, 8).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"lsh buckets diverge for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("SignBitLsh degenerate inputs mirror the HOF form") {
+    import graft.expressions.SignBitLsh
+    import spark.implicits._
+    val df = Seq(
+      Some(Array(1.0f, -2.0f, 0.5f)),  // exact dim
+      Some(Array(1.0f, -2.0f)),        // too short -> all-zero buckets
+      Some(Array.fill(4)(1.0f)),       // too long  -> all-zero buckets
+      None                             // null -> null (HOF: bucket 0)
+    ).toDF("e")
+    val rows = df.select(
+      SignBitLsh(col("e"), 3, 2, 2).as("native"),
+      SimOps.lshBucketsHof(col("e"), 3, 2, 2).as("hof")).collect()
+    rows.take(3).foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+    assert(rows(1).getSeq[Long](0).forall(_ == 0L))
+    // deliberate divergence: null array yields null natively (drops the
+    // row from candidate generation) where the HOF form's otherwise(0)
+    // branch would file it into a junk all-zero bucket
+    assert(rows(3).isNullAt(0))
+    assert(rows(3).getSeq[Long](1).forall(_ == 0L))
+    // runs inside whole-stage codegen (no CodegenFallback)
+    val emb = Tables.embeddings(spark, Sf)
+    val planned = emb.select(SignBitLsh(col("embedding"), 64, 4, 8).as("b"))
+    assert(planned.collect().nonEmpty)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[sign_bit_lsh""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("non-float-array inputs are rejected at analysis time") {
     import spark.implicits._
     val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
