@@ -87,12 +87,25 @@ object TextOps extends QueryPack {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOver(distinctTokens(docs), threshold)
 
+  /** Rounds cap for [[connectedComponents]]. Pointer doubling makes
+    * rounds O(log₂ diameter), so 40 covers any graph a 64-bit id space
+    * can hold (diameter ≤ 2⁴⁰ after accounting for the neighbor-min
+    * step's own progress) — hitting the cap means pathology, not data. */
+  val ComponentRoundsCap = 40
+
   /** Connected components of an undirected (d1, d2) pair graph by
-    * iterative min-label propagation: every round is one distributed
-    * join+groupBy; rounds ≤ graph diameter (near-dup components are
-    * near-cliques, so a handful); convergence is detected by the
-    * strictly-decreasing label sum and each round is
-    * localCheckpoint'ed so lineage (and analysis time) stays flat.
+    * min-label propagation WITH POINTER JUMPING: each round, every
+    * node takes the min label over its graph neighbors AND over its
+    * own label's current label (comp ← comp(comp)). The jump rides the
+    * same single join — the current (id → comp) table is unioned into
+    * the edge stream as one extra pointer edge per node — so a round
+    * stays one join + one groupBy, but label chains collapse
+    * geometrically: rounds are O(log diameter), not O(diameter) (a
+    * 10⁶-node path would otherwise be 10⁶ shuffles). Convergence is
+    * detected by the strictly-decreasing label sum; each round is
+    * localCheckpoint'ed so lineage (and analysis time) stays flat; a
+    * graph still unconverged at [[ComponentRoundsCap]] throws rather
+    * than silently under-merging.
     * Returns (id, comp) with comp = the component's minimum id. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -106,9 +119,18 @@ object TextOps extends QueryPack {
     var prevSum = Long.MaxValue
     var curSum = labelSum()
     var rounds = 0
-    while (curSum < prevSum && rounds < 25) {
-      val neighborMin = edges.join(labels, edges("d2") === labels("id"))
-        .groupBy(edges("d1").as("nid"))
+    while (curSum < prevSum) {
+      if (rounds >= ComponentRoundsCap)
+        throw new IllegalStateException(
+          s"connectedComponents still unconverged after $rounds rounds " +
+            "(label sum decreasing) — pathological input?")
+      // pointer edges (x → comp(x)): joining them below hands x the
+      // label OF its label — comp is always some node's id in the same
+      // component, so the jumped label is valid and ≤ the current one
+      val allEdges = edges
+        .unionAll(labels.select(col("id").as("d1"), col("comp").as("d2")))
+      val neighborMin = allEdges.join(labels, allEdges("d2") === labels("id"))
+        .groupBy(allEdges("d1").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
       labels = labels.as("l")
         .join(neighborMin, col("l.id") === col("nid"), "left")
@@ -175,15 +197,30 @@ object TextOps extends QueryPack {
     * a ~30-word vocabulary, so near-everything is a true candidate; on
     * a realistic corpus the same bands prune to ~0.1%.
     */
-  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
     // Per-doc band-hash vector in ONE codegen'd pass (the HOF
     // signature formulation is interpreted and gets re-inlined per
     // band by CollapseProject — see MinHashBands scaladoc; the
     // expression is asserted bit-identical to the HOF form in
     // ExpressionSpec).
-    val bhs = docs.select(col("doc_id"),
-      MinHashBands(array_distinct(split(col("text"), " ")), numHashes, bands).as("bhs"))
+    bandedMinhashPairs(docs.select(col("doc_id"),
+      MinHashBands(array_distinct(split(col("text"), " ")), numHashes, bands).as("bhs")),
+      bands)
+
+  /** [[minhashCandidates]] over 3-token SHINGLE features — the
+    * candidate generator matching [[ngramJaccardPairs]]'s similarity
+    * space (docs with < 3 tokens have no shingles → null signature →
+    * no candidates, exactly as they produce no exact shingle pairs). */
+  def minhashShingleCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedMinhashPairs(docs
+      .withColumn("__t", split(col("text"), " "))
+      .select(col("doc_id"),
+        MinHashBands(shingleArray(col("__t"), array().cast("array<string>")),
+          numHashes, bands).as("bhs")),
+      bands)
+
+  /** Banded-LSH candidate pairs from per-doc band-hash vectors. */
+  private def bandedMinhashPairs(bhs: DataFrame, bands: Int): DataFrame = {
     // Literal-range explode with the band hash picked out ABOVE the
     // generator — same InferFiltersFromGenerate trap as in
     // simhashCandidates: exploding an array built from `sig` clones
@@ -206,6 +243,44 @@ object TextOps extends QueryPack {
         col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.band") === FirstEqualIndex(col("a.bhs"), col("b.bhs")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  }
+
+  /** THE 100 TB dedup pipeline, end to end: banded MinHash-LSH
+    * candidates → exact Jaccard verification on CANDIDATE PAIRS ONLY →
+    * connected components → keep the min-id doc per component. This is
+    * the composition a production near-dup pass runs: pair generation
+    * never goes pairwise (bucketed equi-join), verification touches
+    * only the candidate stream (two shuffled hash joins against per-doc
+    * feature arrays — map-side set intersection, no token-level
+    * re-join), and the transitive closure is the pointer-jumping
+    * component pass. Features are 3-token SHINGLES, the production
+    * choice (unigram sets saturate: on this fixture's ~30-word
+    * vocabulary ~88% of ALL doc pairs are unigram near-dups, making
+    * candidate volume quadratic by construction; shingles isolate
+    * genuinely copied passages). Shingle candidates cover every exact
+    * pair ≥ threshold on the fixture (MinhashSpec asserts ⊇), so
+    * survivors equal the exact pipeline's. Blocked on `source` like
+    * [[jaccardPairs]] (the reference's blocking key), so the exact-SQL
+    * oracle sees the same pair set. */
+  def minhashDedupSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = minhashShingleCandidates(docs, numHashes = 16, bands = 8)
+    val tokArrays = docs
+      .withColumn("__t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        shingleArray(col("__t"), array().cast("array<string>")).as("toks"))
+    val verified = cands
+      .join(tokArrays.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
+      .join(tokArrays.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
+      .filter(col("t1.source") === col("t2.source"))
+      .withColumn("inter", size(array_intersect(col("t1.toks"), col("t2.toks"))))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (size(col("t1.toks")) + size(col("t2.toks")) - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+    val losers = connectedComponents(verified.select(col("d1"), col("d2")))
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   override def queries: Map[String, Query] = Map(
@@ -268,6 +343,18 @@ object TextOps extends QueryPack {
     "q_dedup_minhash" -> ((spark, sfDir) => {
       minhashCandidates(Tables.documents(spark, sfDir), numHashes = 16, bands = 8)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // End-to-end LSH dedup: candidates → verify-on-candidates →
+    // components → min-id survivor per component, counted by lang.
+    // Oracle runs the same pipeline over EXACT pairs (recursive-CTE
+    // closure); equal because candidates cover all true pairs here.
+    // 0.5 shingle-Jaccard = q_dedup_ngram's near-dup bar.
+    "q_dedup_e2e" -> ((spark, sfDir) => {
+      minhashDedupSurvivors(Tables.documents(spark, sfDir), 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("lang"))
     }),
 
     "q_text_stats" -> ((spark, sfDir) => {
@@ -475,6 +562,38 @@ object TextOps extends QueryPack {
         |SELECT comp, COUNT(*) AS n_members FROM (
         |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
         |GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q_dedup_e2e" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM rawpairs
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |losers AS (
+        |  SELECT a AS id FROM (
+        |    SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+        |  WHERE comp < a)
+        |SELECT lang, COUNT(*) AS n_survivors
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,

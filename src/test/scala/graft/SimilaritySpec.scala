@@ -24,6 +24,31 @@ class SimilaritySpec extends SparkSuite {
     assert(missed.isEmpty, s"${missed.size} near-dup pairs missed: ${missed.take(5)}")
   }
 
+  test("shingle minhash candidates cover all exact shingle-Jaccard >= 0.5 pairs") {
+    val exact = SparkEntry.queries("q_dedup_ngram")(spark, Sf)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = TextOps
+      .minhashShingleCandidates(Tables.documents(spark, Sf), numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- cand
+    assert(exact.nonEmpty, "fixture produced no shingle pairs — test is vacuous")
+    assert(missed.isEmpty, s"${missed.size} shingle near-dup pairs missed: ${missed.take(5)}")
+    // and the e2e survivors equal the exact pipeline's closure: every
+    // doc is either a survivor or reachable from a lower-id survivor
+    val survivors = TextOps
+      .minhashDedupSurvivors(Tables.documents(spark, Sf), 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, Sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(all) && survivors.nonEmpty)
+    // dropped docs must each appear as d2 of some verified pair chain:
+    // here simply require dropped ⊆ nodes of the exact pair graph
+    val nodes = exact.flatMap(p => Seq(p._1, p._2))
+    assert((all -- survivors).subsetOf(nodes),
+      "a doc outside the near-dup graph was dropped")
+  }
+
   test("jaccard scores are within (0, 1] and pairs are ordered") {
     val rows = SparkEntry.queries("q_dedup_jaccard")(spark, Sf).collect()
     rows.foreach { r =>
