@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * training-data pipeline needs around them — decode → feature
   * extraction, frame sampling, and metadata transforms.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so [[Multimodal.decodeFeatures]] derives features from payload bytes
-  * deterministically (byte histogram) where a real deployment would
-  * decode pixels/samples (e.g. via a JNI codec or `mapInPandas` +
-  * Pillow/torchaudio on PySpark). Everything AROUND the stub is real
-  * and tested: the schema, the per-partition batched iteration, the
-  * explode shape for frame sampling, and the nested-struct metadata
-  * updates — swapping the stub for a codec changes no plumbing.
+  * IMAGE DECODE IS REAL for PNG payloads: [[PngCodec]] rides the JDK's
+  * `javax.imageio` (no external codec needed), so
+  * [[Multimodal.decodeFeatures]] histograms actual pixel luminance and
+  * [[Multimodal.resizeImage]] resamples actual pixels and re-encodes.
+  * Payloads that are not decodable images (synthetic fixtures, audio,
+  * video, truncated files) fall back to a deterministic byte histogram
+  * / raw-layout path — decode failure degrades, never throws, which is
+  * what a 10⁹-file ingest needs. Audio/video codecs are genuinely
+  * absent from this container; those kinds keep the byte-level path
+  * (declared in SURVEY §2-B).
   *
   * Scale notes: payloads stay opaque until the last possible operator
   * (no decode before filters/joins on metadata — Catalyst prunes the
@@ -61,18 +63,35 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract: per-media normalized byte histogram of
-    * `bins` buckets. THE HISTOGRAM IS THE DECODE STUB — a real system
-    * decodes pixels/samples here; signature, batching, and output
-    * schema are what a codec-backed version keeps. */
+  /** Decode + feature-extract: PNG payloads decode to pixels (JDK
+    * ImageIO) and yield a normalized LUMINANCE histogram of `bins`
+    * buckets; everything else (audio/video/undecodable bytes) yields a
+    * normalized BYTE histogram — same shape, so downstream consumers
+    * are codec-agnostic. */
   def decodeFeatures(media: Dataset[MediaRecord], bins: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
-      // per-partition init would open the codec once, here
+      // per-partition init: ImageIO plugin scan happens once per JVM,
+      // first use in this partition pays it
       records.map { r =>
         val counts = new Array[Double](bins)
-        r.payload.foreach { b => counts(((b & 0xff) * bins) / 256) += 1.0 }
-        val total = r.payload.length.toDouble
+        val total = PngCodec.decode(r.payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                counts((PngCodec.luminance(img.getRGB(x, y)) * bins) / 256) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            (w * h).toDouble
+          case None =>
+            r.payload.foreach { b => counts(((b & 0xff) * bins) / 256) += 1.0 }
+            r.payload.length.toDouble
+        }
         MediaFeatures(r.media_id, r.kind,
           if (total == 0) counts else counts.map(_ / total))
       }
@@ -113,7 +132,11 @@ object Multimodal {
       .map { case (path, content) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
         val digits = name.takeWhile(_.isDigit)
-        val id = if (digits.isEmpty) -1L else digits.toLong
+        // numeric filename prefix wins (stable, human-assigned);
+        // otherwise a 63-bit FNV-1a of the FULL PATH — two distinct
+        // non-numeric files must never collide (the old -1 sentinel
+        // gave every such file the same id)
+        val id = if (digits.isEmpty) fnv63(path) else digits.toLong
         val kind = name.substring(name.lastIndexOf('.') + 1) match {
           case "png" | "jpg" => "image"
           case "pcm" | "wav" => "audio"
@@ -123,25 +146,91 @@ object Multimodal {
       }
   }
 
-  /** Payload-level resize of raw 1-byte-per-pixel images by
-    * nearest-neighbor sampling; non-images pass through untouched. The
-    * 1-byte-pixel layout is the decode stub's representation — a
-    * codec-backed version swaps the pixel accessor and keeps the
-    * map shape, metadata update, and pass-through semantics. */
+  /** Payload-level nearest-neighbor resize. PNG payloads decode,
+    * resample actual pixels, and re-encode as PNG (dimensions read
+    * from the image itself, metadata updated to match); raw
+    * 1-byte-per-pixel payloads resample bytes using the metadata
+    * dimensions; non-images pass through untouched. Nearest-neighbor
+    * (not an interpolating Graphics2D scale) keeps the output a pure
+    * deterministic function of input pixels. */
   def resizeImage(media: Dataset[MediaRecord], newW: Int, newH: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     require(newW > 0 && newH > 0, "target dimensions must be positive")
     media.map { r =>
-      if (r.kind != "image" || r.meta.width <= 0 || r.meta.height <= 0) r
-      else {
-        val (w, h) = (r.meta.width, r.meta.height)
-        val out = Array.tabulate(newW * newH) { i =>
-          val x = i % newW
-          val y = i / newW
-          r.payload((y * h / newH) * w + (x * w / newW))
-        }
-        r.copy(meta = r.meta.copy(width = newW, height = newH), payload = out)
+      if (r.kind != "image") r
+      else PngCodec.decode(r.payload) match {
+        case Some(img) =>
+          val out = PngCodec.resizeNearest(img, newW, newH)
+          r.copy(meta = r.meta.copy(width = newW, height = newH),
+            payload = PngCodec.encode(out))
+        case None if r.meta.width > 0 && r.meta.height > 0 =>
+          val (w, h) = (r.meta.width, r.meta.height)
+          val out = Array.tabulate(newW * newH) { i =>
+            val x = i % newW
+            val y = i / newW
+            r.payload((y * h / newH) * w + (x * w / newW))
+          }
+          r.copy(meta = r.meta.copy(width = newW, height = newH), payload = out)
+        case None => r
       }
     }
+  }
+
+  /** 63-bit FNV-1a over UTF-8 bytes (sign bit cleared so ids sort with
+    * human-assigned non-negative ones). */
+  private[multimodal] def fnv63(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL)
+      h *= 0x100000001b3L
+    }
+    h & Long.MaxValue
+  }
+}
+
+/** PNG decode/encode on the JDK's built-in `javax.imageio` — no
+  * external codec. Decode is signature-gated and failure-tolerant:
+  * anything that is not a readable PNG yields None and callers keep
+  * their byte-level fallback. */
+private[multimodal] object PngCodec {
+
+  private val Magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && java.util.Arrays.equals(bytes, 0, 4, Magic, 0, 4)
+
+  def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!isPng(bytes)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Integer Rec. 601 luma of a packed ARGB pixel, in [0, 255]. */
+  def luminance(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (r * 299 + g * 587 + b * 114) / 1000
+  }
+
+  def resizeNearest(img: java.awt.image.BufferedImage,
+      newW: Int, newH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      newW, newH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    var y = 0
+    while (y < newH) {
+      var x = 0
+      while (x < newW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / newW, y * img.getHeight / newH))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }

@@ -96,6 +96,62 @@ class MultimodalSpec extends SparkSuite {
     assert(images.map(_.media_id).toSeq == Seq(7L))
   }
 
+  test("real PNG payloads decode: luminance features + pixel-true resize") {
+    import java.awt.image.BufferedImage
+    // 4x2 PNG: left half black, right half white — encoded with ImageIO,
+    // decoded by the operators under test
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff000000 else 0xffffffff)
+    val png = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaRecord(1L, "image",
+      Multimodal.MediaMeta("png", 4, 2, 0, 1), png)).toDS()
+    // luminance histogram: half the pixels at 0, half at 255
+    val feats = Multimodal.decodeFeatures(ds, bins = 2).collect().head.features
+    assert(feats.toSeq == Seq(0.5, 0.5), feats.toSeq.toString)
+    // resize 4x2 -> 2x2 keeps the black|white split, re-encoded as PNG
+    val resized = Multimodal.resizeImage(ds, 2, 2).collect().head
+    assert(resized.meta.width == 2 && resized.meta.height == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    for (y <- 0 until 2) {
+      assert((back.getRGB(0, y) & 0xffffff) == 0x000000)
+      assert((back.getRGB(1, y) & 0xffffff) == 0xffffff)
+    }
+    // non-PNG bytes keep the byte-histogram path (no throw, normalized)
+    val raw = Seq(Multimodal.MediaRecord(2L, "image",
+      Multimodal.MediaMeta("png", 2, 2, 0, 1), Array[Byte](0, 0, -1, -1))).toDS()
+    val rawFeats = Multimodal.decodeFeatures(raw, bins = 2).collect().head.features
+    assert(rawFeats.toSeq == Seq(0.5, 0.5))
+  }
+
+  test("non-numeric filenames get distinct stable ids") {
+    val dir = new java.io.File("target/test-fixtures/media_noid")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(dir); dir.mkdirs()
+    Seq("cat.png", "dog.png").foreach { n =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, n).toPath, Array[Byte](1)): Unit
+    }
+    val rows = Multimodal.ingestFiles(spark, dir.getPath).collect()
+    assert(rows.length == 2)
+    val ids = rows.map(_.media_id).toSet
+    assert(ids.size == 2, s"ids collided: $ids")
+    assert(ids.forall(_ >= 0L))
+    // stable across re-ingestion
+    val again = Multimodal.ingestFiles(spark, dir.getPath).collect()
+      .map(_.media_id).toSet
+    assert(again == ids)
+  }
+
   test("metadata-only plans prune the binary column from the parquet scan") {
     // pruning applies at the file-source boundary — persist then re-read
     val dir = "target/test-fixtures/media_parquet"
