@@ -1,17 +1,8 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // Optional comma-separated filter for fast single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
@@ -22,22 +13,30 @@ object Bench {
     // per-query numbers then reflect steady-state cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
-    // failed queries report -1 seconds (unmistakable in the JSON) and
-    // are excluded from the total
-    val results = selected.map { case (name, fn) =>
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { selected(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0 // unmistakable in the JSON; excluded from totals
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = selected.map { case (name, _) => name -> run(name) }
+    // Second pass for queries costing over a second: full-run totals on
+    // this box swing ~2x with ambient load, so the artifact also
+    // carries a per-query STEADY time — min of two runs — which is the
+    // number to compare across rounds (plan changes move it; box load
+    // mostly does not). Sub-second queries skip the re-run; their
+    // first-run time is already noise-level.
+    val steady = results.map { case (name, t) =>
+      name -> (if (t < 1.0) t else math.min(t, run(name)))
+    }
+    def json(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = steady.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

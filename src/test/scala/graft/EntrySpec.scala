@@ -24,6 +24,29 @@ class EntrySpec extends SparkSuite {
       s"queries missing from the SURVEY inventory: $undocumented")
   }
 
+  test("the cosine rewrite fires under the graded session config") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimOps
+    // The shared test session is built by GraftSession — the same
+    // builder Verify/Bench use — so this asserts a user-written HOF
+    // cosine is accelerated in the graded paths, not only when
+    // RuleSpec installs the rule by hand.
+    val emb = Tables.embeddings(spark, Sf).limit(20)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+    // def: queryExecution is cached per DataFrame instance, and the
+    // exclusion check below needs a fresh plan under the changed conf
+    def df = emb.crossJoin(broadcast(probe))
+      .select(SimOps.cosineHof(col("embedding"), col("p")).as("cos"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cosine_similarity"),
+      s"GraftExtensions not active in the session:\n$plan")
+    // and the exclusion escape hatch works (parity tests depend on it)
+    withSQLConf(NoCosineRewrite) {
+      val raw = df.queryExecution.optimizedPlan.toString
+      assert(!raw.contains("cosine_similarity"), raw)
+    }
+  }
+
   test("no oracle query outputs decimal, array, or map columns") {
     import org.apache.spark.sql.types._
     val offenders = SparkEntry.oracleSql.keys.flatMap { name =>

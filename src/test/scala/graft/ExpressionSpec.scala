@@ -11,18 +11,22 @@ import graft.queries.SimOps
 class ExpressionSpec extends SparkSuite {
 
   test("expression equals HOF cosine bit-for-bit on the fixture") {
-    val emb = Tables.embeddings(spark, Sf).limit(200)
-    val probe = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("probe"))
-    val both = emb.crossJoin(broadcast(probe))
-      .select(
-        CosineSimilarity(col("embedding"), col("probe")).as("fast"),
-        SimOps.cosineHof(col("embedding"), col("probe")).as("ref"))
-      .collect()
-    both.foreach { r =>
-      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
-        java.lang.Double.doubleToLongBits(r.getDouble(1)),
-        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    // exclude the session's cosine rewrite: the ref column must stay
+    // the genuine interpreted HOF fold for this parity to mean anything
+    withSQLConf(NoCosineRewrite) {
+      val emb = Tables.embeddings(spark, Sf).limit(200)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      val both = emb.crossJoin(broadcast(probe))
+        .select(
+          CosineSimilarity(col("embedding"), col("probe")).as("fast"),
+          SimOps.cosineHof(col("embedding"), col("probe")).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"${r.getDouble(0)} != ${r.getDouble(1)}")
+      }
     }
   }
 
@@ -44,19 +48,21 @@ class ExpressionSpec extends SparkSuite {
   }
 
   test("null input yields null; mismatched lengths yield null (HOF parity)") {
-    import spark.implicits._
-    val df = Seq(
-      (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
-      (None, Some(Array(1.0f, 0.0f))),
-      (Some(Array(1.0f, 0.0f, 3.0f)), Some(Array(1.0f, 0.0f)))).toDF("a", "b")
-    val rows = df.select(
-      CosineSimilarity(col("a"), col("b")).as("c"),
-      SimOps.cosineHof(col("a"), col("b")).as("h")).collect()
-    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
-    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
-    // ragged: zip_with pads with null and the fold propagates — the
-    // native expression must agree, not truncate to min length
-    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    withSQLConf(NoCosineRewrite) {
+      import spark.implicits._
+      val df = Seq(
+        (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
+        (None, Some(Array(1.0f, 0.0f))),
+        (Some(Array(1.0f, 0.0f, 3.0f)), Some(Array(1.0f, 0.0f)))).toDF("a", "b")
+      val rows = df.select(
+        CosineSimilarity(col("a"), col("b")).as("c"),
+        SimOps.cosineHof(col("a"), col("b")).as("h")).collect()
+      assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+      // ragged: zip_with pads with null and the fold propagates — the
+      // native expression must agree, not truncate to min length
+      assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    }
   }
 
   test("MinHashBands equals the HOF minhash formulation bit-for-bit") {

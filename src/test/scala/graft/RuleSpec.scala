@@ -15,7 +15,15 @@ class RuleSpec extends SparkSuite {
     def query = emb.crossJoin(broadcast(probe))
       .select(col("vec_id"), SimOps.cosineHof(col("embedding"), col("p")).as("cos"))
 
-    val before = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // baseline must be the genuinely un-rewritten HOF result — the
+    // session installs the rule via GraftExtensions, so exclude it here
+    val before = {
+      var r: Map[Long, Double] = null
+      withSQLConf(NoCosineRewrite) {
+        r = query.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      r
+    }
     val prev = spark.experimental.extraOptimizations
     try {
       spark.experimental.extraOptimizations = prev :+ AccelerateCosine

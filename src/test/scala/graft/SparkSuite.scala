@@ -4,25 +4,32 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM-wide session via
-  * getOrCreate; never stopped so suites can run in any order). */
+  * getOrCreate; never stopped so suites can run in any order). Built
+  * through [[GraftSession]] so tests run under EXACTLY the graded
+  * Verify/Bench session config — including GraftExtensions, whose
+  * cosine rewrite EntrySpec asserts; specs that need the raw HOF plan
+  * exclude the rule per-query via spark.sql.optimizer.excludedRules. */
 trait SparkSuite extends AnyFunSuite {
 
   val Sf = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  /** Excludes the cosine rewrite for HOF-vs-native parity tests. */
+  val NoCosineRewrite =
+    "spark.sql.optimizer.excludedRules" -> "graft.plans.AccelerateCosine"
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   /** Set session confs for the duration of `f`, restoring previous
     * values after (the session is shared JVM-wide across suites). */
   def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    // conf.get returns NULL (not an exception) for set-to-default keys
+    // like optimizer.excludedRules — restoring via set(k, null) throws
+    // and leaks the override into every later suite, so treat null as
+    // absent and unset instead
     val saved = pairs.map { case (k, _) =>
-      k -> scala.util.Try(spark.conf.get(k)).toOption
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)
     }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally saved.foreach {
