@@ -179,6 +179,22 @@ object Aggregations extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Sketch-based percentiles (Greenwald-Khanna): the mergeable
+    // partial-state path a 100 TB percentile actually takes — the
+    // two-pass exact GlobalRank above is the exact alternative. No
+    // DuckDB oracle (sketch impl-specific); ApproxDistinctSpec bounds
+    // both quantiles against the exact values.
+    "q_agg_approx_percentile" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))
+            .cast("double").as("ap50"),
+          approx_percentile(col("o_totalprice"), lit(0.95), lit(10000))
+            .cast("double").as("ap95"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Exact distinct counting via mergeable BITMAPS: bucket the key
     // space, OR per-bucket bitmaps, sum the bucket cardinalities. At
     // scale this beats COUNT(DISTINCT) re-shuffles: bitmaps are small,

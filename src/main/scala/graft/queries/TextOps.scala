@@ -426,6 +426,61 @@ object TextOps extends QueryPack {
         .orderBy(col("comp"))
     }),
 
+    // TF-IDF: per doc, the most characteristic token by tf × N / df.
+    // Deliberately log-free — ln() differs in the last ulp across
+    // engines, while tf·N (exact integer) divided by df (one IEEE op)
+    // is bit-identical, and log is monotone so the top-1 choice is the
+    // same either way. Shapes: tf = (doc, token) groupBy; df = token
+    // groupBy; score join shuffles on token; N is a global count
+    // (1-row broadcast is bounded). Top-1 per doc via a window
+    // partitioned by doc_id — data-scale-safe.
+    "q_text_tfidf" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_token"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination — the training-data hygiene pass: drop
+    // every candidate doc sharing ANY 8-token shingle with the held-out
+    // benchmark corpus (source src0 stands in for the benchmark). The
+    // benchmark gram set is orders of magnitude smaller than the
+    // corpus, so the semi-join shuffles grams, never doc pairs;
+    // survivors come from one anti-join on doc_id.
+    "q_decontaminate" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 8,
+          transform(sequence(lit(1), size(col("toks")) - 7),
+            i => array_join(slice(col("toks"), i, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      val benchGrams = grams(docs.filter(col("source") === "src0"))
+        .select(col("gram")).distinct()
+      val candidates = docs.filter(col("source") =!= "src0")
+      val contaminated = grams(candidates)
+        .join(benchGrams, "gram")
+        .select(col("doc_id")).distinct()
+      candidates.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+
     // Token counting two ways: whitespace tokens and a BPE-ish regex
     // lexer (letter runs / digit runs / single punctuation — the
     // pre-tokenization split BPE vocabularies start from). Pure
@@ -629,6 +684,40 @@ object TextOps extends QueryPack {
         |      t -> t IN ('el', 'la', 'de'))) AS es_hits
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, CAST(tf * n AS DOUBLE) / df AS score
+        |  FROM tf JOIN df USING (tok), n),
+        |r AS (
+        |  SELECT doc_id, tok, score, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok AS top_token, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.source <> 'src0')
+        |SELECT source, COUNT(*) AS n_clean FROM documents c
+        |WHERE source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -40,6 +40,30 @@ object Windows extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Batch sessionization — the classic event-stream window
+    // composition: per user, a new session starts at any gap > 30 min
+    // (lag), session ids are the running count of session starts
+    // (cumsum), then one aggregate row per session. Gap arithmetic runs
+    // on epoch MICROS (exact integers on both engines — interval
+    // comparisons would be engine-specific). One shuffle on user_id
+    // serves both window specs and the final groupBy.
+    "q_win_sessionize" -> ((spark, sfDir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(runW))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "q_win_runsum" -> ((spark, sfDir) => {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(spark, sfDir)
@@ -109,6 +133,26 @@ object Windows extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - LAG(us, 1) OVER w IS NULL
+        |           OR us - LAG(us, 1) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MAX(us) - MIN(us) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "q_win_rank" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,

@@ -22,6 +22,23 @@ class ApproxDistinctSpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile within 2% of the exact group percentiles") {
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.02, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("HLL sketch estimates (per-lang and merged) within 10% of exact") {
     val est = SparkEntry.queries("q_sketch_hll")(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

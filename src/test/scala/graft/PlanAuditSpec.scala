@@ -9,10 +9,11 @@ class PlanAuditSpec extends SparkSuite {
 
   // Deliberate nested-loop shapes: region×nation (125 rows), one-row
   // broadcast probes (q_sim_topk, q_sim_ann_ivf's probe + k-row
-  // centroid table), and q_win_ntile's one-row broadcast of the global
-  // count.
+  // centroid table), and the one-row broadcasts of a global count in
+  // q_win_ntile and q_text_tfidf.
   private val nestedLoopAllowed =
-    Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile")
+    Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
+      "q_text_tfidf")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
