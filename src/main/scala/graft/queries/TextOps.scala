@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.{FirstEqualIndex, MinHashBands, SimHash64}
+import graft.expressions.{FirstEqualIndex, MinHashBands, ShingleJoin, SimHash64}
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
   * (exact, Jaccard, MinHash-LSH), corpus analytics, term frequency,
@@ -34,12 +34,20 @@ object TextOps extends QueryPack {
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
-  /** Distinct 3-token shingles of a token-array column.
-    * `shortDocFallback`: what a doc with < 3 tokens yields — `empty`
-    * (no shingles → excluded from shingle similarity) or the unigrams
-    * themselves (so every doc still gets a signature, for simhash).
-    * sequence(1, n) is DESCENDING for n < 1, hence the guard. */
+  /** Distinct 3-token shingles of a token-array column — the codegen'd
+    * [[ShingleJoin]] expression (the HOF formulation below is its
+    * asserted reference; interpreted, it dominated the shingle-feature
+    * queries). `shortToUnigrams`: what a doc with < 3 tokens yields —
+    * `false` = empty (no shingles → excluded from shingle similarity),
+    * `true` = its unigrams (every doc keeps a signature, for simhash). */
   private def shingleArray(toks: org.apache.spark.sql.Column,
+      shortToUnigrams: Boolean): org.apache.spark.sql.Column =
+    ShingleJoin(toks, 3, shortToUnigrams)
+
+  /** The declarative reference formulation of [[shingleArray]] — kept
+    * as the semantic spec [[ShingleJoin]] is asserted against.
+    * sequence(1, n) is DESCENDING for n < 1, hence the guard. */
+  def shingleArrayHof(toks: org.apache.spark.sql.Column,
       shortDocFallback: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_distinct(
       when(size(toks) >= 3,
@@ -54,7 +62,7 @@ object TextOps extends QueryPack {
     docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        explode(shingleArray(col("toks"), array().cast("array<string>"))).as("tok"))
+        explode(shingleArray(col("toks"), shortToUnigrams = false)).as("tok"))
 
   /** Jaccard ≥ threshold pairs (d1 < d2) over arbitrary
     * (doc_id, source, tok) rows, blocked on `source`. */
@@ -161,8 +169,12 @@ object TextOps extends QueryPack {
   def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = docs
       .withColumn("__t", split(col("text"), " "))
-      .withColumn("simhash", SimHash64(shingleArray(col("__t"), col("__t"))))
-      .select(col("doc_id"), col("simhash"))
+      .withColumn("simhash", SimHash64(shingleArray(col("__t"), shortToUnigrams = true)))
+      // all 8 band bytes as an array too (8 integer shifts per row) so
+      // the join below can dedup multi-band collisions in-stage
+      .select(col("doc_id"), col("simhash"),
+        expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)")
+          .as("bvs"))
     // Band rows come from exploding a LITERAL range, with the band
     // byte derived ABOVE the generator. Exploding an array computed
     // from the signature instead makes InferFiltersFromGenerate +
@@ -170,18 +182,22 @@ object TextOps extends QueryPack {
     // into scan-level filters on both join sides (measured: 24 s vs
     // 2 s for this query at sf0.1, local[32]).
     val banded = sigs
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("simhash"), col("bvs"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("shiftright(simhash, band * 8) & 255"))
+      .withColumn("bv", element_at(col("bvs"), col("band") + 1))
+    // A pair within hamming ≤ maxHamming shares k ≥ 1 bands and would
+    // be emitted k times; keeping it only at the FIRST shared band
+    // dedups inside the join stage — the old `.distinct()` here
+    // re-shuffled the raw pair stream (same trap as minhash).
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === FirstEqualIndex(col("a.bvs"), col("b.bvs")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** MinHash-LSH candidate pairs: `numHashes` fixed-seed min-hashes per
@@ -215,7 +231,7 @@ object TextOps extends QueryPack {
     bandedMinhashPairs(docs
       .withColumn("__t", split(col("text"), " "))
       .select(col("doc_id"),
-        MinHashBands(shingleArray(col("__t"), array().cast("array<string>")),
+        MinHashBands(shingleArray(col("__t"), shortToUnigrams = false),
           numHashes, bands).as("bhs")),
       bands)
 
@@ -267,7 +283,7 @@ object TextOps extends QueryPack {
     val tokArrays = docs
       .withColumn("__t", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        shingleArray(col("__t"), array().cast("array<string>")).as("toks"))
+        shingleArray(col("__t"), shortToUnigrams = false).as("toks"))
     val verified = cands
       .join(tokArrays.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
       .join(tokArrays.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))

@@ -129,6 +129,35 @@ class ExpressionSpec extends SparkSuite {
     assert(e.getMessage.contains("array<bigint>"), e.getMessage)
   }
 
+  test("ShingleJoin equals the HOF shingle formulation in both modes") {
+    import graft.expressions.ShingleJoin
+    import graft.queries.TextOps
+    val toks = split(col("text"), " ")
+    val rows = Tables.documents(spark, Sf).select(col("doc_id"),
+      ShingleJoin(toks, 3, shortToUnigrams = false).as("ne"),
+      TextOps.shingleArrayHof(toks, array().cast("array<string>")).as("he"),
+      ShingleJoin(toks, 3, shortToUnigrams = true).as("nu"),
+      TextOps.shingleArrayHof(toks, toks).as("hu")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)} empty-mode")
+      assert(r.getSeq[String](3) == r.getSeq[String](4), s"doc ${r.getLong(0)} unigram-mode")
+    }
+    // short docs: empty mode yields [], unigram mode yields distinct toks
+    import spark.implicits._
+    val shorts = Seq("a b", "a a", "x y z", "p q p q").toDF("text")
+    val s = shorts.select(
+      ShingleJoin(split(col("text"), " "), 3, shortToUnigrams = false).as("e"),
+      ShingleJoin(split(col("text"), " "), 3, shortToUnigrams = true).as("u"),
+      TextOps.shingleArrayHof(split(col("text"), " "), array().cast("array<string>")).as("eh"),
+      TextOps.shingleArrayHof(split(col("text"), " "), split(col("text"), " ")).as("uh"))
+      .collect()
+    s.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](2), r.toString)
+      assert(r.getSeq[String](1) == r.getSeq[String](3), r.toString)
+    }
+  }
+
   test("SignBitLsh equals the HOF bucket formulation bit-for-bit") {
     import graft.expressions.SignBitLsh
     val emb = Tables.embeddings(spark, Sf)
