@@ -30,7 +30,8 @@ object Bench {
     // mostly does not). Sub-second queries skip the re-run; their
     // first-run time is already noise-level.
     val steady = results.map { case (name, t) =>
-      name -> (if (t < 1.0) t else math.min(t, run(name)))
+      // a failed re-run (-1) must not mask a successful first run
+      name -> (if (t < 1.0) t else { val t2 = run(name); if (t2 < 0) t else math.min(t, t2) })
     }
     def json(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

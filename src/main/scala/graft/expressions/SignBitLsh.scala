@@ -82,7 +82,10 @@ case class SignBitLsh(child: Expression, dim: Int, planes: Int, tables: Int)
           proj += x.getFloat(j).toDouble * coeffs(base + j)
           j += 1
         }
-        bucket = bucket * 2 + (if (proj >= 0) 1L else 0L)
+        // Spark's >= orders NaN greater than everything, so a NaN
+        // projection takes the 1-bit in the HOF form — mirror that
+        // (Java primitive NaN >= 0 is false)
+        bucket = bucket * 2 + (if (proj >= 0 || proj.isNaN) 1L else 0L)
         p += 1
       }
       out(t) = bucket
@@ -121,7 +124,7 @@ case class SignBitLsh(child: Expression, dim: Int, planes: Int, tables: Int)
          |      for (int $j = 0; $j < $dim; $j++) {
          |        $proj += (double) $x.getFloat($j) * $coeffsRef[$base + $j];
          |      }
-         |      $bucket = $bucket * 2 + ($proj >= 0 ? 1L : 0L);
+         |      $bucket = $bucket * 2 + (($proj >= 0 || Double.isNaN($proj)) ? 1L : 0L);
          |    }
          |    $out[$t] = $bucket;
          |  }

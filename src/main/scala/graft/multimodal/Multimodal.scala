@@ -77,17 +77,15 @@ object Multimodal {
         val counts = new Array[Double](bins)
         val total = PngCodec.decode(r.payload) match {
           case Some(img) =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                counts((PngCodec.luminance(img.getRGB(x, y)) * bins) / 256) += 1.0
-                x += 1
-              }
-              y += 1
+            // one bulk raster fetch — per-pixel getRGB pays a color
+            // model conversion call per pixel
+            val px = PngCodec.argb(img)
+            var i = 0
+            while (i < px.length) {
+              counts((PngCodec.luminance(px(i)) * bins) / 256) += 1.0
+              i += 1
             }
-            (w * h).toDouble
+            px.length.toDouble
           case None =>
             r.payload.foreach { b => counts(((b & 0xff) * bins) / 256) += 1.0 }
             r.payload.length.toDouble
@@ -133,10 +131,13 @@ object Multimodal {
         val name = path.substring(path.lastIndexOf('/') + 1)
         val digits = name.takeWhile(_.isDigit)
         // numeric filename prefix wins (stable, human-assigned);
-        // otherwise a 63-bit FNV-1a of the FULL PATH — two distinct
-        // non-numeric files must never collide (the old -1 sentinel
-        // gave every such file the same id)
-        val id = if (digits.isEmpty) fnv63(path) else digits.toLong
+        // otherwise — or when the digit run overflows Long (nanos-style
+        // timestamp prefixes) — a 63-bit FNV-1a of the FULL PATH: two
+        // distinct non-numeric files must never collide (the old -1
+        // sentinel gave every such file the same id)
+        val id =
+          if (digits.isEmpty || digits.length > 18) fnv63(path)
+          else digits.toLong
         val kind = name.substring(name.lastIndexOf('.') + 1) match {
           case "png" | "jpg" => "image"
           case "pcm" | "wav" => "audio"
@@ -163,7 +164,10 @@ object Multimodal {
           val out = PngCodec.resizeNearest(img, newW, newH)
           r.copy(meta = r.meta.copy(width = newW, height = newH),
             payload = PngCodec.encode(out))
-        case None if r.meta.width > 0 && r.meta.height > 0 =>
+        case None if r.meta.width > 0 && r.meta.height > 0 &&
+            r.payload.length >= r.meta.width * r.meta.height =>
+          // guard: metadata can claim dims a truncated payload lacks —
+          // such records pass through rather than throwing mid-job
           val (w, h) = (r.meta.width, r.meta.height)
           val out = Array.tabulate(newW * newH) { i =>
             val x = i % newW
@@ -196,13 +200,20 @@ private[multimodal] object PngCodec {
 
   private val Magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
 
+  // the source is already an in-memory byte array — the default
+  // file-backed ImageIO cache would round-trip a temp file per decode
+  javax.imageio.ImageIO.setUseCache(false)
+
   def isPng(bytes: Array[Byte]): Boolean =
     bytes.length > 8 && java.util.Arrays.equals(bytes, 0, 4, Magic, 0, 4)
 
+  // NonFatal, not just IOException: ImageIO's PNG reader throws
+  // RuntimeExceptions on corrupt chunk tables, and one bad file must
+  // degrade to the byte-level fallback, not kill a billion-file job
   def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!isPng(bytes)) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -218,19 +229,29 @@ private[multimodal] object PngCodec {
     (r * 299 + g * 587 + b * 114) / 1000
   }
 
+  /** Whole image as packed ARGB, row-major — ONE color-model
+    * conversion pass instead of a virtual getRGB call per pixel. */
+  def argb(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   def resizeNearest(img: java.awt.image.BufferedImage,
       newW: Int, newH: Int): java.awt.image.BufferedImage = {
-    val out = new java.awt.image.BufferedImage(
-      newW, newH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val src = argb(img)
+    val dst = new Array[Int](newW * newH)
     var y = 0
     while (y < newH) {
+      val sy = y * h / newH
       var x = 0
       while (x < newW) {
-        out.setRGB(x, y, img.getRGB(x * img.getWidth / newW, y * img.getHeight / newH))
+        dst(y * newW + x) = src(sy * w + x * w / newW)
         x += 1
       }
       y += 1
     }
+    val out = new java.awt.image.BufferedImage(
+      newW, newH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    out.setRGB(0, 0, newW, newH, dst, 0, newW)
     out
   }
 }

@@ -480,11 +480,11 @@ object TextOps extends QueryPack {
     "q_decontaminate" -> ((spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
         .withColumn("toks", split(col("text"), " "))
+      // codegen'd ShingleJoin (n = 8), not the interpreted HOF: per-doc
+      // dedup is harmless for a membership test, and exploding a
+      // computed HOF array is the InferFiltersFromGenerate trap
       def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
-        explode(when(size(col("toks")) >= 8,
-          transform(sequence(lit(1), size(col("toks")) - 7),
-            i => array_join(slice(col("toks"), i, lit(8)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+        explode(ShingleJoin(col("toks"), 8, shortToUnigrams = false)).as("gram"))
       val benchGrams = grams(docs.filter(col("source") === "src0"))
         .select(col("gram")).distinct()
       val candidates = docs.filter(col("source") =!= "src0")

@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkSuite {
     val missed = exact -- cand
     assert(exact.nonEmpty, "fixture produced no shingle pairs — test is vacuous")
     assert(missed.isEmpty, s"${missed.size} shingle near-dup pairs missed: ${missed.take(5)}")
+    // repeat at sf0.01 — the SF where the driver decides q_dedup_e2e's
+    // oracle equality; banded LSH is probabilistic in general, so
+    // coverage there is exactly what makes the 'Y' verdict sound
+    // (deterministic: fixed seeds, fixed fixture)
+    val sf01 = "/root/testdata/sf0.01"
+    val exact01 = SparkEntry.queries("q_dedup_ngram")(spark, sf01)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand01 = TextOps
+      .minhashShingleCandidates(Tables.documents(spark, sf01), numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact01.nonEmpty && (exact01 -- cand01).isEmpty,
+      s"graded-SF coverage gap: ${(exact01 -- cand01).take(5)}")
     // and the e2e survivors equal the exact pipeline's closure: every
     // doc is either a survivor or reachable from a lower-id survivor
     val survivors = TextOps
