@@ -55,6 +55,20 @@ object Streaming extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Batch form of the stream-static enrichment join: events pick up
+    // their market segment from the customer dimension, aggregated per
+    // segment. The streaming form re-plans (and broadcasts) the dim per
+    // micro-batch — parity-tested in StreamingSpec.
+    "q_stream_static_join" -> ((spark, sfDir) => {
+      val dim = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      StreamOps.staticEnrich(Tables.events(spark, sfDir), dim)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Batch form of the stream-stream interval join (purchases ×
     // same-user signups within the preceding hour); the watermarked
     // streaming form is StreamOps.intervalJoinStream, parity-tested in
@@ -113,6 +127,12 @@ object Streaming extends QueryPack {
         |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id

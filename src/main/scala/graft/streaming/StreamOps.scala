@@ -94,6 +94,21 @@ object StreamOps {
       purchases.withWatermark("pts", watermark),
       signups.withWatermark("sts", watermark))
 
+  /** Stream-STATIC enrichment join: each event picks up its dimension
+    * row by equi key. On a stream, Spark re-plans the static side per
+    * micro-batch (so dimension updates between batches are visible) and
+    * broadcasts it when small — the canonical fact-stream × dim-table
+    * shape. Works identically on batch inputs (oracle-checked as
+    * q_stream_static_join).
+    *
+    * Expects dim pre-projected to (c_custkey, c_mktsegment)-shaped
+    * columns; joins on user_id = first dim column.
+    */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame = {
+    val key = dim.columns.head
+    events.join(dim, col("user_id") === col(key))
+  }
+
   /** Custom per-key state via flatMapGroupsWithState (the
     * KeyValueGroupedDataset escape hatch for semantics windows can't
     * express): per user, lifetime event count and session count with a

@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming result equals batch") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, 1, "view", t(5), 1.0), Ev(2, 2, "view", t(10), 2.0),
+      Ev(3, 1, "click", t(15), 3.0), Ev(4, 9, "view", t(20), 4.0))
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.staticEnrich(mem.toDF(), dim)
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName("ss_static_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_static_parity").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = StreamOps.staticEnrich(events.toDF(), dim)
+        .select(col("event_id"), col("c_mktsegment")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+      // user 9 has no dim row -> dropped by the inner join
+      assert(batch == Set((1L, "SEG_A"), (2L, "SEG_B"), (3L, "SEG_A")))
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store provider") {
     // production state backend: state lives off-heap/on-disk in RocksDB
     // instead of the in-memory HDFS-backed map — the setting a real
