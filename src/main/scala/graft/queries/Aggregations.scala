@@ -179,6 +179,36 @@ object Aggregations extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Deterministic MODE: built-in mode()/arbitrary tie-break is
+    // engine-specific, so the most frequent value per group is derived
+    // relationally — count per (group, value), rank by (count desc,
+    // value asc), keep rank 1 — identical on any engine.
+    "q_agg_mode" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("qty").asc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"),
+          col("cnt").as("n_occurrences"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Boolean/conditional aggregates: count_if + universal/existential
+    // quantifiers per group.
+    "q_agg_boolean" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 150000).as("n_big"),
+          bool_and(col("o_totalprice") > 900).as("all_over_900"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Sketch-based percentiles (Greenwald-Khanna): the mergeable
     // partial-state path a 100 TB percentile actually takes — the
     // two-pass exact GlobalRank above is the exact alternative. No
@@ -233,6 +263,22 @@ object Aggregations extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """SELECT l_returnflag, qty AS mode_qty, n_occurrences FROM (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    COUNT(*) AS n_occurrences,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rn
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_boolean" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_totalprice > 150000) AS n_big,
+        |  BOOL_AND(o_totalprice > 900) AS all_over_900,
+        |  BOOL_OR(o_totalprice > 400000) AS any_over_400k
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

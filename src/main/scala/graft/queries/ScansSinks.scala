@@ -112,6 +112,23 @@ object ScansSinks extends QueryPack {
       exportAgg(spark.read.schema(exportSchema).orc(dir))
     }),
 
+    // Bucketed + sorted table sink: the persistent layout that makes
+    // repeated joins/aggregations on the bucket key exchange-free
+    // (BucketingSpec asserts the zero-Exchange join plan). saveAsTable
+    // because bucket metadata lives in the catalog, not the files.
+    "q_sink_bucketed" -> ((spark, sfDir) => {
+      val tbl = "orders_bucketed_sink"
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", fixtureDir(sfDir, "orders_bucketed"))
+        .saveAsTable(tbl)
+      spark.table(tbl)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Partitioned write (ref A7 layout) → read back through the
     // partition-discovered directory tree; per-partition rollup must
     // equal the source aggregation.
@@ -140,6 +157,11 @@ object ScansSinks extends QueryPack {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sink_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sink_parquet_part" ->
       """SELECT event_type, COUNT(*) AS n,
