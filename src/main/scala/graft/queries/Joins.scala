@@ -121,6 +121,26 @@ object Joins extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of join: for each purchase, the EARLIEST signup ts >=
+    // its ts (same user) — the symmetric direction, same single-window
+    // trick: walk time descending, so "last signup seen" is the nearest
+    // one at-or-after the current row.
+    "q_join_asof_fwd" -> ((spark, sfDir) => {
+      val ev  = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("prio"),
+          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("prio").asc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("next_signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+        .filter(col("prio") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_join_multikey" -> ((spark, sfDir) => {
       val s = Tables.supplier(spark, sfDir)
       val c = Tables.customer(spark, sfDir)
@@ -215,6 +235,14 @@ object Joins extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON s.user_id = p.user_id AND s.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """SELECT p.event_id, p.user_id, p.ts, MIN(s.ts) AS next_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON s.user_id = p.user_id AND s.ts >= p.ts
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
 
