@@ -75,6 +75,48 @@ object SimOps extends QueryPack {
     array(buckets: _*)
   }
 
+  /** Sign-bit-LSH candidate pairs (d1 < d2): vectors sharing any
+    * (table, bucket) — bucketed equi self-join, never all-pairs; a
+    * pair colliding in k tables is kept only at its first shared one
+    * (in-join dedup, no pair-stream re-shuffle). Shared by the ANN
+    * query and the embedding e2e dedup. */
+  def lshCandidatePairs(emb: DataFrame, dim: Int, planes: Int, tables: Int): DataFrame = {
+    val buckets = emb
+      .select(col("vec_id"),
+        lshBuckets(col("embedding"), dim, planes, tables).as("bkts"))
+      .select(col("vec_id"), col("bkts"),
+        explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
+      .select(col("vec_id"), col("bkts"), col("tbl"),
+        element_at(col("bkts"), col("tbl") + 1).as("bucket"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(col("x.tbl") === FirstEqualIndex(col("x.bkts"), col("y.bkts")))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+  }
+
+  /** Embedding-space e2e dedup — the vector twin of
+    * TextOps.minhashDedupSurvivors: LSH candidates → exact cosine
+    * verify on CANDIDATE PAIRS ONLY → connected components → keep the
+    * min-id vector per component. Every verified pair is a true
+    * ≥-threshold pair (precision 1 by construction); recall is the
+    * LSH collision probability, measured in SimilaritySpec — which is
+    * why this has no SQL oracle (sign-bit bucketing is sketch-specific). */
+  def embedDedupSurvivors(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val verified = lshCandidatePairs(e, dim = 64, planes = 4, tables = 8)
+      .join(e.as("e1").hint("shuffle_hash"), col("d1") === col("e1.vec_id"))
+      .join(e.as("e2").hint("shuffle_hash"), col("d2") === col("e2.vec_id"))
+      .select(col("d1"), col("d2"),
+        cosine(col("e1.embedding"), col("e2.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val losers = TextOps.connectedComponents(verified.select(col("d1"), col("d2")))
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("vec_id"))
+    emb.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** IVF (inverted-file) cell assignment: each vector joins its
     * most-similar centroid's cell. Seed centroids are a deterministic
     * sample (lowest `k` vec_ids); [[kmeansRefine]] runs Lloyd
@@ -163,27 +205,12 @@ object SimOps extends QueryPack {
     "q_sim_ann_lsh" -> ((spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      // Bucket array computed once per row in its own projection; the
-      // generator explodes a literal table range and element_at picks
-      // the bucket above it (exploding the bucket array directly makes
-      // InferFiltersFromGenerate clone the 32 hyperplane dot-folds
-      // into scan filters — same trap as TextOps.simhashCandidates).
-      val buckets = emb
-        .select(col("vec_id"),
-          lshBuckets(col("embedding"), dim = 64, planes = 4, tables = 8).as("bkts"))
-        .select(col("vec_id"), col("bkts"),
-          explode(sequence(lit(0), lit(7))).as("tbl"))
-        .select(col("vec_id"), col("bkts"), col("tbl"),
-          element_at(col("bkts"), col("tbl") + 1).as("bucket"))
-      // First-shared-table filter dedups candidate pairs inside the
-      // join stage (a pair colliding in k tables is generated k times)
-      // — replaces a full `.distinct()` shuffle of the raw pair stream.
-      val half = buckets.as("x").join(buckets.as("y"),
-          col("x.tbl") === col("y.tbl") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-        .filter(col("x.tbl") === FirstEqualIndex(col("x.bkts"), col("y.bkts")))
-        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      // Bucket array computed once per row in its own projection inside
+      // lshCandidatePairs; the generator explodes a literal table range
+      // (exploding the bucket array directly makes
+      // InferFiltersFromGenerate clone the hyperplane projections into
+      // scan filters — same trap as TextOps.simhashCandidates).
+      val half = lshCandidatePairs(emb, dim = 64, planes = 4, tables = 8)
       val cand = half.unionAll(half.select(col("d2").as("d1"), col("d1").as("d2")))
       val scored = cand
         .join(emb.as("e1"), col("d1") === col("e1.vec_id"))
@@ -214,6 +241,17 @@ object SimOps extends QueryPack {
           cosine(col("x.embedding"), col("y.embedding")).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Embedding-space e2e dedup (no oracle — sign-bit bucketing is
+    // sketch-specific; SimilaritySpec asserts precision 1 and measures
+    // recall): survivors per label after LSH-candidate → cosine-verify
+    // → components → keep-min.
+    "q_dedup_embed_e2e" -> ((spark, sfDir) => {
+      embedDedupSurvivors(Tables.embeddings(spark, sfDir), 0.4)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("label"))
     }),
 
     // IVF ANN: probe only the nprobe cells nearest the query vector —

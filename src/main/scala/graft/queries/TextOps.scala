@@ -405,6 +405,22 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality FILTERING — the gate a training pipeline applies after
+    // scoring: keep docs passing all three heuristics (length floor,
+    // stopword-density ceiling, token-length ceiling), count survivors
+    // per lang. All thresholds compare exact integer ratios.
+    "q_text_quality_filter" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5 &&
+          size(filter(col("toks"), t => t === "the" || t === "a"))
+            .cast("double") / size(col("toks")) <= 0.5 &&
+          col("n_chars").cast("double") / size(col("toks")) <= 12.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Language-ID heuristic: stopword-list hits per language family,
     // highest count wins (fixture text is synthetic, so 'en' dominates
     // — the operator shape is what matters).
@@ -685,6 +701,15 @@ object TextOps extends QueryPack {
         |    t -> t IN ('the', 'a'))) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality_filter" ->
+      """SELECT lang, COUNT(*) AS n_kept FROM (
+        |  SELECT lang, string_split(text, ' ') AS toks, n_chars FROM documents)
+        |WHERE len(toks) >= 5
+        |  AND CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+        |      / len(toks) <= 0.5
+        |  AND CAST(n_chars AS DOUBLE) / len(toks) <= 12.0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_langid" ->
       """SELECT doc_id,

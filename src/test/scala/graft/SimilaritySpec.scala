@@ -62,6 +62,31 @@ class SimilaritySpec extends SparkSuite {
       "a doc outside the near-dup graph was dropped")
   }
 
+  test("embedding e2e dedup: every drop is justified; candidate recall bounded") {
+    val emb = Tables.embeddings(spark, Sf)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val exactPairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+        SimOps.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "no >=0.4 pairs — test is vacuous")
+    val survivors = SimOps.embedDedupSurvivors(emb, 0.4)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val all = e.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val dropped = all -- survivors
+    // precision 1: verified pairs carry exact cosines, so only members
+    // of the true >= 0.4 graph can ever be dropped
+    val nodes = exactPairs.flatMap(p => Seq(p._1, p._2))
+    assert(dropped.subsetOf(nodes), s"unjustified drops: ${(dropped -- nodes).take(5)}")
+    // recall: candidates must cover a sane fraction of the true graph
+    // (sign-bit LSH at cos 0.4 collides with p ~ 0.75 per pair here)
+    val cand = SimOps.lshCandidatePairs(e, 64, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactPairs intersect cand).size.toDouble / exactPairs.size
+    assert(recall >= 0.4, s"LSH candidate recall $recall < 0.4")
+  }
+
   test("jaccard scores are within (0, 1] and pairs are ordered") {
     val rows = SparkEntry.queries("q_dedup_jaccard")(spark, Sf).collect()
     rows.foreach { r =>
