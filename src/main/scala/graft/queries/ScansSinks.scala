@@ -112,6 +112,29 @@ object ScansSinks extends QueryPack {
       exportAgg(spark.read.schema(exportSchema).orc(dir))
     }),
 
+    // Malformed-record-TOLERANT NDJSON scan: real export feeds carry
+    // truncated/garbage lines, and one of them must not kill a 100 TB
+    // ingest. PERMISSIVE mode routes unparseable lines into
+    // _corrupt_record; valid rows aggregate to exactly the clean
+    // result (the oracle aggregates the pristine events table — equal
+    // iff every good line survives and every bad line is dropped).
+    "q_scan_json_corrupt" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "events_ndjson_corrupt")
+      exportRecords(spark, sfDir).write.mode("overwrite").json(dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "garbage.json"),
+        java.util.Arrays.asList("this is not json", "{\"userid\": trunca",
+          "[]]", "{\"type\":\"view\",\"amount\":\"NaNaN"))
+      val schema = exportSchema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType)
+      exportAgg(spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record"))
+    }),
+
     // Bucketed + sorted table sink: the persistent layout that makes
     // repeated joins/aggregations on the bucket key exchange-free
     // (BucketingSpec asserts the zero-Exchange join plan). saveAsTable
@@ -152,6 +175,7 @@ object ScansSinks extends QueryPack {
     "q_scan_ndjson" -> exportAggOracle,
     "q_scan_ndjson_gz" -> exportAggOracle,
     "q_scan_orc" -> exportAggOracle,
+    "q_scan_json_corrupt" -> exportAggOracle,
 
     "q_scan_csv_header" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
