@@ -187,7 +187,9 @@ object Aggregations extends QueryPack {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("cnt").desc, col("qty").asc)
       Tables.lineitem(spark, sfDir)
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        // floor, not a bare cast: Spark's double→long truncates toward
+        // zero while DuckDB's CAST rounds — floor agrees everywhere
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty"))
         .groupBy(col("l_returnflag"), col("qty"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
@@ -265,10 +267,10 @@ object Aggregations extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_agg_mode" ->
       """SELECT l_returnflag, qty AS mode_qty, n_occurrences FROM (
-        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
         |    COUNT(*) AS n_occurrences,
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
-        |      ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rn
+        |      ORDER BY COUNT(*) DESC, CAST(floor(l_quantity) AS BIGINT) ASC) AS rn
         |  FROM lineitem GROUP BY 1, 2)
         |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 

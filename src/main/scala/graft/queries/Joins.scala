@@ -18,6 +18,30 @@ import graft.Tables.dec
   */
 object Joins extends QueryPack {
 
+  /** Both as-of directions in one place: signup/purchase rows union
+    * into a single stream; walking it in time order (ascending for
+    * backward, descending for forward, signups first on ts ties so
+    * at-the-same-instant signups count), `last(sig_ts, ignoreNulls)`
+    * over the running frame is each purchase's nearest signup. */
+  private def asofJoin(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, forward: Boolean,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("prio"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+    val tsOrd = if (forward) col("ts").desc else col("ts").asc
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(tsOrd, col("prio").asc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn(outCol, last(col("sig_ts"), ignoreNulls = true).over(w))
+      .filter(col("prio") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col(outCol))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, Query] = Map(
     "q_join_inner" -> ((spark, sfDir) => {
       val o = Tables.orders(spark, sfDir)
@@ -105,41 +129,15 @@ object Joins extends QueryPack {
     // As-of join: for each purchase, the latest signup ts <= its ts for
     // the same user. One union + one window pass — no self-join, one
     // shuffle on user_id (SURVEY.md §2-B q_join_asof).
-    "q_join_asof" -> ((spark, sfDir) => {
-      val ev  = Tables.events(spark, sfDir)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .select(
-          col("event_id"), col("user_id"), col("ts"),
-          when(col("event_type") === "signup", 0).otherwise(1).as("prio"),
-          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("prio"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("last_signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
-        .filter(col("prio") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
-        .orderBy(col("event_id"))
-    }),
+    "q_join_asof" -> ((spark, sfDir) =>
+      asofJoin(spark, sfDir, forward = false, "last_signup_ts")),
 
     // FORWARD as-of join: for each purchase, the EARLIEST signup ts >=
     // its ts (same user) — the symmetric direction, same single-window
     // trick: walk time descending, so "last signup seen" is the nearest
     // one at-or-after the current row.
-    "q_join_asof_fwd" -> ((spark, sfDir) => {
-      val ev  = Tables.events(spark, sfDir)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .select(
-          col("event_id"), col("user_id"), col("ts"),
-          when(col("event_type") === "signup", 0).otherwise(1).as("prio"),
-          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("prio").asc, col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("next_signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
-        .filter(col("prio") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"), col("next_signup_ts"))
-        .orderBy(col("event_id"))
-    }),
+    "q_join_asof_fwd" -> ((spark, sfDir) =>
+      asofJoin(spark, sfDir, forward = true, "next_signup_ts")),
 
     "q_join_multikey" -> ((spark, sfDir) => {
       val s = Tables.supplier(spark, sfDir)

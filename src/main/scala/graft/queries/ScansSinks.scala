@@ -141,10 +141,9 @@ object ScansSinks extends QueryPack {
     // because bucket metadata lives in the catalog, not the files.
     "q_sink_bucketed" -> ((spark, sfDir) => {
       val tbl = "orders_bucketed_sink"
-      Tables.orders(spark, sfDir).write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", fixtureDir(sfDir, "orders_bucketed"))
-        .saveAsTable(tbl)
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(spark, sfDir), tbl, "o_custkey", buckets = 8,
+        path = Some(fixtureDir(sfDir, "orders_bucketed")))
       spark.table(tbl)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),

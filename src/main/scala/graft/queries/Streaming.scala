@@ -62,7 +62,7 @@ object Streaming extends QueryPack {
     "q_stream_static_join" -> ((spark, sfDir) => {
       val dim = Tables.customer(spark, sfDir)
         .select(col("c_custkey"), col("c_mktsegment"))
-      StreamOps.staticEnrich(Tables.events(spark, sfDir), dim)
+      StreamOps.staticEnrich(Tables.events(spark, sfDir), dim, "c_custkey")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("sum_value"))

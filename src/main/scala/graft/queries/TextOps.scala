@@ -408,14 +408,20 @@ object TextOps extends QueryPack {
     // Quality FILTERING — the gate a training pipeline applies after
     // scoring: keep docs passing all three heuristics (length floor,
     // stopword-density ceiling, token-length ceiling), count survivors
-    // per lang. All thresholds compare exact integer ratios.
+    // per lang. All thresholds compare exact integer ratios. The
+    // counts are materialized in a projection BEFORE the filter —
+    // predicates referencing `toks` directly collapse into FilterExec,
+    // which has no subexpression elimination, re-tokenizing every row
+    // 4× (verified in the physical plan).
     "q_text_quality_filter" -> ((spark, sfDir) => {
       Tables.documents(spark, sfDir)
         .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 5 &&
-          size(filter(col("toks"), t => t === "the" || t === "a"))
-            .cast("double") / size(col("toks")) <= 0.5 &&
-          col("n_chars").cast("double") / size(col("toks")) <= 12.0)
+        .select(col("lang"), col("n_chars"),
+          size(col("toks")).as("n_toks"),
+          size(filter(col("toks"), t => t === "the" || t === "a")).as("n_stop"))
+        .filter(col("n_toks") >= 5 &&
+          col("n_stop").cast("double") / col("n_toks") <= 0.5 &&
+          col("n_chars").cast("double") / col("n_toks") <= 12.0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("lang"))

@@ -101,13 +101,11 @@ object StreamOps {
     * shape. Works identically on batch inputs (oracle-checked as
     * q_stream_static_join).
     *
-    * Expects dim pre-projected to (c_custkey, c_mktsegment)-shaped
-    * columns; joins on user_id = first dim column.
+    * `dimKey` names the dimension's join column explicitly — inferring
+    * it positionally would silently mis-join on a reordered projection.
     */
-  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame = {
-    val key = dim.columns.head
-    events.join(dim, col("user_id") === col(key))
-  }
+  def staticEnrich(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    events.join(dim, col("user_id") === dim(dimKey))
 
   /** Custom per-key state via flatMapGroupsWithState (the
     * KeyValueGroupedDataset escape hatch for semantics windows can't

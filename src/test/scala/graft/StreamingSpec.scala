@@ -80,7 +80,7 @@ class StreamingSpec extends SparkSuite {
     val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
       .toDF("c_custkey", "c_mktsegment")
     val mem = MemoryStream[Ev](spark)
-    val q = StreamOps.staticEnrich(mem.toDF(), dim)
+    val q = StreamOps.staticEnrich(mem.toDF(), dim, "c_custkey")
       .select(col("event_id"), col("c_mktsegment"))
       .writeStream.format("memory").queryName("ss_static_parity")
       .outputMode("append").start()
@@ -89,7 +89,7 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val streamed = spark.table("ss_static_parity").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
-      val batch = StreamOps.staticEnrich(events.toDF(), dim)
+      val batch = StreamOps.staticEnrich(events.toDF(), dim, "c_custkey")
         .select(col("event_id"), col("c_mktsegment")).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(streamed == batch)
