@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{IncrementalRollup, Upsert}
+
+/** Warehouse-maintenance transforms (SURVEY.md §2-B, added round 4):
+  * SCD2 history derivation, keep-latest upsert (MERGE without a table
+  * format), and incremental rollup maintenance. All three are the
+  * operations that keep a 100 TB warehouse CURRENT without rescanning
+  * it: history and upserts touch one key-shuffle of base+delta, the
+  * rollup folds delta partials into an accumulator whose size is the
+  * key cardinality, not the history.
+  */
+object Warehouse extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // SCD2 (slowly-changing-dimension) history: per user, each VALUE
+    // CHANGE opens an interval [eff_from, eff_to) closed by the next
+    // change (null = current). Two window passes over one user_id
+    // shuffle: lag to detect changes, lead to close intervals.
+    "q_scd2" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_v").isNull || col("value") =!= col("prev_v"))
+      changes
+        .withColumn("eff_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").as("eff_from"), col("eff_to"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Keep-latest upsert: an update batch (every 10th order, doubled
+    // price, version 2) merged into the base (version 1); merged state
+    // is then aggregated. Updates replace base rows by key.
+    "q_upsert" -> ((spark, sfDir) => {
+      val base = Tables.orders(spark, sfDir).withColumn("version", lit(1))
+      val updates = Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("version", lit(2))
+      Upsert(base, updates, Seq("o_orderkey"), "version")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Incremental rollup: the per-type event rollup maintained across
+    // three append batches (split by ts) — the final accumulator must
+    // equal the direct full-scan aggregate, which is exactly what the
+    // oracle computes. Proves merge() is lossless.
+    "q_agg_incremental" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val cut1 = lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+      val cut2 = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      val batches = Seq(
+        ev.filter(col("ts") < cut1),
+        ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+        ev.filter(col("ts") >= cut2))
+      val rollup = batches.tail.foldLeft(
+        IncrementalRollup.partial(batches.head, "event_type", "value")) {
+        (acc, b) => IncrementalRollup.merge(acc, b, "event_type", "value")
+      }
+      rollup
+        .select(col("event_type"), col("n"),
+          col("s").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    LAG(value, 1) OVER w AS prev_v
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (
+        |  SELECT user_id, event_id, value, ts FROM ordered
+        |  WHERE prev_v IS NULL OR value <> prev_v)
+        |SELECT user_id, event_id, value, ts AS eff_from,
+        |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |FROM changes ORDER BY user_id, event_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |    1 AS version, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, o_orderpriority,
+        |    2 AS version, 1 AS src FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, src DESC) AS rn
+        |  FROM unioned)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged WHERE rn = 1
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_incremental" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
