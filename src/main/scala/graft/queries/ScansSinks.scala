@@ -135,6 +135,23 @@ object ScansSinks extends QueryPack {
         .drop("_corrupt_record"))
     }),
 
+    // Z-ORDERED layout: rows sorted by the Morton interleave of
+    // (custkey, totalprice) before writing, so parquet min/max stats
+    // prune files for predicates on EITHER dimension (ZOrderSpec
+    // measures the pruning win; this query checks the reordering loses
+    // nothing — the 2-D box aggregate must equal the plain table's).
+    "q_scan_zorder" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "orders_zorder")
+      graft.operators.ZOrder.write(
+        Tables.orders(spark, sfDir), "o_custkey", "o_totalprice", dir, 16)
+      spark.read.parquet(dir)
+        .filter(col("o_custkey") < 500 && col("o_totalprice").between(50000, 200000))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Bucketed + sorted table sink: the persistent layout that makes
     // repeated joins/aggregations on the bucket key exchange-free
     // (BucketingSpec asserts the zero-Exchange join plan). saveAsTable
@@ -180,6 +197,13 @@ object ScansSinks extends QueryPack {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_scan_zorder" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey < 500 AND o_totalprice BETWEEN 50000 AND 200000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_sink_bucketed" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
