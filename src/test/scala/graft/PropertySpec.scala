@@ -70,6 +70,65 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ShingleJoin parity vs HOF on random token arrays (incl. unicode)") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.ShingleJoin
+    import graft.queries.TextOps
+    import spark.implicits._
+    val tok = Gen.oneOf("a", "bb", "γδ", "日本", "x-1", "", "the")
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok))
+    val arrays = samples(arrGen, 120)
+    val df = arrays.toDF("toks")
+    val rows = df.select(
+      ShingleJoin(col("toks"), 3, shortToUnigrams = false).as("ne"),
+      TextOps.shingleArrayHof(col("toks"), array().cast("array<string>")).as("he"),
+      ShingleJoin(col("toks"), 3, shortToUnigrams = true).as("nu"),
+      TextOps.shingleArrayHof(col("toks"), col("toks")).as("hu")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+      assert(r.getSeq[String](2) == r.getSeq[String](3), r.toString)
+    }
+  }
+
+  test("SignBitLsh parity vs HOF on random embeddings") {
+    import org.apache.spark.sql.functions.col
+    import graft.expressions.SignBitLsh
+    import graft.queries.SimOps
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0f, 10.0f))
+    val vecs = samples(vecGen, 100).map(_.toArray)
+    val df = vecs.toDF("e")
+    val rows = df.select(
+      SignBitLsh(col("e"), 8, 3, 4).as("n"),
+      SimOps.lshBucketsHof(col("e"), 8, 3, 4).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("InterleaveBits: monotone locality and exact round-trip") {
+    // deinterleaving the even/odd bits must recover the masked inputs
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until 21) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    import org.apache.spark.sql.functions.col
+    import graft.expressions.InterleaveBits
+    import spark.implicits._
+    val pairs = samples(Gen.zip(Gen.choose(0, (1 << 21) - 1), Gen.choose(0, (1 << 21) - 1)), 150)
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), InterleaveBits(col("a"), col("b")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      val (x, y) = deinterleave(r.getLong(2))
+      assert(x == r.getInt(0).toLong && y == r.getInt(1).toLong, r.toString)
+    }
+  }
+
   /** LSH band-match probability: more bands can only add candidates
     * (monotonicity backing the minhash superset test). */
   test("band signatures: equal token sets give equal signatures") {
