@@ -81,6 +81,25 @@ object Windows extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Top-k per group WITHOUT the window sort: the mergeable
+    // bounded-heap Aggregator keeps k candidates per group map-side, so
+    // shuffle volume is groups × k instead of all rows + a per-group
+    // sort (operators.TopKAgg — the 100 TB form of q_topk_group; same
+    // oracle shape proves equivalence).
+    "q_topk_group_heap" -> ((spark, sfDir) => {
+      import graft.operators.TopKAgg
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_totalprice").as("price"),
+          col("o_orderkey").as("key"))
+        .groupBy(col("o_custkey"))
+        .agg(TopKAgg.udafColumn(2).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.key").as("o_orderkey"),
+          dec(col("col.price")).cast("double").as("price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // ntile/percent_rank/cume_dist over a GLOBAL order — implemented
     // via the two-pass distributed GlobalRank (no single-task
     // Window.orderBy; VERDICT r1 "What's wrong" #5). The sort keys are
@@ -133,6 +152,15 @@ object Windows extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_topk_group_heap" ->
+      """SELECT o_custkey, rn, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
     "q_win_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
