@@ -179,6 +179,37 @@ object Aggregations extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Fixed-width HISTOGRAM by integer bucket arithmetic — exact and
+    // engine-independent (histogram_numeric is approximate and
+    // sketch-specific, so it gets no oracle; this form does).
+    "q_agg_histogram" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(floor(col("o_totalprice") / 60000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Count-min sketch: the mergeable frequency-estimation sketch (the
+    // counting sibling of HLL). The sketch aggregates distributed; the
+    // ONE-ROW binary collapses to the driver (bounded by construction
+    // — never data-scale), which then answers point estimates for a
+    // fixed probe list. No oracle (sketch layout is impl-specific);
+    // ApproxDistinctSpec asserts the CMS guarantee: estimate ≥ exact,
+    // ≤ exact + eps·N at the configured confidence.
+    "q_sketch_cms" -> ((spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val skBytes = toks
+        .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val probes = Seq("the", "a", "is", "data", "model", "xyzzy_absent")
+      import spark.implicits._
+      probes.map(t => (t, cms.estimateCount(t))).toDF("token", "est_n")
+        .orderBy(col("token"))
+    }),
+
     // Deterministic MODE: built-in mode()/arbitrary tie-break is
     // engine-specific, so the most frequent value per group is derived
     // relationally — count per (group, value), rank by (count desc,
@@ -265,6 +296,11 @@ object Aggregations extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 60000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_agg_mode" ->
       """SELECT l_returnflag, qty AS mode_qty, n_occurrences FROM (
         |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,

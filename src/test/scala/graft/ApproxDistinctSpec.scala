@@ -39,6 +39,23 @@ class ApproxDistinctSpec extends SparkSuite {
     }
   }
 
+  test("count-min sketch: estimate >= exact, within eps*N overcount") {
+    val rows = SparkEntry.queries("q_sketch_cms")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (tok, est) =>
+      val ex = exact.getOrElse(tok, 0L)
+      assert(est >= ex, s"$tok: CMS must never undercount ($est < $ex)")
+      assert(est <= ex + (0.0001 * n).ceil.toLong + 1,
+        s"$tok: overcount beyond eps*N ($est vs $ex, n=$n)")
+    }
+    assert(rows("xyzzy_absent") <= (0.0001 * n).ceil.toLong + 1)
+  }
+
   test("HLL sketch estimates (per-lang and merged) within 10% of exact") {
     val est = SparkEntry.queries("q_sketch_hll")(spark, Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
