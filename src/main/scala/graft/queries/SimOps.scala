@@ -117,6 +117,90 @@ object SimOps extends QueryPack {
     emb.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** Product-quantization codebooks: split the vector into `m`
+    * segments and run GROUPED Lloyd's k-means — all segments train in
+    * the SAME distributed pass (`seg` rides the keys: assignment joins
+    * on seg, means group by (seg, cell, pos)), so training cost is one
+    * assign+means round per iteration regardless of m, not m separate
+    * k-means runs (measured: the per-segment loop was fixed-job-count
+    * dominated). Training reads a DETERMINISTIC HASH SAMPLE of the
+    * corpus (pure row predicate — reproducible across partitionings),
+    * the standard PQ practice: codebook quality needs thousands of
+    * examples, not the corpus. Output one row per (seg, cell_id) —
+    * m × k rows total, broadcast-scale however large the corpus. */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int,
+      sampleOneIn: Int = 5): DataFrame = {
+    val segLen = dim / m
+    val segRows = emb
+      .filter((col("vec_id") * 2654435761L) % sampleOneIn === 0)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("seg"))
+      .select(col("seg"), col("vec_id"),
+        slice(col("embedding"), col("seg") * segLen + 1, lit(segLen)).as("embedding"))
+    // seeds: the k lowest vec_ids per segment (same deterministic
+    // convention as ivfAssign)
+    val seedW = Window.partitionBy(col("seg")).orderBy(col("vec_id"))
+    var centroids = segRows
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= k)
+      .select(col("seg"), col("vec_id").as("cell_id"),
+        col("embedding").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("seg"), col("vec_id"))
+        .orderBy(col("sim").desc, col("cell_id"))
+      val assigned = segRows.join(broadcast(centroids), "seg")
+        .select(col("seg"), col("vec_id"), col("embedding"), col("cell_id"),
+          cosine(col("embedding"), col("centroid")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("seg"), col("cell_id"), posexplode(col("embedding")))
+        .groupBy(col("seg"), col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .groupBy(col("seg"), col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv").cast("float")).as("centroid"))
+      centroids = centroids.as("c")
+        .join(means.as("n"),
+          col("c.seg") === col("n.seg") && col("c.cell_id") === col("n.cell_id"),
+          "left")
+        .select(col("c.seg").as("seg"), col("c.cell_id").as("cell_id"),
+          coalesce(col("n.centroid"), col("c.centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes — the cell
+    * whose centroid best reconstructs each segment (max dot − ½‖c‖²,
+    * the L2-nearest centroid rearranged into dot products). Join shape:
+    * segment rows × broadcast codebooks (m × k rows, ‖c‖²/2
+    * precomputed ON THE BROADCAST SIDE — m × k folds total, not one per
+    * scored row); the per-(vec, seg) argmax is a `max(struct)` hash
+    * aggregate with partial map-side combine — no window sort of the
+    * scored stream. Ties break to the smallest cell_id (negated id in
+    * the struct), fully deterministic. */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val segLen = dim / m
+    val segs = emb.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("seg"))
+      .select(col("vec_id"), col("seg"),
+        slice(col("embedding"), col("seg") * segLen + 1, lit(segLen)).as("sv"))
+    val books = codebooks.select(col("seg"), col("cell_id"), col("centroid"),
+      (dot(col("centroid"), col("centroid")) / 2).as("halfNorm"))
+    segs.join(broadcast(books), "seg")
+      .select(col("vec_id"), col("seg"),
+        struct((dot(col("sv"), col("centroid")) - col("halfNorm")).as("score"),
+          (-col("cell_id")).as("negCell")).as("cand"))
+      .groupBy(col("vec_id"), col("seg"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("seg"), (-col("best.negCell")).as("cell_id"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("seg"), col("cell_id")))),
+        s => s.getField("cell_id")).as("codes"))
+  }
+
   /** IVF (inverted-file) cell assignment: each vector joins its
     * most-similar centroid's cell. Seed centroids are a deterministic
     * sample (lowest `k` vec_ids); [[kmeansRefine]] runs Lloyd
@@ -252,6 +336,47 @@ object SimOps extends QueryPack {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_survivors"))
         .orderBy(col("label"))
+    }),
+
+    // PQ ANN (product quantization): vectors compress to m=4 codes
+    // (64 bytes → 4 — the memory story that makes billion-vector
+    // indexes fit), the probe scores candidates through an
+    // ASYMMETRIC-DISTANCE table (dot(q_seg, centroid) per (seg, cell) —
+    // m × k = 64 rows, broadcast), and the approx top-50 re-ranks with
+    // exact cosine. Scan side touches only codes + the tiny table;
+    // full vectors are read for 50 candidates, not the corpus. No
+    // oracle (codebooks are training-specific); SimilaritySpec bounds
+    // re-ranked quality vs the exact top-10.
+    "q_sim_ann_pq" -> ((spark, sfDir) => {
+      val m = 4; val k = 16; val dim = 64; val segLen = dim / m
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
+      val codes = pqEncode(emb, codebooks, m, dim)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+      val dtable = codebooks.crossJoin(broadcast(probe))
+        .select(col("seg"), col("cell_id"),
+          dot(slice(col("probe"), col("seg") * segLen + 1, lit(segLen)),
+            col("centroid")).as("pd"),
+          dot(col("centroid"), col("centroid")).as("cn"))
+      val approx = codes
+        .select(col("vec_id"), posexplode(col("codes")))
+        .join(broadcast(dtable),
+          col("pos") === col("seg") && col("col") === col("cell_id"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("pd")).as("num"), sum(col("cn")).as("den"))
+      val cand = approx.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (col("num") / (sqrt(col("den")) * sqrt(dot(col("probe"), col("probe")))))
+            .as("approx_cos"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .limit(50)
+      cand.join(emb, "vec_id")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // IVF ANN: probe only the nprobe cells nearest the query vector —

@@ -62,6 +62,27 @@ class SimilaritySpec extends SparkSuite {
       "a doc outside the near-dup graph was dropped")
   }
 
+  test("PQ ANN: re-ranked top-10 quality vs exact brute force") {
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), SimOps.cosine(col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect()
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val exactMean = exact.map(_.getDouble(1)).sum / exact.length
+    val pq = SparkEntry.queries("q_sim_ann_pq")(spark, Sf).collect()
+    assert(pq.length == 10)
+    val pqMean = pq.map(_.getDouble(1)).sum / pq.length
+    // quality ratio is the robust signal (identity overlap is noisy on
+    // near-random embeddings); require the PQ candidates' true cosines
+    // to be close to the exact winners', plus a loose overlap floor
+    assert(pqMean >= 0.85 * exactMean, s"PQ mean $pqMean vs exact $exactMean")
+    val recall = pq.map(_.getLong(0)).count(exactIds.contains) / 10.0
+    assert(recall >= 0.2, s"PQ recall@10 $recall < 0.2")
+  }
+
   test("embedding e2e dedup: every drop is justified; candidate recall bounded") {
     val emb = Tables.embeddings(spark, Sf)
     val e = emb.select(col("vec_id"), col("embedding"))
