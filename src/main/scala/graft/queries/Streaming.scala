@@ -69,6 +69,20 @@ object Streaming extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Batch form of the stream-static ANTI join — incremental ingest
+    // hygiene: events from users present in the customer reference set
+    // are dropped (e.g. already-processed ids); the streaming form
+    // re-plans the reference per micro-batch (StreamingSpec parity).
+    "q_stream_anti_join" -> ((spark, sfDir) => {
+      val ref = Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+      StreamOps.antiEnrich(Tables.events(spark, sfDir), ref, "c_custkey")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Batch form of the stream-stream interval join (purchases ×
     // same-user signups within the preceding hour); the watermarked
     // streaming form is StreamOps.intervalJoinStream, parity-tested in
@@ -133,6 +147,13 @@ object Streaming extends QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_stream_anti_join" ->
+      """SELECT event_type, COUNT(*) AS n FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_custkey % 2 = 0 AND c.c_custkey = e.user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id

@@ -107,6 +107,14 @@ object StreamOps {
   def staticEnrich(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
     events.join(dim, col("user_id") === dim(dimKey))
 
+  /** Stream-static ANTI join — incremental ingest hygiene: arriving
+    * rows whose key exists in a static reference set (already-ingested
+    * fingerprints, benchmark grams) are dropped before they reach the
+    * sink. Supported natively by Structured Streaming (left_anti with a
+    * static right side, re-planned per micro-batch). */
+  def antiEnrich(events: DataFrame, reference: DataFrame, key: String): DataFrame =
+    events.join(reference, events("user_id") === reference(key), "left_anti")
+
   /** Custom per-key state via flatMapGroupsWithState (the
     * KeyValueGroupedDataset escape hatch for semantics windows can't
     * express): per user, lifetime event count and session count with a

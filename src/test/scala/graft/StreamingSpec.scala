@@ -98,6 +98,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static anti join: streaming result equals batch") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, 1, "view", t(5), 1.0), Ev(2, 2, "view", t(10), 2.0),
+      Ev(3, 3, "click", t(15), 3.0))
+    val ref = Seq(Tuple1(2L)).toDF("c_custkey")
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.antiEnrich(mem.toDF(), ref, "c_custkey")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("ss_anti_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_anti_parity").collect()
+        .map(_.getLong(0)).toSet
+      val batch = StreamOps.antiEnrich(events.toDF(), ref, "c_custkey")
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch == Set(1L, 3L), "user 2 must be filtered out")
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store provider") {
     // production state backend: state lives off-heap/on-disk in RocksDB
     // instead of the in-memory HDFS-backed map — the setting a real
