@@ -53,10 +53,10 @@ class TopKAgg(k: Int) extends Aggregator[Ranked, Seq[Ranked], Seq[Ranked]] {
 }
 
 object TopKAgg {
-  /** Aggregation column over flattened (price, key) argument columns
-    * (a product input encoder binds one argument per field). */
-  def udafColumn(k: Int): org.apache.spark.sql.Column =
+  /** Aggregation column over any (value, id) column pair (a product
+    * input encoder binds one argument per Ranked field). */
+  def udafColumn(k: Int, value: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new TopKAgg(k), Encoders.product[Ranked])
-      .apply(org.apache.spark.sql.functions.col("price"),
-        org.apache.spark.sql.functions.col("key"))
+      .apply(value, id)
 }

@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** `tiebreak`: extra ordering columns applied after (version desc,
+    * updates-first) — REQUIRED for determinism when one batch can carry
+    * duplicate (key, version) rows (at-least-once ingest); without it,
+    * such ties pick a partitioning-dependent survivor. */
   def apply(base: DataFrame, updates: DataFrame,
-      keys: Seq[String], versionCol: String): DataFrame = {
+      keys: Seq[String], versionCol: String,
+      tiebreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc +: col("__src").desc +: tiebreak: _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")

@@ -34,12 +34,18 @@ object ZOrder {
     InterleaveBits(norm(a, aMin, aMax), norm(b, bMin, bMax))
   }
 
-  /** Write `df` z-ordered by (ca, cb) into `numFiles` parquet files. */
+  /** Write `df` z-ordered by (ca, cb) into `numFiles` parquet files.
+    * An empty input (or all-null layout columns) degrades to a plain
+    * unordered write — there is nothing to normalize against. */
   def write(df: DataFrame, ca: String, cb: String,
       path: String, numFiles: Int): Unit = {
     val r = df.agg(
       min(col(ca)).cast("double"), max(col(ca)).cast("double"),
       min(col(cb)).cast("double"), max(col(cb)).cast("double")).collect().head
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zvalue(col(ca), r.getDouble(0), r.getDouble(1),
       col(cb), r.getDouble(2), r.getDouble(3))
     df.withColumn("__z", z)

@@ -190,23 +190,28 @@ object Aggregations extends QueryPack {
     }),
 
     // Count-min sketch: the mergeable frequency-estimation sketch (the
-    // counting sibling of HLL). The sketch aggregates distributed; the
-    // ONE-ROW binary collapses to the driver (bounded by construction
-    // — never data-scale), which then answers point estimates for a
-    // fixed probe list. No oracle (sketch layout is impl-specific);
-    // ApproxDistinctSpec asserts the CMS guarantee: estimate ≥ exact,
-    // ≤ exact + eps·N at the configured confidence.
+    // counting sibling of HLL). The sketch aggregates distributed; its
+    // ONE-ROW binary broadcasts to the 6-row probe list, which answers
+    // point estimates via a deserializing UDF — everything stays IN the
+    // lazy plan (an eager head() here would execute a corpus scan every
+    // time the query map is merely enumerated, and hide the real plan
+    // from PlanAuditSpec behind a LocalRelation). No oracle (sketch
+    // layout is impl-specific); ApproxDistinctSpec asserts the CMS
+    // guarantee: estimate ≥ exact, ≤ exact + eps·N.
     "q_sketch_cms" -> ((spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
-        .select(explode(split(col("text"), " ")).as("tok"))
-      val skBytes = toks
-        .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("sk"))
-        .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(skBytes))
-      val probes = Seq("the", "a", "is", "data", "model", "xyzzy_absent")
       import spark.implicits._
-      probes.map(t => (t, cms.estimateCount(t))).toDF("token", "est_n")
+      val sk = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("sk"))
+      val probes = Seq("the", "a", "is", "data", "model", "xyzzy_absent")
+        .toDF("token")
+      val estimate = udf { (bytes: Array[Byte], tok: String) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .estimateCount(tok)
+      }
+      probes.crossJoin(broadcast(sk))
+        .select(col("token"), estimate(col("sk"), col("token")).as("est_n"))
         .orderBy(col("token"))
     }),
 

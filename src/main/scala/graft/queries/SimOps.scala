@@ -131,12 +131,18 @@ object SimOps extends QueryPack {
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int,
       sampleOneIn: Int = 5): DataFrame = {
     val segLen = dim / m
+    // range-form hash sample: multiply-then-compare-range actually
+    // mixes residues (an ==0 residue test is blind to the multiplier
+    // and degenerates to plain modulo — correlated id blocks would
+    // bias the sample)
     val segRows = emb
-      .filter((col("vec_id") * 2654435761L) % sampleOneIn === 0)
+      .filter((col("vec_id") * 2654435761L) % 100 < lit(100 / sampleOneIn))
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("seg"))
       .select(col("seg"), col("vec_id"),
         slice(col("embedding"), col("seg") * segLen + 1, lit(segLen)).as("embedding"))
+      // the seed pass and every Lloyd iteration re-read this — slice once
+      .localCheckpoint()
     // seeds: the k lowest vec_ids per segment (same deterministic
     // convention as ivfAssign)
     val seedW = Window.partitionBy(col("seg")).orderBy(col("vec_id"))
@@ -147,11 +153,18 @@ object SimOps extends QueryPack {
         col("embedding").as("centroid"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // assignment metric = ENCODING metric (L2-nearest as
+      // max dot − ½‖c‖², precomputed broadcast-side): centroids must
+      // be optimized for the partition encoding will actually use —
+      // training by cosine while encoding by L2 inflates quantization
+      // error on norm-varying segments
       val w = Window.partitionBy(col("seg"), col("vec_id"))
         .orderBy(col("sim").desc, col("cell_id"))
-      val assigned = segRows.join(broadcast(centroids), "seg")
+      val books = centroids.withColumn("halfNorm",
+        dot(col("centroid"), col("centroid")) / 2)
+      val assigned = segRows.join(broadcast(books), "seg")
         .select(col("seg"), col("vec_id"), col("embedding"), col("cell_id"),
-          cosine(col("embedding"), col("centroid")).as("sim"))
+          (dot(col("embedding"), col("centroid")) - col("halfNorm")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
       val means = assigned

@@ -89,10 +89,8 @@ object Windows extends QueryPack {
     "q_topk_group_heap" -> ((spark, sfDir) => {
       import graft.operators.TopKAgg
       Tables.orders(spark, sfDir)
-        .select(col("o_custkey"), col("o_totalprice").as("price"),
-          col("o_orderkey").as("key"))
         .groupBy(col("o_custkey"))
-        .agg(TopKAgg.udafColumn(2).as("top"))
+        .agg(TopKAgg.udafColumn(2, col("o_totalprice"), col("o_orderkey")).as("top"))
         .select(col("o_custkey"), posexplode(col("top")))
         .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
           col("col.key").as("o_orderkey"),

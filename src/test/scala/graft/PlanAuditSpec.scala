@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSuite {
   // q_win_ntile and q_text_tfidf.
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
-      "q_text_tfidf", "q_sim_ann_pq")
+      "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
