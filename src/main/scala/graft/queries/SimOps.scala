@@ -105,7 +105,11 @@ object SimOps extends QueryPack {
     * why this has no SQL oracle (sign-bit bucketing is sketch-specific). */
   def embedDedupSurvivors(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val verified = lshCandidatePairs(e, dim = 64, planes = 4, tables = 8)
+    // 5 planes (32 buckets/table), not the ANN query's 4: dedup only
+    // needs candidate RECALL on ≥-threshold pairs (SimilaritySpec
+    // floor), and the extra plane halves candidate volume — the
+    // dominant cost — while precision stays 1 by construction
+    val verified = lshCandidatePairs(e, dim = 64, planes = 5, tables = 8)
       .join(e.as("e1").hint("shuffle_hash"), col("d1") === col("e1.vec_id"))
       .join(e.as("e2").hint("shuffle_hash"), col("d2") === col("e2.vec_id"))
       .select(col("d1"), col("d2"),

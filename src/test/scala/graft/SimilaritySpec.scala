@@ -101,8 +101,8 @@ class SimilaritySpec extends SparkSuite {
     val nodes = exactPairs.flatMap(p => Seq(p._1, p._2))
     assert(dropped.subsetOf(nodes), s"unjustified drops: ${(dropped -- nodes).take(5)}")
     // recall: candidates must cover a sane fraction of the true graph
-    // (sign-bit LSH at cos 0.4 collides with p ~ 0.75 per pair here)
-    val cand = SimOps.lshCandidatePairs(e, 64, 4, 8)
+    // (the pipeline's 5-plane config: p ~ 0.57 per >= 0.4 pair)
+    val cand = SimOps.lshCandidatePairs(e, 64, 5, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exactPairs intersect cand).size.toDouble / exactPairs.size
     assert(recall >= 0.4, s"LSH candidate recall $recall < 0.4")
