@@ -519,6 +519,34 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Decontamination with a BLOOM PRE-FILTER — the two-phase shape for
+    // a huge reference set: the benchmark gram set compresses into a
+    // fixed-size bloom filter (MB-scale however big the reference),
+    // candidate grams drop MAP-SIDE unless probably-present (no shuffle
+    // for the overwhelming non-matching majority), and only survivors
+    // reach the exact gram join, whose equi-match absorbs the false
+    // positives. Same answer as q_decontaminate — same oracle — with
+    // the shuffle proportional to matches, not the corpus.
+    "q_decontaminate_bloom" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        explode(ShingleJoin(col("toks"), 8, shortToUnigrams = false)).as("gram"))
+      val benchGrams = grams(docs.filter(col("source") === "src0"))
+        .select(col("gram")).distinct()
+      val bf = benchGrams.stat.bloomFilter("gram", 1L << 20, 0.01)
+      val probablyBench = udf((g: String) => g != null && bf.mightContain(g))
+      val candidates = docs.filter(col("source") =!= "src0")
+      val contaminated = grams(candidates)
+        .filter(probablyBench(col("gram")))
+        .join(benchGrams, "gram")
+        .select(col("doc_id")).distinct()
+      candidates.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+
     // Token counting two ways: whitespace tokens and a BPE-ish regex
     // lexer (letter runs / digit runs / single punctuation — the
     // pre-tokenization split BPE vocabularies start from). Pure
@@ -750,6 +778,25 @@ object TextOps extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.source <> 'src0')
+        |SELECT source, COUNT(*) AS n_clean FROM documents c
+        |WHERE source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same pipeline — the bloom phase only pre-filters; the exact join
+    // absorbs false positives, so the answer is identical
+    "q_decontaminate_bloom" ->
       """WITH d AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |grams AS (
