@@ -27,11 +27,21 @@ object Bench {
     // this box swing ~2x with ambient load, so the artifact also
     // carries a per-query STEADY time — min of two runs — which is the
     // number to compare across rounds (plan changes move it; box load
-    // mostly does not). Sub-second queries skip the re-run; their
-    // first-run time is already noise-level.
+    // mostly does not). Sub-second queries skip the re-run, and the
+    // re-run set is greedily capped at ~90 s of first-pass time
+    // (heaviest first) so the whole bench stays bounded — losing the
+    // artifact to a harness timeout would cost more than a few
+    // uncorrected mid-range numbers.
+    val rerunSet = {
+      var budget = 90.0
+      results.toSeq.filter(_._2 >= 1.0).sortBy(-_._2).takeWhile { case (_, t) =>
+        val ok = budget > 0; budget -= t; ok
+      }.map(_._1).toSet
+    }
     val steady = results.map { case (name, t) =>
       // a failed re-run (-1) must not mask a successful first run
-      name -> (if (t < 1.0) t else { val t2 = run(name); if (t2 < 0) t else math.min(t, t2) })
+      name -> (if (!rerunSet.contains(name)) t
+               else { val t2 = run(name); if (t2 < 0) t else math.min(t, t2) })
     }
     def json(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
