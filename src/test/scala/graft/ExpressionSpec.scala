@@ -200,6 +200,20 @@ class ExpressionSpec extends SparkSuite {
     assert("""\*\(\d+\) Project \[sign_bit_lsh""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("MinHashBands and ShingleJoin run inside whole-stage codegen") {
+    import graft.expressions.{MinHashBands, ShingleJoin}
+    val docs = Tables.documents(spark, Sf)
+    val toks = split(col("text"), " ")
+    val df = docs.select(
+      ShingleJoin(toks, 3, shortToUnigrams = false).as("sh"),
+      MinHashBands(array_distinct(toks), 16, 8).as("bh"))
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // a CodegenFallback would strand the projection outside a "*(n)" stage
+    assert("""\*\(\d+\) Project \[shingle_join""".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("minhash_bands"), plan)
+  }
+
   test("non-float-array inputs are rejected at analysis time") {
     import spark.implicits._
     val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
