@@ -547,6 +547,38 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Distribution DRIFT per source — pipeline observability: L1
+    // distance between each source's token distribution and the
+    // corpus-wide one flags sources whose content shifted (scraper
+    // broke, new domain, contamination). Computed in EXACT integers:
+    // |c_st/n_s − c_t/n| = |c_st·n − c_t·n_s| / (n_s·n), so the
+    // order-dependent part (the sum) is a BIGINT sum of exact terms
+    // and the ONLY floating-point op is one final division —
+    // engine-identical, unlike summing raw double ratios (SURVEY
+    // §7.4). Tokens ABSENT from a source contribute
+    // (n − Σ_present c_t)·n_s in closed form, so only the present
+    // (source, token) pairs are ever joined — one token-keyed shuffle,
+    // no sources × vocab grid (a cross join would plan a BNLJ and
+    // broadcast a data-dependent aggregate).
+    "q_text_drift" -> ((spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+      val n = toks.count() // one bounded driver scalar, like PQ's stats
+      val perSource = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cst"))
+      val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      perSource.join(global, "tok")
+        .join(totals, "source")
+        .groupBy(col("source"), col("ns"))
+        .agg(sum(abs(col("cst") * n - col("ct") * col("ns"))).as("presentTerm"),
+          sum(col("ct")).as("presentCt"))
+        .select(col("source"),
+          ((col("presentTerm") + (lit(n) - col("presentCt")) * col("ns"))
+            .cast("double") / (col("ns") * n)).as("l1_drift"))
+        .orderBy(col("source"))
+    }),
+
     // Token counting two ways: whitespace tokens and a BPE-ish regex
     // lexer (letter runs / digit runs / single punctuation — the
     // pre-tokenization split BPE vocabularies start from). Pure
@@ -812,6 +844,27 @@ object TextOps extends QueryPack {
         |WHERE source <> 'src0'
         |  AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT tok, COUNT(*) AS ct FROM toks GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM toks),
+        |ps AS (SELECT source, tok, COUNT(*) AS cst FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, COUNT(*) AS ns FROM toks GROUP BY source),
+        |agg AS (
+        |  SELECT ps.source, tot.ns,
+        |    SUM(abs(ps.cst * n.n - g.ct * tot.ns)) AS presentTerm,
+        |    SUM(g.ct) AS presentCt,
+        |    ANY_VALUE(n.n) AS n
+        |  FROM ps
+        |  JOIN g ON ps.tok = g.tok
+        |  JOIN tot ON ps.source = tot.source
+        |  CROSS JOIN n
+        |  GROUP BY ps.source, tot.ns)
+        |SELECT source,
+        |  CAST(presentTerm + (n - presentCt) * ns AS DOUBLE) / (ns * n) AS l1_drift
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,
