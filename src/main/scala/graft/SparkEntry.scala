@@ -15,7 +15,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Aggregations, Filters, Joins, SortsSets, Scalars, Windows,
     ArraysJson, TextOps, SimOps, ScansSinks, Streaming, Udfs,
-    MultimodalPack, Subqueries, Reshape, Warehouse
+    MultimodalPack, Subqueries, Reshape, Warehouse, Composites
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.dec
+
+/** Composite analytics queries — the TPC-H Q3/Q5/Q10/Q18 shapes a real
+  * user runs first: 3–6 table joins + selective filters + aggregation +
+  * top-N, all in ONE plan. The single-operator inventory never
+  * exercises join ordering, AQE broadcast promotion, and partial
+  * aggregation together; these do.
+  *
+  * Scale notes (100 TB):
+  *  - `nation`/`region` are BOUNDED dimensions (25/5 rows at any SF) —
+  *    broadcast explicitly. `customer`/`supplier`/`orders` grow with
+  *    the data, so they are never forced broadcast: the joins are
+  *    declared in selectivity order and AQE promotes a side to
+  *    broadcast only when its runtime size allows, falling back to
+  *    shuffled hash/sort-merge on a real cluster.
+  *  - Filters sit directly on the scans (pushed to Parquet; plan shows
+  *    PushedFilters for the date/flag/segment predicates), so the fact
+  *    table is pruned before any shuffle.
+  *  - Money math follows SURVEY §7.4.2: cast each per-row measure to
+  *    DECIMAL(18,2) BEFORE the sum (order-independent), one final cast
+  *    to double for output.
+  */
+object Composites extends QueryPack {
+
+  private def tsLit(d: String) = lit(d).cast("timestamp_ntz")
+
+  override def queries: Map[String, Query] = Map(
+    // Q3 shape — shipping priority: unshipped high-revenue orders for
+    // one market segment. lineitem⋈orders shuffles on orderkey once;
+    // the filtered customer side joins on custkey (AQE-broadcastable
+    // at small SF, shuffled at scale); top-10 via TakeOrderedAndProject.
+    "q_composite_q3" -> ((spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < tsLit("1998-03-15"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") > tsLit("1998-03-15"))
+        .select(col("l_orderkey"),
+          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q5 shape — local-supplier volume: revenue by nation where the
+    // customer and the supplier share a nation inside one region for
+    // one order year. Six tables, one plan: the bounded nation/region
+    // dims broadcast; customer⋈orders⋈lineitem⋈supplier chain lets
+    // AQE size each side. The c_nationkey = s_nationkey equality rides
+    // the supplier join as an extra equi-key — no residual filter.
+    "q_composite_q5" -> ((spark, sfDir) => {
+      val n = broadcast(Tables.nation(spark, sfDir))
+      val r = broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA"))
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val s = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // Q10 shape — returned-item reporting: customers who returned the
+    // most revenue in one quarter. Fact filtered on returnflag + the
+    // order-date window before the orderkey shuffle; nation broadcast;
+    // top-20 via global TakeOrderedAndProject after the groupBy.
+    "q_composite_q10" -> ((spark, sfDir) => {
+      val n = broadcast(Tables.nation(spark, sfDir))
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= tsLit("1997-10-01") &&
+          col("o_orderdate") < tsLit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Q18 shape — large-volume customers: orders whose total quantity
+    // clears a threshold, joined back to customer. The per-order
+    // quantity aggregate is computed ONCE (partial map-side sums, one
+    // orderkey shuffle) and reused as both the filter and the output
+    // measure — no IN-subquery re-scan of lineitem.
+    "q_composite_q18" -> ((spark, sfDir) => {
+      val qty = Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > 300)
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      o.join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+          col("qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_composite_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_composite_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_composite_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_composite_q18" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(qty AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin
+  )
+}

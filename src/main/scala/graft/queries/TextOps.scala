@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.{FirstEqualIndex, MinHashBands, ShingleJoin, SimHash64}
+import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, ShingleJoin, SimHash64}
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
   * (exact, Jaccard, MinHash-LSH), corpus analytics, term frequency,
@@ -534,11 +534,12 @@ object TextOps extends QueryPack {
         explode(ShingleJoin(col("toks"), 8, shortToUnigrams = false)).as("gram"))
       val benchGrams = grams(docs.filter(col("source") === "src0"))
         .select(col("gram")).distinct()
-      val bf = benchGrams.stat.bloomFilter("gram", 1L << 20, 0.01)
-      val probablyBench = udf((g: String) => g != null && bf.mightContain(g))
       val candidates = docs.filter(col("source") =!= "src0")
+      // Native bloom_filter_agg/might_contain (scalar-subquery build):
+      // lazy — nothing executes until the query runs — and the probe
+      // stays codegen'd instead of a per-row ScalaUDF.
       val contaminated = grams(candidates)
-        .filter(probablyBench(col("gram")))
+        .filter(NativeBloom.probablyIn(benchGrams, 1L << 20, col("gram")))
         .join(benchGrams, "gram")
         .select(col("doc_id")).distinct()
       candidates.join(contaminated, Seq("doc_id"), "left_anti")
@@ -564,18 +565,32 @@ object TextOps extends QueryPack {
       val toks = Tables.documents(spark, sfDir)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
-      val n = toks.count() // one bounded driver scalar, like PQ's stats
+      // N stays IN-PLAN as a 1-row broadcast aggregate (the
+      // q_text_tfidf pattern) — an eager count() here would run a full
+      // corpus scan every time the query map is merely enumerated.
+      val n = toks.agg(count(lit(1)).as("n"))
       val perSource = toks.groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("cst"))
       val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      // The products cst·n and ct·ns pass Long.MaxValue at only a few
+      // billion corpus tokens (~10-50 GB of text) and would wrap
+      // silently under non-ANSI semantics, so every term is DECIMAL(38,0)
+      // — exact to 38 digits, order-independent sum; the single final
+      // division is still the only floating-point op. DuckDB's BIGINT
+      // SUM widens to HUGEINT on its own, so the oracle side is already
+      // exact and the double outputs agree.
+      val d38 = col(_: String).cast(org.apache.spark.sql.types.DecimalType(38, 0))
       perSource.join(global, "tok")
         .join(totals, "source")
-        .groupBy(col("source"), col("ns"))
-        .agg(sum(abs(col("cst") * n - col("ct") * col("ns"))).as("presentTerm"),
-          sum(col("ct")).as("presentCt"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"), col("ns"), col("n"))
+        .agg(sum(abs(d38("cst") * col("n") - d38("ct") * col("ns")))
+            .as("presentTerm"),
+          sum(d38("ct")).as("presentCt"))
         .select(col("source"),
-          ((col("presentTerm") + (lit(n) - col("presentCt")) * col("ns"))
-            .cast("double") / (col("ns") * n)).as("l1_drift"))
+          ((col("presentTerm") + (d38("n") - col("presentCt")) * col("ns"))
+            .cast("double") / (col("ns").cast("double") * col("n")))
+            .as("l1_drift"))
         .orderBy(col("source"))
     }),
 

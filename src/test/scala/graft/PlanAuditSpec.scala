@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSuite {
   // q_win_ntile and q_text_tfidf.
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
-      "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms")
+      "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -66,5 +66,35 @@ class PlanAuditSpec extends SparkSuite {
         }
     }.distinct
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("corpus-scan queries construct lazily — zero jobs at build time") {
+    // q_text_drift once ran toks.count() and q_decontaminate_bloom
+    // stat.bloomFilter at CONSTRUCTION, so merely enumerating the query
+    // map (this suite, ExplainTool, EntrySpec) executed full corpus
+    // scans. Both are now in-plan (broadcast 1-row agg / bloom scalar
+    // subquery); guard the regression. Iterative operators (components,
+    // e2e dedup, k-means/PQ training) legitimately run jobs while
+    // building and are not checked here.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    @volatile var jobs = List.empty[String]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // one tiny footer-read job per spark.read.parquet call is scan
+        // SETUP (schema inference), not query execution — allowed
+        val names = js.stageInfos.map(_.name)
+        if (!names.forall(_.startsWith("parquet at ")))
+          jobs ::= s"job ${js.jobId}: ${names.mkString("; ")}"
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Seq("q_text_drift", "q_decontaminate_bloom", "q_text_tfidf")
+        .foreach(q => SparkEntry.queries(q)(spark, Sf))
+      // any construction-time action is BLOCKING, so its start event is
+      // already posted; give the async listener bus a moment to drain
+      Thread.sleep(1500)
+      assert(jobs.isEmpty, s"construction launched jobs: $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

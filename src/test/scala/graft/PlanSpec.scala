@@ -49,6 +49,27 @@ class PlanSpec extends SparkSuite {
       "range join fell back to a quadratic nested-loop scan\n" + plan.take(2000))
   }
 
+  test("q_decontaminate_bloom probes a native codegen'd bloom filter") {
+    val plan = executedPlan("q_decontaminate_bloom")
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(plan.contains("bloom_filter_agg"), plan.take(2000))
+    assert(!plan.contains("ScalaUDF"),
+      "bloom probe regressed to a serialized UDF\n" + plan.take(2000))
+  }
+
+  test("composite queries: pushed filters, broadcast dims, no nested loop") {
+    // The TPC-H-shaped composites must keep their selective predicates
+    // on the scans and join the bounded dims by broadcast — the plan a
+    // 1000-executor run needs (fact rows shuffle once, dims ship once).
+    for (q <- Seq("q_composite_q3", "q_composite_q5", "q_composite_q10")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("PushedFilters: ["), s"$q\n" + plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), s"$q\n" + plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q\n" + plan.take(2000))
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact scan") {
     val dir = "target/test-fixtures/dpp_events"
     Tables.events(spark, Sf)
