@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.BandGuard
 import graft.expressions.{CosineSimilarity, FirstEqualIndex, SignBitLsh}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2-B
@@ -80,18 +81,24 @@ object SimOps extends QueryPack {
     * pair colliding in k tables is kept only at its first shared one
     * (in-join dedup, no pair-stream re-shuffle). Shared by the ANN
     * query and the embedding e2e dedup. */
-  def lshCandidatePairs(emb: DataFrame, dim: Int, planes: Int, tables: Int): DataFrame = {
-    val buckets = emb
+  def lshCandidatePairs(emb: DataFrame, dim: Int, planes: Int, tables: Int,
+      bucketCap: Int = BandGuard.DefaultCap): DataFrame = {
+    val buckets = BandGuard.withBucketStats(emb
       .select(col("vec_id"),
         lshBuckets(col("embedding"), dim, planes, tables).as("bkts"))
       .select(col("vec_id"), col("bkts"),
         explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
       .select(col("vec_id"), col("bkts"), col("tbl"),
-        element_at(col("bkts"), col("tbl") + 1).as("bucket"))
+        element_at(col("bkts"), col("tbl") + 1).as("bucket")),
+      "tbl", "bucket", "vec_id")
+    // Buckets above `bucketCap` emit hub-star pairs only (BandGuard) —
+    // a cluster of near-identical vectors stays one component without
+    // its quadratic pair volume.
     buckets.as("x").join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") &&
         col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id"))
+        col("x.vec_id") < col("y.vec_id") &&
+        BandGuard.pairCondition("x", "vec_id", bucketCap))
       .filter(col("x.tbl") === FirstEqualIndex(col("x.bkts"), col("y.bkts")))
       .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.BandGuard
 import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, ShingleJoin, SimHash64}
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
@@ -166,7 +167,8 @@ object TextOps extends QueryPack {
     * sharing any band are candidates, scored by hamming distance
     * (bit_count of xor); by pigeonhole, any pair with hamming ≤ 7 is
     * GUARANTEED to share one of the 8 bands. */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashCandidates(docs: DataFrame, maxHamming: Int,
+      bucketCap: Int = BandGuard.DefaultCap): DataFrame = {
     val sigs = docs
       .withColumn("__t", split(col("text"), " "))
       .withColumn("simhash", SimHash64(shingleArray(col("__t"), shortToUnigrams = true)))
@@ -181,18 +183,21 @@ object TextOps extends QueryPack {
     // predicate pushdown rebuild the whole shingle+simhash pipeline
     // into scan-level filters on both join sides (measured: 24 s vs
     // 2 s for this query at sf0.1, local[32]).
-    val banded = sigs
+    val banded = BandGuard.withBucketStats(sigs
       .select(col("doc_id"), col("simhash"), col("bvs"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", element_at(col("bvs"), col("band") + 1))
+      .withColumn("bv", element_at(col("bvs"), col("band") + 1)),
+      "band", "bv", "doc_id")
     // A pair within hamming ≤ maxHamming shares k ≥ 1 bands and would
     // be emitted k times; keeping it only at the FIRST shared band
     // dedups inside the join stage — the old `.distinct()` here
-    // re-shuffled the raw pair stream (same trap as minhash).
+    // re-shuffled the raw pair stream (same trap as minhash). Buckets
+    // above `bucketCap` emit hub-star pairs only (BandGuard).
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        BandGuard.pairCondition("a", "doc_id", bucketCap))
       .filter(col("a.band") === FirstEqualIndex(col("a.bvs"), col("b.bvs")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
@@ -213,7 +218,8 @@ object TextOps extends QueryPack {
     * a ~30-word vocabulary, so near-everything is a true candidate; on
     * a realistic corpus the same bands prune to ~0.1%.
     */
-  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+      bucketCap: Int = BandGuard.DefaultCap): DataFrame =
     // Per-doc band-hash vector in ONE codegen'd pass (the HOF
     // signature formulation is interpreted and gets re-inlined per
     // band by CollapseProject — see MinHashBands scaladoc; the
@@ -221,31 +227,34 @@ object TextOps extends QueryPack {
     // ExpressionSpec).
     bandedMinhashPairs(docs.select(col("doc_id"),
       MinHashBands(array_distinct(split(col("text"), " ")), numHashes, bands).as("bhs")),
-      bands)
+      bands, bucketCap)
 
   /** [[minhashCandidates]] over 3-token SHINGLE features — the
     * candidate generator matching [[ngramJaccardPairs]]'s similarity
     * space (docs with < 3 tokens have no shingles → null signature →
     * no candidates, exactly as they produce no exact shingle pairs). */
-  def minhashShingleCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+  def minhashShingleCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+      bucketCap: Int = BandGuard.DefaultCap): DataFrame =
     bandedMinhashPairs(docs
       .withColumn("__t", split(col("text"), " "))
       .select(col("doc_id"),
         MinHashBands(shingleArray(col("__t"), shortToUnigrams = false),
           numHashes, bands).as("bhs")),
-      bands)
+      bands, bucketCap)
 
   /** Banded-LSH candidate pairs from per-doc band-hash vectors. */
-  private def bandedMinhashPairs(bhs: DataFrame, bands: Int): DataFrame = {
+  private def bandedMinhashPairs(bhs: DataFrame, bands: Int,
+      bucketCap: Int): DataFrame = {
     // Literal-range explode with the band hash picked out ABOVE the
     // generator — same InferFiltersFromGenerate trap as in
     // simhashCandidates: exploding an array built from `sig` clones
     // the 16-hash signature expression into scan filters.
-    val banded = bhs
+    val banded = BandGuard.withBucketStats(bhs
       .select(col("doc_id"), col("bhs"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("bhs"), col("band"),
-        element_at(col("bhs"), col("band") + 1).as("bh"))
+        element_at(col("bhs"), col("band") + 1).as("bh")),
+      "band", "bh", "doc_id")
     // Pairs form ONLY inside a (band, band-hash) bucket, via a shuffled
     // equi self-join — never a collected per-bucket array (a mega
     // bucket would materialize as one giant row; the join form keeps
@@ -253,10 +262,12 @@ object TextOps extends QueryPack {
     // band hashes is generated k times; keeping it only at its FIRST
     // shared band dedups inside the join stage — a `.distinct()` here
     // instead shuffles the raw pair stream (41.8M rows, 22 s at sf0.1).
+    // Buckets above `bucketCap` emit hub-star pairs only (BandGuard).
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        BandGuard.pairCondition("a", "doc_id", bucketCap))
       .filter(col("a.band") === FirstEqualIndex(col("a.bhs"), col("b.bhs")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
   }
