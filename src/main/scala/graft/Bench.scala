@@ -1,8 +1,10 @@
 package graft
+import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    var spark = GraftSession.local(cpus)
     // Optional comma-separated filter for fast single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
@@ -11,8 +13,11 @@ object Bench {
     // Warm the JVM/codegen/parquet paths once so fixed session startup
     // (~4 s measured) is not attributed to whichever query runs first —
     // per-query numbers then reflect steady-state cost.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).limit(1).collect()
+    def warm(): Unit = {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Tables.lineitem(spark, sfDir).limit(1).collect()
+    }
+    warm()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try { selected(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -27,15 +32,19 @@ object Bench {
     // this box swing ~2x with ambient load, so the artifact also
     // carries a per-query STEADY time — min of two runs — which is the
     // number to compare across rounds (plan changes move it; box load
-    // mostly does not). Sub-second queries skip the re-run, and the
-    // re-run set is greedily capped at ~90 s of first-pass time
-    // (heaviest first) so the whole bench stays bounded — losing the
-    // artifact to a harness timeout would cost more than a few
-    // uncorrected mid-range numbers.
+    // mostly does not). Sub-second queries skip the re-run; the re-run
+    // set always includes the heaviest query, then admits more
+    // (heaviest first) only while they FIT in a 90 s first-pass-time
+    // budget — a hard cap past the first entry, so the bench cannot
+    // blow a harness timeout chasing mid-range corrections.
     val rerunSet = {
       var budget = 90.0
+      var first = true
       results.toSeq.filter(_._2 >= 1.0).sortBy(-_._2).takeWhile { case (_, t) =>
-        val ok = budget > 0; budget -= t; ok
+        val ok = first || budget - t >= 0
+        first = false
+        if (ok) budget -= t
+        ok
       }.map(_._1).toSet
     }
     val steady = results.map { case (name, t) =>
@@ -43,11 +52,41 @@ object Bench {
       name -> (if (!rerunSet.contains(name)) t
                else { val t2 = run(name); if (t2 < 0) t else math.min(t, t2) })
     }
+    // ISOLATED pass for the heaviest queries: by the time the full run
+    // reaches them, 100+ prior queries have filled the heap and the
+    // box may be time-sharing — round 4's driver artifact recorded
+    // 3-9x inflated times that every isolated re-measure contradicted.
+    // Re-measure the top queries in a FRESH session (old one stopped,
+    // heap released, paths re-warmed): `isolated` is the map to diff
+    // round-over-round; full-run `queries`/`steady` remain for totals.
+    val IsolatedTop = 10
+    val isolated = if (sys.env.contains("SPARK_GRAFT_NO_ISOLATED")) Map.empty[String, Double]
+    else {
+      val top = steady.toSeq.filter(_._2 >= 1.0).sortBy(-_._2).take(IsolatedTop)
+      top.map { case (name, t) =>
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        System.gc()
+        spark = GraftSession.local(cpus)
+        warm()
+        val t1 = run(name)
+        // one confirming re-run in the same fresh session for queries
+        // cheap enough that 2x cost stays bounded
+        val best = if (t1 >= 0 && t1 <= 15.0) {
+          val t2 = run(name); if (t2 < 0) t1 else math.min(t1, t2)
+        } else t1
+        name -> (if (best < 0) t else best)
+      }.toMap
+    }
     def json(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val steadyTotal = steady.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"sf":"$sfDir"}""")
+    // best-known per-query cost: isolated where measured, steady else
+    val bestTotal = steady.map { case (k, v) =>
+      math.min(isolated.getOrElse(k, v), v) }.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isolated)},"best_total":$bestTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
