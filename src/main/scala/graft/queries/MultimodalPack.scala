@@ -22,6 +22,14 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    "q_multimodal_audio" -> ((spark, _) => {
+      Multimodal.audioStats(Multimodal.synthesize(spark, 300))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_multimodal_frames" -> ((spark, _) => {
       Multimodal.frameSample(Multimodal.synthesize(spark, 300), everyN = 2)
         .toDF()

@@ -163,4 +163,50 @@ class MultimodalSpec extends SparkSuite {
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.contains("payload"), s"payload not pruned from scan:\n$plan")
   }
+
+  test("real WAV payloads decode: known amplitudes round-trip exactly") {
+    import spark.implicits._
+    import graft.multimodal.WavCodec
+    // a clip of KNOWN samples, encoded with the JDK writer and decoded
+    // by the operators under test
+    val samples = Array(0, 1000, -1000, 32767, -32768, 16384, -16384, 0)
+    val wav = WavCodec.encode(samples, sampleRate = 8000)
+    assert(WavCodec.isWav(wav))
+    val decoded = WavCodec.decode(wav).get
+    assert(decoded.sampleRate == 8000)
+    assert(decoded.samples.toSeq == samples.toSeq,
+      "PCM16 samples must round-trip bit-exactly")
+
+    val media = Seq(Multimodal.MediaRecord(7L, "audio",
+      Multimodal.MediaMeta("wav", 0, 0, 8000, 0), wav)).toDS()
+    val stats = Multimodal.audioStats(media).collect().head
+    assert(stats.n_samples == 8)
+    assert(stats.sample_rate == 8000)
+    assert(stats.peak == 32768)
+    val expectedRms =
+      math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(math.abs(stats.rms - expectedRms) < 1e-9)
+
+    // amplitude histogram: samples at 0 land in bin 1; |32768| clamps
+    // into the top bin
+    val feats = Multimodal.decodeFeatures(media, bins = 4).collect().head.features
+    assert(math.abs(feats.sum - 1.0) < 1e-9)
+    assert(feats(0) == 4.0 / 8) // 0, ±1000 (|s|*4/32768 = 0)
+    assert(feats(3) == 2.0 / 8) // 32767, -32768
+  }
+
+  test("synthesized audio is real WAV; corrupt audio degrades, not throws") {
+    val audio = media.filter(_.kind == "audio")
+    val n = audio.count()
+    assert(Multimodal.audioStats(media).count() == n,
+      "every synthesized audio clip must decode")
+    // corrupt payload: stats drops the row, features fall back to bytes
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRecord(9L, "audio",
+      Multimodal.MediaMeta("wav", 0, 0, 8000, 0),
+      Array.tabulate[Byte](100)(_.toByte))).toDS()
+    assert(Multimodal.audioStats(bad).count() == 0)
+    val f = Multimodal.decodeFeatures(bad, bins = 16).collect().head
+    assert(math.abs(f.features.sum - 1.0) < 1e-9)
+  }
 }
