@@ -64,6 +64,9 @@ object StreamOps {
   def sessionAggStream(events: DataFrame, watermark: String): DataFrame =
     sessionAgg(events.withWatermark("ts", watermark))
 
+  def slidingAggStream(events: DataFrame, watermark: String): DataFrame =
+    slidingAgg(events.withWatermark("ts", watermark))
+
   /** Stateful dedup on event_id; bounded state via watermark. */
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)

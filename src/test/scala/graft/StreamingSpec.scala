@@ -44,6 +44,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding agg: streaming result equals batch; watermark evicts state") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, 1, "view", t(5), 1.0), Ev(2, 1, "view", t(20), 2.0),
+      Ev(3, 2, "click", t(40), 3.0), Ev(4, 2, "view", t(70), 4.5))
+    // parity: complete-mode streaming over MemoryStream == batch form
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.slidingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_parity")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_parity")
+        .orderBy(col("win_start")).collect()
+      val batch = StreamOps.slidingAgg(events.toDF())
+        .orderBy(col("win_start")).collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // each event lands in exactly 2 windows (slide divides width)
+      assert(batch.map(_.getLong(1)).sum == 2L * events.length)
+    } finally q.stop()
+
+    // eviction: with a watermark, an advancing stream finalizes closed
+    // sliding windows (append emits them) and a late row cannot reopen
+    val mem2 = MemoryStream[Ev](spark)
+    val q2 = StreamOps.slidingAggStream(mem2.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("sliding_evict")
+      .outputMode("append").start()
+    try {
+      mem2.addData(Ev(1, 1, "view", t(5), 1.0)) // windows [-30,30) [0,60)
+      q2.processAllAvailable()
+      mem2.addData(Ev(2, 1, "view", t(180), 1.0)) // watermark → 2:50
+      q2.processAllAvailable()
+      val closed = spark.table("sliding_evict").collect()
+      assert(closed.length == 2, "both hour-0 sliding windows must finalize")
+      assert(closed.map(_.getLong(1)).sum == 2)
+      // behind-watermark event: its windows are gone — no new output row
+      mem2.addData(Ev(3, 1, "view", t(10), 9.0))
+      q2.processAllAvailable()
+      assert(spark.table("sliding_evict").count() == closed.length,
+        "late row must not re-open an evicted sliding window")
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join: streaming result equals batch") {
     import spark.implicits._
     val purchases = Seq(
