@@ -178,10 +178,17 @@ object SimOps extends QueryPack {
           (dot(col("embedding"), col("centroid")) - col("halfNorm")).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+      // order-independent centroid mean: avg() over floats depends on
+      // partition/merge order (FP addition is non-associative), which
+      // made codebooks — and the top-50 ADC cut downstream — drift
+      // across runs and repartitionings. Each float rounds once into
+      // DECIMAL(38,18) (deterministic per value); the decimal sum is
+      // exact and order-free; ONE division closes the mean.
+      val d3818 = org.apache.spark.sql.types.DecimalType(38, 18)
       val means = assigned
         .select(col("seg"), col("cell_id"), posexplode(col("embedding")))
         .groupBy(col("seg"), col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("mv"))
+        .agg((sum(col("col").cast(d3818)) / count(lit(1))).as("mv"))
         .groupBy(col("seg"), col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv").cast("float")).as("centroid"))

@@ -83,6 +83,21 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"PQ recall@10 $recall < 0.2")
   }
 
+  test("PQ codebooks are bit-stable across partitionings") {
+    // the centroid mean sums in decimal (order-independent); avg() over
+    // floats drifted with partition/merge order and made the whole
+    // encode→search chain nondeterministic
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    def books(df: org.apache.spark.sql.DataFrame) =
+      SimOps.pqTrain(df, m = 8, k = 16, iters = 2, dim = 64)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Float](2).toList))
+        .sortBy(t => (t._1, t._2))
+    assert(books(emb).sameElements(books(emb.repartition(13))),
+      "codebooks must not depend on partitioning")
+  }
+
   test("embedding e2e dedup: every drop is justified; candidate recall bounded") {
     val emb = Tables.embeddings(spark, Sf)
     val e = emb.select(col("vec_id"), col("embedding"))
