@@ -21,13 +21,24 @@ import graft.Tables.dec
   *  - Filters sit directly on the scans (pushed to Parquet; plan shows
   *    PushedFilters for the date/flag/segment predicates), so the fact
   *    table is pruned before any shuffle.
-  *  - Money math follows SURVEY §7.4.2: cast each per-row measure to
-  *    DECIMAL(18,2) BEFORE the sum (order-independent), one final cast
-  *    to double for output.
+  *  - Money math follows SURVEY §7.4.2: cast each per-row measure to a
+  *    decimal BEFORE the sum (order-independent), one final cast to
+  *    double for output — raw columns at the 2-scale money type,
+  *    computed products at scale 6 (see [[dec6]]).
   */
 object Composites extends QueryPack {
 
   private def tsLit(d: String) = lit(d).cast("timestamp_ntz")
+
+  /** Money PRODUCTS cast to DECIMAL(18,6), not the 2-scale money type:
+    * the fixture's prices/rates are exact 2-decimal values, so a
+    * product has at most 6 true decimals — at scale 6 the double→
+    * decimal rounding is unambiguous on BOTH engines, whereas rounding
+    * the product to 2 decimals lands on .xx5 ties that Spark (HALF_UP)
+    * and DuckDB resolve differently (measured: 6/6 q1 groups off by
+    * pennies). */
+  private def dec6(c: org.apache.spark.sql.Column) =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 6))
 
   override def queries: Map[String, Query] = Map(
     // Q3 shape — shipping priority: unshipped high-revenue orders for
@@ -44,7 +55,7 @@ object Composites extends QueryPack {
       val l = Tables.lineitem(spark, sfDir)
         .filter(col("l_shipdate") > tsLit("1998-03-15"))
         .select(col("l_orderkey"),
-          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -53,6 +64,28 @@ object Composites extends QueryPack {
           col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
+    }),
+
+    // Q1 shape — pricing summary: the canonical multi-measure grouped
+    // scan. One pass, partial map-side aggregation into 6 groups; all
+    // money math decimal-cast per row (order-independent sums), the
+    // average closed by ONE double division of exact operands.
+    "q_composite_q1" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") <= tsLit("2000-09-02"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // Q5 shape — local-supplier volume: revenue by nation where the
@@ -73,7 +106,7 @@ object Composites extends QueryPack {
         .select(col("o_orderkey"), col("o_custkey"))
       val l = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_suppkey"),
-          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       val s = Tables.supplier(spark, sfDir)
         .select(col("s_suppkey"), col("s_nationkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -101,7 +134,7 @@ object Composites extends QueryPack {
       val l = Tables.lineitem(spark, sfDir)
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"),
-          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
@@ -136,9 +169,24 @@ object Composites extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_composite_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_composite_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
         |    AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -152,7 +200,7 @@ object Composites extends QueryPack {
 
     "q_composite_q5" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
         |    AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -168,7 +216,7 @@ object Composites extends QueryPack {
 
     "q_composite_q10" ->
       """SELECT c_custkey, c_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
         |    AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -265,10 +265,14 @@ object SimOps extends QueryPack {
   def kmeansRefine(emb: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     var centroids = seed
     for (_ <- 1 to iters) {
+      // same order-independent mean as pqTrain: one rounding into
+      // decimal per value, exact sum, one division — bit-stable across
+      // partitionings where avg() over floats was not
+      val d3818 = org.apache.spark.sql.types.DecimalType(38, 18)
       val means = assignCells(emb, centroids)
         .select(col("cell_id"), posexplode(col("embedding")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast(d3818)) / count(lit(1))).as("m"))
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))

@@ -605,6 +605,48 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // REPETITION filter (Gopher-style quality rule): per doc, the
+    // fraction of trigram positions whose shingle already occurred —
+    // 1 − distinct/total. Boilerplate/spam/looping generations score
+    // high and get filtered before training. Map-side per-row compute
+    // (codegen'd ShingleJoin for the distinct count), one source
+    // groupBy; the only division is one double op on exact integers.
+    "q_text_repetition" -> ((spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"),
+          (lit(1.0) -
+            size(ShingleJoin(col("toks"), 3, shortToUnigrams = false))
+              .cast("double") / (size(col("toks")) - 2))
+            .as("rep_frac"))
+      d.groupBy(col("source"))
+        .agg(count(when(col("rep_frac") > 0.2, 1)).as("n_repetitive"),
+          round(max(col("rep_frac")), 6).as("max_rep"))
+        .orderBy(col("source"))
+    }),
+
+    // PII REDACTION — training-data hygiene: regex-scrub emails before
+    // the corpus ships. The fixture carries no PII, so a deterministic
+    // synthetic email is injected into every 7th doc IN-QUERY and the
+    // operator must find exactly those. Embarrassingly parallel
+    // per-row regexp_replace; counts/char-deltas are exact integers.
+    "q_text_redact" -> ((spark, sfDir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("txt",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com now")))
+            .otherwise(col("text")))
+        .withColumn("clean", regexp_replace(col("txt"), emailRe, "<EMAIL>"))
+      docs.groupBy(col("source"))
+        .agg(count(when(col("clean") =!= col("txt"), 1)).as("n_redacted"),
+          sum((length(col("txt")) - length(col("clean"))).cast("long"))
+            .as("chars_removed"))
+        .orderBy(col("source"))
+    }),
+
     // Token counting two ways: whitespace tokens and a BPE-ish regex
     // lexer (letter runs / digit runs / single punctuation — the
     // pre-tokenization split BPE vocabularies start from). Pure
@@ -891,6 +933,42 @@ object TextOps extends QueryPack {
         |SELECT source,
         |  CAST(presentTerm + (n - presentCt) * ns AS DOUBLE) / (ns * n) AS l1_drift
         |FROM agg ORDER BY source""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, source, len(t) - 2 AS nt,
+        |    COUNT(DISTINCT x.shingle) AS nd
+        |  FROM (
+        |    SELECT doc_id, source, t,
+        |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |    FROM d, UNNEST(range(1, len(t) - 1)) AS u(i)) x
+        |  GROUP BY doc_id, source, len(t) - 2),
+        |r AS (SELECT source, 1.0 - CAST(nd AS DOUBLE) / nt AS rep_frac FROM sh)
+        |SELECT source,
+        |  COUNT(*) FILTER (WHERE rep_frac > 0.2) AS n_repetitive,
+        |  ROUND(MAX(rep_frac), 6) AS max_rep
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com now'
+        |      ELSE text END AS txt
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, txt,
+        |    regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS clean
+        |  FROM d)
+        |SELECT source,
+        |  COUNT(*) FILTER (WHERE clean <> txt) AS n_redacted,
+        |  CAST(SUM(len(txt) - len(clean)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,
