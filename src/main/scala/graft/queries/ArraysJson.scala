@@ -74,6 +74,34 @@ object ArraysJson extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // VARIANT (Spark 4): semi-structured values parse ONCE into the
+    // binary variant encoding and field access is a typed path read —
+    // the modern replacement for per-access get_json_object re-parsing.
+    // A nested doc (object + array) is built deterministically from
+    // event columns, parsed to variant, and read back with typed
+    // variant_get paths; the oracle does the same reads with DuckDB's
+    // JSON type. Output is scalar longs/strings (the variant stays
+    // internal — binary encodings are engine-specific).
+    "q_variant_json" -> ((spark, sfDir) => {
+      val j = concat(
+        lit("{\"id\":"), col("event_id"),
+        lit(",\"meta\":{\"ty\":\""), col("event_type"),
+        lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
+        lit("},\"tags\":[\"x\",\""), col("event_type"), lit("\"]}"))
+      Tables.events(spark, sfDir)
+        .select(parse_json(j).as("v"))
+        .select(
+          variant_get(col("v"), "$.id", "bigint").as("id"),
+          variant_get(col("v"), "$.meta.ty", "string").as("ty"),
+          variant_get(col("v"), "$.meta.k", "bigint").as("k"),
+          variant_get(col("v"), "$.tags[1]", "string").as("tag1"))
+        .groupBy(col("ty"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("id")).as("min_id"),
+          count(when(col("ty") === col("tag1"), 1)).as("n_tag_match"))
+        .orderBy(col("ty"))
+    }),
+
     "q_json_extract" -> ((spark, sfDir) => {
       Tables.events(spark, sfDir)
         .select(col("event_type"),
@@ -117,6 +145,23 @@ object ArraysJson extends QueryPack {
         |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
         |  COUNT(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_variant_json" ->
+      """WITH j AS (
+        |  SELECT ('{"id":' || event_id || ',"meta":{"ty":"' || event_type ||
+        |          '","k":' || json_extract_string(props, '$.k') ||
+        |          '},"tags":["x","' || event_type || '"]}')::JSON AS v
+        |  FROM events),
+        |x AS (
+        |  SELECT CAST(json_extract(v, '$.id') AS BIGINT) AS id,
+        |    json_extract_string(v, '$.meta.ty') AS ty,
+        |    CAST(json_extract(v, '$.meta.k') AS BIGINT) AS k,
+        |    json_extract_string(v, '$.tags[1]') AS tag1
+        |  FROM j)
+        |SELECT ty, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(id) AS min_id,
+        |  COUNT(*) FILTER (WHERE ty = tag1) AS n_tag_match
+        |FROM x GROUP BY ty ORDER BY ty""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,
