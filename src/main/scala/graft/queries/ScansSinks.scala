@@ -89,6 +89,26 @@ object ScansSinks extends QueryPack {
       exportAgg(spark.read.schema(exportSchema).json(dir))
     }),
 
+    // Plain-text source — one document per line, the dominant raw LLM
+    // corpus layout (every *.txt dump). The text source yields a single
+    // `value` column; structure is whatever the pipeline parses out of
+    // the line (id<TAB>text here). Equality with the parquet-side
+    // oracle proves the line round-trip loses nothing.
+    "q_scan_text" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "documents_text")
+      Tables.documents(spark, sfDir)
+        .select(concat(col("doc_id"), lit("\t"), col("text")).as("value"))
+        .write.mode("overwrite").text(dir)
+      spark.read.text(dir)
+        .select(
+          split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t").getItem(1).as("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_scan_csv_header" -> ((spark, sfDir) => {
       val dir = fixtureDir(sfDir, "customer_csv")
       val cust = Tables.customer(spark, sfDir)
@@ -213,6 +233,12 @@ object ScansSinks extends QueryPack {
     "q_sink_parquet_part" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_scan_text" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -72,6 +72,32 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CDC apply: each micro-batch MERGEs into a parquet
+    * keep-latest table through the batch [[graft.operators.Upsert]] —
+    * the foreachBatch loop a warehouse ingestion runs when the sink
+    * has no native MERGE. Idempotent at the table level: re-applying a
+    * delivered-again batch (at-least-once ingest) yields the same
+    * keep-latest rows. The merged result is localCheckpoint'ed BEFORE
+    * the overwrite so the write does not read the files it replaces.
+    * This demo rewrites the whole table; at warehouse scale the same
+    * loop targets only affected partitions via dynamic partition
+    * overwrite (pipeline.ParquetWarehouseSink). */
+  def upsertSink(updates: DataFrame, tableDir: String, keys: Seq[String],
+      versionCol: String, tiebreak: Seq[org.apache.spark.sql.Column] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val base =
+          if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        graft.operators.Upsert(base, batch.toDF(), keys, versionCol, tiebreak)
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+
   /** Stream-stream INTERVAL join: purchases matched to same-user
     * signups within the preceding hour. One equi key (user_id) plus a
     * bounded time-range residual — the equi key keeps it a shuffled
