@@ -173,4 +173,39 @@ object StreamOps {
           Iterator(UserActivity(userId, s.nEvents, s.nSessions))
       }
   }
+
+  /** The same per-user activity state on Spark 4's `transformWithState`
+    * — the successor API to flatMapGroupsWithState: named typed state
+    * variables against the state store, per-state TTL, timers, and
+    * schema evolution. Output parity with [[userActivity]] is asserted
+    * in StatefulSpec. The TWS execution path requires the RocksDB state
+    * store provider. */
+  class ActivityProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserActivity] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[ActivityState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ActivityState]("activity",
+        org.apache.spark.sql.Encoders.product[ActivityState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      var s = if (state.exists()) state.get()
+              else ActivityState(0L, 0L, Long.MinValue)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val newSession = s.lastTsMs == Long.MinValue ||
+          e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
+        s = ActivityState(s.nEvents + 1,
+          s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
+      }
+      state.update(s)
+      Iterator.single(UserActivity(key, s.nEvents, s.nSessions))
+    }
+  }
+
+  def userActivityTws(events: Dataset[UserEvent], gapMinutes: Int): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ActivityProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -37,6 +37,30 @@ class StatefulSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 TWS) matches flatMapGroupsWithState") {
+    import spark.implicits._
+    // the TWS execution path is RocksDB-only
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[UserEvent](spark)
+      val q = StreamOps.userActivityTws(mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("user_activity_tws")
+        .outputMode("update").start()
+      try {
+        mem.addData(UserEvent(1, t(0)), UserEvent(1, t(10)))
+        q.processAllAvailable()
+        mem.addData(UserEvent(1, t(30)), UserEvent(1, t(130)), UserEvent(2, t(0)))
+        q.processAllAvailable()
+        val rows = spark.table("user_activity_tws")
+          .groupBy("user_id").max("n_events", "n_sessions")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // identical to the flatMapGroupsWithState expectations above
+        assert(rows(1L) == ((4L, 2L)), s"user 1 via TWS: got ${rows.get(1L)}")
+        assert(rows(2L) == ((1L, 1L)))
+      } finally q.stop()
+    }
+  }
+
   test("same transform works on a batch Dataset") {
     import spark.implicits._
     val batch = Seq(
