@@ -43,7 +43,21 @@ object Subqueries extends QueryPack {
         |WHERE EXISTS (
         |  SELECT 1 FROM sq3_lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size + 40)
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
+    // per customer). Catalyst decorrelates it into a per-key window
+    // rank + join — the same scale-safe plan q_topk_group declares by
+    // hand, reached from the SQL a user actually writes.
+    "q_subquery_lateral" -> run("sq4",
+      """SELECT c.c_custkey, o.o_orderkey, o.price
+        |FROM sq4_customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM sq4_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -67,6 +81,16 @@ object Subqueries extends QueryPack {
         |WHERE EXISTS (
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size + 40)
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_subquery_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
   )
 }
