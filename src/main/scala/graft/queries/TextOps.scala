@@ -438,6 +438,46 @@ object TextOps extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // THE CURATION PIPELINE, end to end in ONE plan — what a training
+    // data run actually executes: quality gate → exact dedup →
+    // benchmark decontamination → per-(source, lang) survivor counts.
+    // Each stage is the already-oracle-checked operator (quality_filter
+    // rules, dedup_exact key, decontaminate grams) composed in
+    // production order; the oracle recomposes the same three stages in
+    // SQL, so the COMPOSITION is what this row proves. Shapes: quality
+    // is map-side (counts materialized before the filter — FilterExec
+    // re-tokenization trap); dedup is one key shuffle + row_number;
+    // decontamination shuffles grams (never doc pairs) and anti-joins
+    // on doc_id.
+    "q_curate_e2e" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+      val quality = docs
+        .select(col("doc_id"), col("source"), col("lang"), col("toks"),
+          col("n_chars"), size(col("toks")).as("n_toks"),
+          size(filter(col("toks"), t => t === "the" || t === "a")).as("n_stop"))
+        .filter(col("n_toks") >= 5 &&
+          col("n_stop").cast("double") / col("n_toks") <= 0.5 &&
+          col("n_chars").cast("double") / col("n_toks") <= 12.0)
+      val w = Window.partitionBy(col("dkey")).orderBy(col("doc_id"))
+      val deduped = quality
+        .withColumn("dkey", array_join(slice(col("toks"), 1, 8), " "))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        explode(ShingleJoin(col("toks"), 8, shortToUnigrams = false)).as("gram"))
+      val benchGrams = grams(docs.filter(col("source") === "src0"))
+        .select(col("gram")).distinct()
+      val cands = deduped.filter(col("source") =!= "src0")
+      val contaminated = grams(cands)
+        .join(benchGrams, "gram")
+        .select(col("doc_id")).distinct()
+      cands.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_curated"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Language-ID heuristic: stopword-list hits per language family,
     // highest count wins (fixture text is synthetic, so 'en' dominates
     // — the operator shape is what matters).
@@ -933,6 +973,40 @@ object TextOps extends QueryPack {
         |SELECT source,
         |  CAST(presentTerm + (n - presentCt) * ns AS DOUBLE) / (ns * n) AS l1_drift
         |FROM agg ORDER BY source""".stripMargin,
+
+    "q_curate_e2e" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, lang, toks FROM d
+        |  WHERE len(toks) >= 5
+        |    AND CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+        |        / len(toks) <= 0.5
+        |    AND CAST(n_chars AS DOUBLE) / len(toks) <= 12.0),
+        |dd AS (
+        |  SELECT doc_id, source, lang, toks FROM (
+        |    SELECT doc_id, source, lang, toks, ROW_NUMBER() OVER (
+        |      PARTITION BY array_to_string(toks[1:8], ' ')
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE source = 'src0' AND len(toks) >= 8),
+        |cand AS (SELECT * FROM dd WHERE source <> 'src0'),
+        |contaminated AS (
+        |  SELECT DISTINCT c.doc_id FROM (
+        |    SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |    FROM cand, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        |    WHERE len(toks) >= 8) c
+        |  JOIN bench USING (gram))
+        |SELECT source, lang, COUNT(*) AS n_curated
+        |FROM cand
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM contaminated x WHERE x.doc_id = cand.doc_id)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (
