@@ -133,6 +133,33 @@ object Aggregations extends QueryPack {
         .orderBy(col("flag"))
     }),
 
+    // Correlation / covariance via exact decimal co-moments — the
+    // order-independent formulation of corr()/covar_samp(): the five
+    // sums are mergeable decimal partials (map-side combine, no
+    // FP-order drift), cast once to double, and the closed-form
+    // formula runs on identical doubles in both engines. The built-in
+    // corr() merges running co-moments whose FP result depends on
+    // partition order — unusable under a hash gate.
+    "q_agg_corr" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(expr("x * y")).cast("double").as("sxy"),
+          sum(expr("x * x")).cast("double").as("sxx"),
+          sum(expr("y * y")).cast("double").as("syy"))
+        .select(col("flag"),
+          expr("(cnt * sxy - sx * sy) / " +
+            "(sqrt(cnt * sxx - sx * sx) * sqrt(cnt * syy - sy * sy))")
+            .as("corr_qty_price"),
+          expr("(cnt * sxy - sx * sy) / cnt / (cnt - 1)")
+            .as("covar_samp_qty_price"))
+        .orderBy(col("flag"))
+    }),
+
     "q_agg_collect" -> ((spark, sfDir) => {
       Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey"))
@@ -393,6 +420,26 @@ object Aggregations extends QueryPack {
         |SELECT flag,
         |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp_q,
         |  SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp_q
+        |FROM t ORDER BY flag""".stripMargin,
+
+    "q_agg_corr" ->
+      """WITH t AS (
+        |  SELECT flag, COUNT(*) AS cnt,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag AS flag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |        FROM lineitem)
+        |  GROUP BY flag)
+        |SELECT flag,
+        |  (cnt * sxy - sx * sy) /
+        |    (SQRT(cnt * sxx - sx * sx) * SQRT(cnt * syy - sy * sy))
+        |    AS corr_qty_price,
+        |  (cnt * sxy - sx * sy) / cnt / (cnt - 1) AS covar_samp_qty_price
         |FROM t ORDER BY flag""".stripMargin,
 
     "q_agg_collect" ->

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.dec
 
 /** Sorts / limits / top-k + set operations (SURVEY.md §2-B).
   *
@@ -54,6 +55,24 @@ object SortsSets extends QueryPack {
         .orderBy(col("nk"))
     }),
 
+    // SCHEMA-EVOLUTION union: two batches of the same logical table
+    // with different column sets (an old and a new export format)
+    // align by NAME with null fill — `unionByName(allowMissing)` is
+    // what an ingest run uses when the schema grew between drops;
+    // positional union would silently misalign or reject.
+    "q_union_evolve" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val oldBatch = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newBatch = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .select(col("o_orderkey"),
+          dec(col("o_totalprice")).cast("double").as("price"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Filtered right side (first 20 suppliers span only ~half the
     // nations) so the difference is non-empty.
     "q_except" -> ((spark, sfDir) => {
@@ -94,6 +113,18 @@ object SortsSets extends QueryPack {
         |  UNION
         |  SELECT s_nationkey AS nk FROM supplier)
         |ORDER BY nk""".stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  o_orderpriority
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT nk FROM (
