@@ -687,6 +687,52 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Document CHUNKING — the preprocessing op feeding embedding and
+    // training pipelines: fixed-size token windows (40) with overlap
+    // (stride 30). Chunk count and boundaries are exact integer
+    // arithmetic; the explode is over a computed COUNT (small int),
+    // with slices taken above the generator. Map-side, embarrassingly
+    // parallel.
+    "q_text_chunk" -> ((spark, sfDir) => {
+      val (c, s) = (40, 30)
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_chunks",
+          when(col("n") <= c, lit(1))
+            // `div`, not `/` — Column./ on integers is DOUBLE division
+            .otherwise(expr(s"((n - $c + $s - 1) div $s) + 1")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(c), col("n") - col("chunk_idx") * s).cast("long")
+            .as("n_chunk_tokens"),
+          array_join(slice(col("toks"), col("chunk_idx") * s + 1, lit(c)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Sequence PACKING — concatenate-and-split into fixed-token
+    // training bins (512) per source shard: each doc lands in the bin
+    // where its first token falls under a running concatenation.
+    // Per-source cumulative sums keep the window PARTITIONED (a global
+    // packing order would be a single-task sort at scale); exact
+    // integer arithmetic throughout.
+    "q_text_pack" -> ((spark, sfDir) => {
+      val binSize = 512
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .select(col("source"),
+          expr(s"(cum - n) div $binSize").as("bin"), col("n"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Token counting two ways: whitespace tokens and a BPE-ish regex
     // lexer (letter runs / digit runs / single punctuation — the
     // pre-tokenization split BPE vocabularies start from). Pure
@@ -1043,6 +1089,38 @@ object TextOps extends QueryPack {
         |  COUNT(*) FILTER (WHERE clean <> txt) AS n_redacted,
         |  CAST(SUM(len(txt) - len(clean)) AS BIGINT) AS chars_removed
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 40 THEN 1 ELSE ((n - 40 + 30 - 1) // 30) + 1 END
+        |      AS n_chunks
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(40, n - i * 30) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[i * 30 + 1 : i * 30 + 40], ' ') AS chunk_text
+        |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_text_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n,
+        |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT source, (cum - n) // 512 AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, (cum - n) // 512
+        |ORDER BY source, bin""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,
