@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Aggregations, Filters, Joins, SortsSets, Scalars, Windows,
     ArraysJson, TextOps, SimOps, ScansSinks, Streaming, Udfs,
-    MultimodalPack, Subqueries, Reshape, Warehouse, Composites
+    MultimodalPack, Subqueries, Reshape, Warehouse, Composites,
+    EventsAnalytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
