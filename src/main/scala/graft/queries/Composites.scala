@@ -144,6 +144,40 @@ object Composites extends QueryPack {
         .limit(20)
     }),
 
+    // Q7 shape — volume shipping between nation pairs by year: the
+    // SAME bounded dimension joined TWICE under different roles
+    // (supplier nation vs customer nation), both broadcast; the
+    // asymmetric n1 < n2 pair filter rides the joined row. Year
+    // extraction groups the fact once; all pair/year groups are
+    // bounded (25² × years), so the final aggregate is tiny.
+    "q_composite_q7" -> ((spark, sfDir) => {
+      val n1 = broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+      val l = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"),
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val s = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      l.join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // Q18 shape — large-volume customers: orders whose total quantity
     // clears a threshold, joined back to customer. The per-order
     // quantity aggregate is computed ONCE (partial map-side sums, one
@@ -228,6 +262,23 @@ object Composites extends QueryPack {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+
+    "q_composite_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_composite_q18" ->
       """WITH qty AS (

@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.dec
 
 /** Product-analytics queries over the event stream — the workloads the
   * reference's users (game analytics) actually run on the warehouse it
@@ -59,6 +61,81 @@ object EventsAnalytics extends QueryPack {
         .groupBy(col("cohort"))
         .agg(count(lit(1)).as("n_users"), count(col("d")).as("n_retained_d7"))
         .orderBy(col("cohort"))
+    }),
+
+    // DAU / trailing-7-day WAU / stickiness. WAU is NOT a range join:
+    // each distinct (user, day) is exploded into the 7 trailing windows
+    // it contributes to (literal-range sequence — cheap, no generator
+    // filter-inference trap) and re-aggregated by window end. That
+    // keeps the whole query equi-key shuffles — a day-range join here
+    // would plan as a nested-loop at scale. The explode factor is a
+    // constant 7 on the DISTINCT activity pairs, not the raw events.
+    "q_events_dau" -> ((spark, sfDir) => {
+      val active = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+      val days = active.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val wau = active
+        .select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("user_id"), date_add(col("d"), col("k")).as("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      days.join(wau, "d")
+        .select(col("d"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy(col("d"))
+    }),
+
+    // Z-score outlier detection per event type — the outlier-filtering
+    // pass a curation pipeline runs on numeric telemetry. Moments are
+    // exact decimal sums (order-independent, map-side combinable; the
+    // built-in stddev merges FP-order-dependent running moments —
+    // unusable under a hash gate, same rationale as q_agg_corr). The
+    // stats side is one row per event type (domain-bounded) but carries
+    // no broadcast hint: AQE sees its runtime size and promotes it.
+    "q_events_anomaly" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), dec(col("value")).as("x"))
+      val st = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("s1"),
+          sum(expr("x * x")).cast("double").as("s2"))
+        .select(col("event_type"), expr("s1 / n").as("mu"),
+          expr("sqrt((s2 - s1 * s1 / n) / (n - 1))").as("sd"))
+      e.join(st, "event_type")
+        .withColumn("z", (col("x").cast("double") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Corpus-level session statistics: sessionize (30-min gap, same
+    // windows as q_win_sessionize), then collapse per-session rows to
+    // ONE global row. The only shuffles are the user_id window and the
+    // session groupBy; the final global aggregate is mergeable partials.
+    // Averages close with single double divisions of exact integers.
+    "q_events_sessions" -> ((spark, sfDir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val runW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val per = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(runW))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("us")) - min(col("us"))).as("dur"))
+      per.agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        (sum(col("n_ev")).cast("double") / count(lit(1))).as("avg_events"),
+        (sum(col("dur")).cast("double") / count(lit(1)) / lit(1000000.0))
+          .as("avg_dur_sec"),
+        max(col("dur")).as("max_dur_us"))
     })
   )
 
@@ -92,6 +169,61 @@ object EventsAnalytics extends QueryPack {
         |SELECT cohort, COUNT(*) AS n_users, COUNT(d) AS n_retained_d7
         |FROM c LEFT JOIN active
         |  ON user_id = a_uid AND d = cohort + 7
-        |GROUP BY cohort ORDER BY cohort""".stripMargin
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q_events_dau" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT d, COUNT(*) AS dau FROM active GROUP BY d),
+        |contrib AS (
+        |  SELECT user_id, d + k AS d FROM active
+        |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) t(k)),
+        |wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY d)
+        |SELECT days.d, dau, wau, CAST(dau AS DOUBLE)/wau AS stickiness
+        |FROM days JOIN wau USING (d) ORDER BY d""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS s1,
+        |    CAST(SUM(x*x) AS DOUBLE) AS s2
+        |  FROM e GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, s1 / n AS mu,
+        |    SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd
+        |  FROM m)
+        |SELECT e.event_id, e.event_type,
+        |  (CAST(e.x AS DOUBLE) - mu) / sd AS z
+        |FROM e JOIN st USING (event_type)
+        |WHERE ABS((CAST(e.x AS DOUBLE) - mu) / sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - LAG(us, 1) OVER w IS NULL
+        |           OR us - LAG(us, 1) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_ev,
+        |    MAX(us) - MIN(us) AS dur
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) AS avg_events,
+        |  CAST(SUM(dur) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_dur_sec,
+        |  CAST(MAX(dur) AS BIGINT) AS max_dur_us
+        |FROM per""".stripMargin
   )
 }

@@ -97,6 +97,22 @@ object Streaming extends QueryPack {
           col("user_id").as("s_user_id"), col("ts").as("sts"))
       StreamOps.intervalJoin(purchases, signups)
         .orderBy(col("purchase_id"), col("signup_id"))
+    }),
+
+    // LEFT OUTER variant: conversion attribution where unconverted
+    // purchases still appear (null signup). Batch form of
+    // StreamOps.leftOuterIntervalJoin; the streaming delayed-emission
+    // semantics are exercised in StreamingSpec.
+    "q_stream_left_outer" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("s_user_id"), col("ts").as("sts"))
+      StreamOps.leftOuterIntervalJoin(purchases, signups)
+        .orderBy(col("purchase_id"), col("signup_id"))
     })
   )
 
@@ -161,6 +177,19 @@ object Streaming extends QueryPack {
         |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
         | AND s.user_id = p.user_id
         | AND s.ts >= p.ts - INTERVAL '1 hour' AND s.ts <= p.ts
-        |ORDER BY purchase_id, signup_id""".stripMargin
+        |ORDER BY purchase_id, signup_id""".stripMargin,
+
+    "q_stream_left_outer" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+        |FROM p LEFT JOIN s
+        |  ON s.user_id = p.user_id
+        | AND s.ts >= p.ts - INTERVAL '1 hour' AND s.ts <= p.ts
+        |ORDER BY purchase_id, signup_id NULLS FIRST""".stripMargin
   )
 }

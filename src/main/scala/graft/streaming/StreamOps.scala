@@ -123,6 +123,26 @@ object StreamOps {
       purchases.withWatermark("pts", watermark),
       signups.withWatermark("sts", watermark))
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits, with
+    * a null signup when no same-user signup precedes it within an hour.
+    * Same equi key + bounded interval as [[intervalJoin]]; the outer
+    * semantics add the delayed-emission rule — a purchase can only be
+    * declared unmatched once the signup-side watermark passes its
+    * interval's upper bound, so null-padded rows surface a watermark
+    * late (asserted against the streaming form in StreamingSpec). */
+  def leftOuterIntervalJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases.join(signups,
+        col("s_user_id") === col("user_id") &&
+        col("sts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("sts") <= col("pts"), "left_outer")
+      .select(col("purchase_id"), col("signup_id"))
+
+  def leftOuterIntervalJoinStream(purchases: DataFrame, signups: DataFrame,
+      watermark: String): DataFrame =
+    leftOuterIntervalJoin(
+      purchases.withWatermark("pts", watermark),
+      signups.withWatermark("sts", watermark))
+
   /** Stream-STATIC enrichment join: each event picks up its dimension
     * row by equi key. On a stream, Spark re-plans the static side per
     * micro-batch (so dimension updates between batches are visible) and

@@ -10,10 +10,11 @@ class PlanAuditSpec extends SparkSuite {
   // Deliberate nested-loop shapes: region×nation (125 rows), one-row
   // broadcast probes (q_sim_topk, q_sim_ann_ivf's probe + k-row
   // centroid table), and the one-row broadcasts of a global count in
-  // q_win_ntile and q_text_tfidf.
+  // q_win_ntile, q_text_tfidf, and q_sample_temperature's global max.
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
-      "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift")
+      "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift",
+      "q_sample_temperature")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

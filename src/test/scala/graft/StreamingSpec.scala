@@ -116,6 +116,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: null row emits only after watermark") {
+    import spark.implicits._
+    val pMem = MemoryStream[Purchase](spark)
+    val sMem = MemoryStream[Signup](spark)
+    val q = StreamOps.leftOuterIntervalJoinStream(pMem.toDF(), sMem.toDF(),
+        "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin_louter")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Long)] = spark.table("ssjoin_louter").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // P1 matches S10; P4 (user 3) has no signup — outer row pending
+      pMem.addData(Purchase(1, 1, t(90)), Purchase(4, 3, t(30)))
+      sMem.addData(Signup(10, 1, t(40)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 10L)),
+        "unmatched purchase must NOT emit before the watermark passes its interval")
+      // advance BOTH watermarks past P4's match interval (wm = 300-10m)
+      pMem.addData(Purchase(99, 8, t(300)))
+      sMem.addData(Signup(99, 9, t(300)))
+      q.processAllAvailable()
+      // outer rows surface on the trigger AFTER the watermark advances
+      pMem.addData(Purchase(100, 8, t(310)))
+      sMem.addData(Signup(100, 9, t(310)))
+      q.processAllAvailable()
+      assert(rows().contains((4L, -1L)),
+        "watermark-finalized unmatched purchase must emit null-padded")
+      // parity with the batch form on the finalized prefix
+      val batch = StreamOps.leftOuterIntervalJoin(
+          Seq(Purchase(1, 1, t(90)), Purchase(4, 3, t(30))).toDF(),
+          Seq(Signup(10, 1, t(40))).toDF())
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(batch == Set((1L, 10L), (4L, -1L)))
+      assert(batch.subsetOf(rows()))
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming result equals batch") {
     import spark.implicits._
     val events = Seq(
