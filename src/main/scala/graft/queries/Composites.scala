@@ -178,6 +178,97 @@ object Composites extends QueryPack {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // Q14 shape — promo revenue share: conditional aggregation over a
+    // fact⋈dim join, finishing in one scalar. The month filter prunes
+    // the fact scan BEFORE the partkey join; both sums ride the same
+    // decimal-cast measure, and the percentage closes with double
+    // multiply/divide of exact operands (identical op order in the
+    // oracle).
+    "q_composite_q14" -> ((spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= tsLit("1997-09-01") &&
+          col("l_shipdate") < tsLit("1997-10-01"))
+        .select(col("l_partkey"),
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(dec6(lit(0)))).cast("double") /
+            sum(col("rev")).cast("double")).as("promo_pct"))
+    }),
+
+    // Q17 shape — small-quantity-order revenue: the correlated
+    // per-part average decorrelated into a grouped aggregate joined
+    // back to the fact. The brand filter restricts BOTH branches (the
+    // threshold only matters for branded parts), so the per-part
+    // aggregate runs on the reduced fact, and the branch reuses the
+    // same join subtree (exchange reuse, not a second full scan).
+    "q_composite_q17" -> ((spark, sfDir) => {
+      val pb = Tables.part(spark, sfDir)
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = Tables.lineitem(spark, sfDir)
+        .join(pb, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val a = li.groupBy(col("l_partkey"))
+        .agg((lit(0.2) *
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))))
+          .as("thr"))
+        .withColumnRenamed("l_partkey", "pk")
+      li.join(a, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("double") < col("thr"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // Q19 shape — disjunctive bracket predicates: three OR'd
+    // brand/size/quantity brackets over one equi join. The partkey
+    // equality keeps the join hashed; the disjunction stays a residual
+    // filter on the joined row (never a nested loop), with the
+    // per-side conjuncts (p_size >= 1, quantity ranges) pushable.
+    "q_composite_q19" -> ((spark, sfDir) => {
+      val p = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_quantity"),
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    }),
+
+    // Q22 shape — dormant high-balance customers: scalar-average
+    // subquery (1-row broadcast cross join — the lazy in-plan form) +
+    // anti join against recent orders, grouped by segment. The phone-
+    // prefix grouping of textbook Q22 has no fixture column; segment
+    // plays that role, and "no orders at all" (empty at any SF — every
+    // customer orders) becomes "no orders since 2000-01-01".
+    "q_composite_q22" -> ((spark, sfDir) => {
+      val cust = Tables.customer(spark, sfDir)
+      val ab = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("v"))
+      val c = cust
+        .select(col("c_custkey"), col("c_mktsegment"),
+          dec(col("c_acctbal")).as("bal"))
+        .crossJoin(broadcast(ab))
+        .filter(col("bal").cast("double") > col("v"))
+      val recent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= tsLit("2000-01-01"))
+        .select(col("o_custkey"))
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast("double").as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Q18 shape — large-volume customers: orders whose total quantity
     // clears a threshold, joined back to customer. The per-order
     // quantity aggregate is computed ONCE (partial map-side sums, one
@@ -279,6 +370,59 @@ object Composites extends QueryPack {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_composite_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "q_composite_q17" ->
+      """WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN pb ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT l_partkey AS pk,
+        |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*)) AS thr
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM li JOIN a ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DOUBLE) < thr""".stripMargin,
+
+    "q_composite_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_composite_q22" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS v
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer CROSS JOIN ab
+        |  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > v)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM c WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_composite_q18" ->
       """WITH qty AS (

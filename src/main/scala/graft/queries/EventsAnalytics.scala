@@ -136,6 +136,32 @@ object EventsAnalytics extends QueryPack {
         (sum(col("dur")).cast("double") / count(lit(1)) / lit(1000000.0))
           .as("avg_dur_sec"),
         max(col("dur")).as("max_dur_us"))
+    }),
+
+    // Time-series gap filling with forward fill (LOCF): a dense
+    // user × day spine (day range from a 1-row bounds aggregate,
+    // exploded and BROADCAST — the spine is bounded by the calendar,
+    // not the data), left-joined to daily sums, missing days carried
+    // forward per user, zero before first observation. The reporting
+    // cohort is bounded (user_id < 1000, declared) so the dense output
+    // stays calendar × cohort at any SF; the LOCF window shuffles once
+    // on user_id.
+    "q_events_gapfill" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .filter(col("user_id") < 1000)
+        .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+        .agg(sum(dec(col("value"))).cast("double").as("v"))
+      val days = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      val grid = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("v"), last(col("v"), ignoreNulls = true).over(w),
+            lit(0.0)).as("v_filled"))
+        .orderBy(col("user_id"), col("d"))
     })
   )
 
@@ -224,6 +250,29 @@ object EventsAnalytics extends QueryPack {
         |  CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) AS avg_events,
         |  CAST(SUM(dur) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_dur_sec,
         |  CAST(MAX(dur) AS BIGINT) AS max_dur_us
-        |FROM per""".stripMargin
+        |FROM per""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 1000 GROUP BY user_id, CAST(ts AS DATE)),
+        |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS d
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT user_id, d
+        |  FROM (SELECT DISTINCT user_id FROM daily) CROSS JOIN days),
+        |j AS (
+        |  SELECT g.user_id, g.d, daily.v
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.user_id = daily.user_id AND g.d = daily.d)
+        |SELECT user_id, d,
+        |  COALESCE(v, last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
+        |FROM j ORDER BY user_id, d""".stripMargin
   )
 }

@@ -137,6 +137,20 @@ object Windows extends QueryPack {
           last(col("o_totalprice")).over(w).as("last_price"))
         .orderBy(col("o_orderkey"))
     }),
+    // Distribution window functions: percent_rank = (rank-1)/(n-1) and
+    // cume_dist = rank_with_ties/n — both close as one integer-ratio
+    // double division (deterministic), sharing the rank window's single
+    // custkey shuffle. The price+orderkey order is a total order, so
+    // ranks (and hence both ratios) are engine-independent.
+    "q_win_dist" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
 
     "q_topk_group" -> ((spark, sfDir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -227,6 +241,14 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
