@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -199,23 +200,22 @@ object Composites extends QueryPack {
     }),
 
     // Q17 shape — small-quantity-order revenue: the correlated
-    // per-part average decorrelated into a grouped aggregate joined
-    // back to the fact. The brand filter restricts BOTH branches (the
-    // threshold only matters for branded parts), so the per-part
-    // aggregate runs on the reduced fact, and the branch reuses the
-    // same join subtree (exchange reuse, not a second full scan).
+    // per-part average DECORRELATED into a partition window over the
+    // (brand-restricted) fact — ONE fact scan, one partkey
+    // shuffle+sort. The textbook agg-then-self-join form scans the
+    // fact twice (measured: no exchange reuse across the aggregated
+    // and raw branches); the window computes the same per-part
+    // threshold in place.
     "q_composite_q17" -> ((spark, sfDir) => {
       val pb = Tables.part(spark, sfDir)
         .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
-      val li = Tables.lineitem(spark, sfDir)
+      val byPart = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(spark, sfDir)
         .join(pb, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      val a = li.groupBy(col("l_partkey"))
-        .agg((lit(0.2) *
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))))
-          .as("thr"))
-        .withColumnRenamed("l_partkey", "pk")
-      li.join(a, col("l_partkey") === col("pk"))
+        .withColumn("thr", lit(0.2) *
+          (sum(dec(col("l_quantity"))).over(byPart).cast("double") /
+            count(lit(1)).over(byPart)))
         .filter(col("l_quantity").cast("double") < col("thr"))
         .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
           .as("avg_yearly"))

@@ -66,22 +66,24 @@ object EventsAnalytics extends QueryPack {
     // DAU / trailing-7-day WAU / stickiness. WAU is NOT a range join:
     // each distinct (user, day) is exploded into the 7 trailing windows
     // it contributes to (literal-range sequence — cheap, no generator
-    // filter-inference trap) and re-aggregated by window end. That
-    // keeps the whole query equi-key shuffles — a day-range join here
-    // would plan as a nested-loop at scale. The explode factor is a
-    // constant 7 on the DISTINCT activity pairs, not the raw events.
+    // filter-inference trap) and re-aggregated by window end — a
+    // day-range join here would plan as a nested-loop at scale. ONE
+    // pass: DAU is the k = 0 slice of the same exploded stream
+    // (distinct users contributing to their own day), so both distinct
+    // counts ride a single Expand aggregate instead of a second scan +
+    // join; days with no activity fall out as dau = 0 and are dropped.
     "q_events_dau" -> ((spark, sfDir) => {
-      val active = Tables.events(spark, sfDir)
+      Tables.events(spark, sfDir)
         .select(col("user_id"), col("ts").cast("date").as("d"))
         .distinct()
-      val days = active.groupBy(col("d")).agg(count(lit(1)).as("dau"))
-      val wau = active
         .select(col("user_id"), col("d"),
           explode(sequence(lit(0), lit(6))).as("k"))
-        .select(col("user_id"), date_add(col("d"), col("k")).as("d"))
+        .select(col("user_id"), date_add(col("d"), col("k")).as("d"),
+          (col("k") === 0).as("today"))
         .groupBy(col("d"))
-        .agg(countDistinct(col("user_id")).as("wau"))
-      days.join(wau, "d")
+        .agg(countDistinct(when(col("today"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .filter(col("dau") > 0)
         .select(col("d"), col("dau"), col("wau"),
           (col("dau").cast("double") / col("wau")).as("stickiness"))
         .orderBy(col("d"))
