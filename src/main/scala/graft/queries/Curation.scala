@@ -60,6 +60,29 @@ object Curation extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Damped PageRank over the customer–supplier trade graph (who
+    // buys from whom, via lineitem ⋈ orders): centrality of each
+    // party in the commerce network. Node ids are namespaced
+    // (customer = 2k, supplier = 2k+1) and the bipartite edge list is
+    // SYMMETRIZED so no node dangles (see operators.PageRank). No
+    // DuckDB oracle — 10 iterations of FP mat-vec are not reasonably
+    // SQL-expressible — but the operator itself is bit-deterministic
+    // (decimal contribution sums) and PageRankSpec pins known-graph
+    // values, mass conservation, and partitioning-independence.
+    "q_graph_pagerank" -> ((spark, sfDir) => {
+      val pairs = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.PageRank(edges, iterations = 10)
+        .orderBy(col("rank").desc, col("id").asc)
+        .limit(20)
+    }),
+
     // Top-20 corpus bigrams with a total-order tiebreak. Pairs are
     // formed MAP-SIDE — zip the token array with its own tail and
     // explode once — so no doc-keyed window shuffle of raw tokens ever

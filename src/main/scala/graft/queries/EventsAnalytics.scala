@@ -140,6 +140,33 @@ object EventsAnalytics extends QueryPack {
         max(col("dur")).as("max_dur_us"))
     }),
 
+    // Interval-union coverage (the "islands" pattern): each event opens
+    // a 5-minute activity interval; overlapping intervals per user are
+    // merged by comparing each start against the running max of prior
+    // ends (never an interval self-join — that's quadratic per user at
+    // scale), and covered time sums exactly in integer µs. One user
+    // shuffle drives the window, the islands groupBy, and the per-user
+    // rollup.
+    "q_interval_union" -> ((spark, sfDir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      val prevW = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      val runW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e", col("s") + lit(300L * 1000000L))
+        .withColumn("prev_max", max(col("e")).over(prevW))
+        .withColumn("new_i",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_i")).over(runW))
+        .groupBy(col("user_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time-series gap filling with forward fill (LOCF): a dense
     // user × day spine (day range from a 1-row bounds aggregate,
     // exploded and BROADCAST — the spine is bounded by the calendar,
@@ -253,6 +280,33 @@ object EventsAnalytics extends QueryPack {
         |  CAST(SUM(dur) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_dur_sec,
         |  CAST(MAX(dur) AS BIGINT) AS max_dur_us
         |FROM per""".stripMargin,
+
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300 * 1000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+        |      AS new_i
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    CAST(SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, island, MAX(e) - MIN(s) AS cov
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(cov) AS BIGINT) AS covered_us
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_gapfill" ->
       """WITH daily AS (
