@@ -137,6 +137,25 @@ object Windows extends QueryPack {
           last(col("o_totalprice")).over(w).as("last_price"))
         .orderBy(col("o_orderkey"))
     }),
+    // Per-group exact (discrete lower) median at scale: one group
+    // shuffle + in-partition sort, the row at rank (n+1) div 2 — never
+    // an interpolating percentile (whose (a+b)/2 close differs across
+    // engines) and never a per-group collect. Integer rank selection is
+    // engine-exact; the global q_agg_percentile_disc covers the
+    // ungrouped two-pass form.
+    "q_agg_median_group" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_custkey"),
+          graft.Tables.dec(col("o_totalprice")).cast("double")
+            .as("median_price"))
+        .orderBy(col("o_custkey"))
+    }),
     // Distribution window functions: percent_rank = (rank-1)/(n-1) and
     // cume_dist = rank_with_ties/n — both close as one integer-ratio
     // double division (deterministic), sharing the rank window's single
@@ -241,6 +260,18 @@ object Windows extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_median_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS median_price
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_win_dist" ->
       """SELECT o_custkey, o_orderkey,
