@@ -167,6 +167,23 @@ object Aggregations extends QueryPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // Ordered string aggregation — Spark 4's native listagg with an
+    // explicit WITHIN GROUP total order ((o_orderdate, o_orderkey):
+    // orderkey is unique, so the concat order — and therefore the
+    // hash — is engine- and partitioning-independent; an unordered
+    // listagg/string_agg would be nondeterministic on both engines).
+    // One group shuffle with in-group sort; per-group string length is
+    // bounded by group size, same memory envelope as q_agg_collect.
+    "q_agg_stringagg" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          expr("listagg(o_orderpriority, ',') within group " +
+            "(order by o_orderdate, o_orderkey)").as("priority_seq"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Sketch-based: no DuckDB oracle (HLL++ impl differs) — tolerance
     // ScalaTest vs exact countDistinct instead (SURVEY.md §2-B).
     "q_agg_approx_distinct" -> ((spark, sfDir) => {
@@ -445,6 +462,13 @@ object Aggregations extends QueryPack {
     "q_agg_collect" ->
       """SELECT o_custkey,
         |  list_aggr(list_sort(list(o_orderkey)), 'string_agg', ',') AS ids
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_stringagg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, ','
+        |    ORDER BY o_orderdate, o_orderkey) AS priority_seq,
+        |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_agg_percentile_disc" ->

@@ -83,6 +83,27 @@ object Curation extends QueryPack {
         .limit(20)
     }),
 
+    // Deterministic global shuffle for training — the reproducible
+    // answer to "randomize example order before sharding": shard =
+    // Knuth hash of the stable key mod the shard count, position =
+    // rank of the hash within the shard. One arithmetic map + ONE
+    // shard-keyed exchange with in-partition sort (the window
+    // partitions by shard, so shards sort independently — no global
+    // sort). At 100 TB the shard count is the output-file count and
+    // each sorted shard streams straight to its writer; identical
+    // hash → identical order on any engine, partitioning, or rerun
+    // (vs rand(), which is neither reproducible nor oracle-checkable).
+    "q_shuffle_shards" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), (h % 16).as("shard"), h.as("hv"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // Top-20 corpus bigrams with a total-order tiebreak. Pairs are
     // formed MAP-SIDE — zip the token array with its own tail and
     // explode once — so no doc-keyed window shuffle of raw tokens ever
@@ -123,6 +144,17 @@ object Curation extends QueryPack {
         |SELECT lang, n AS n_docs,
         |  SQRT(CAST(n AS DOUBLE)) / SQRT(CAST(mx AS DOUBLE)) AS rel_rate
         |FROM c CROSS JOIN m ORDER BY lang""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296 AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 16 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 16
+        |    ORDER BY hv, doc_id) AS INTEGER) AS pos
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
 
     "q_text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

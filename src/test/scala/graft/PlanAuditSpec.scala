@@ -11,12 +11,14 @@ class PlanAuditSpec extends SparkSuite {
   // broadcast probes (q_sim_topk, q_sim_ann_ivf's probe + k-row
   // centroid table), and the one-row broadcasts of a global count in
   // q_win_ntile, q_text_tfidf, and q_sample_temperature's global max.
-  // q_composite_q22: 1-row scalar-average broadcast; q_events_gapfill:
-  // calendar-bounded day spine broadcast under the user grid.
+  // q_composite_q22 / q_composite_q11: 1-row scalar-average broadcast;
+  // q_events_gapfill: calendar-bounded day spine broadcast under the
+  // user grid.
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
       "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift",
-      "q_sample_temperature", "q_composite_q22", "q_events_gapfill")
+      "q_sample_temperature", "q_composite_q22", "q_composite_q11",
+      "q_events_gapfill")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -70,6 +70,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("batch-B composites: pushed filters, hashed joins, no nested loop") {
+    // Q6 is the pushdown probe: all three predicates must reach the
+    // parquet reader. Q8/Q9/Q21 are the deep-join shapes: every join
+    // must stay hashed (Q11's 1-row threshold broadcast is the one
+    // allowed nested-loop, audited in PlanAuditSpec).
+    val q6 = executedPlan("q_composite_q6")
+    assert(q6.contains("PushedFilters: [") && !q6.contains("PushedFilters: []"),
+      q6.take(2000))
+    for (q <- Seq("q_composite_q8", "q_composite_q9", "q_composite_q21")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q\n" + plan.take(2000))
+    }
+    // Q15's max back-join compares EXACT decimals by equality — it must
+    // plan as a hash join, not a nested-loop inequality probe.
+    assert(executedPlan("q_composite_q15").contains("BroadcastHashJoin"))
+  }
+
   test("dynamic partition pruning fires on a partitioned fact scan") {
     val dir = "target/test-fixtures/dpp_events"
     Tables.events(spark, Sf)
