@@ -224,6 +224,69 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-PNG media table: each payload is an ImageIO-
+    * encoded 16×16 noise image keyed by id — the decodable-image
+    * analog of [[synthesize]] (whose "image" payloads are opaque
+    * bytes) for operators that need actual pixels, like [[imageHash]].
+    * Noise (not a gradient): a smooth pattern shifted per id would
+    * leave the above-mean bit pattern identical across ids and every
+    * image would collide into one hash bucket. */
+  def synthesizePng(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      var p = 0
+      while (p < 256) {
+        // splitmix64-style finalizer: a single multiplicative hash of
+        // (id, p) is a LINEAR low-discrepancy sequence in p — every id
+        // yields the same above-mean bit pattern phase-shifted, and all
+        // images collide into a handful of aHash buckets (measured)
+        var z = id * 256L + p + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val v = ((z ^ (z >>> 31)) & 0xff).toInt
+        img.setRGB(p % 16, p / 16, 0xff000000 | (v << 16) | (v << 8) | v)
+        p += 1
+      }
+      MediaRecord(id, "image", MediaMeta("png", 16, 16, 0, 1),
+        PngCodec.encode(img))
+    }
+  }
+
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** 64-bit perceptual average-hash (aHash) over DECODED pixels: the
+    * image is resampled to 8×8 luminance and each bit is "cell brighter
+    * than the image mean" — the standard cheap image fingerprint.
+    * Identical images hash identically; near-identical images (recompressed,
+    * lightly edited, nearest-neighbor rescaled) agree on most bits, so
+    * exact grouping finds exact dups and banding the 64 bits (like the
+    * SimHash text path) yields hamming-tolerant candidates. The mean
+    * threshold is EXACT integer arithmetic (cell·64 > Σcells — no
+    * double division), so the hash is bit-stable on any platform.
+    * Non-image / non-decodable rows are dropped (the fallback byte
+    * path has no pixel semantics to hash). Embarrassingly parallel. */
+  def imageHash(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.kind != "image") None
+      else PngCodec.decode(r.payload).map { img =>
+        val small = PngCodec.resizeNearest(img, 8, 8)
+        val lum = PngCodec.argb(small).map(PngCodec.luminance)
+        var sum = 0L
+        lum.foreach(sum += _)
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (lum(i) * 64L > sum) h |= (1L << i)
+          i += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+  }
+
   /** 63-bit FNV-1a over UTF-8 bytes (sign bit cleared so ids sort with
     * human-assigned non-negative ones). */
   private[multimodal] def fnv63(s: String): Long = {

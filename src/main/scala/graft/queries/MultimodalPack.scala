@@ -38,6 +38,27 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // Image dedup by perceptual hash over REAL decoded PNGs: plant
+    // known duplicates (2 low-id payloads re-ingested under new ids —
+    // the re-crawl case), hash every decodable image, and group by the
+    // 64-bit aHash. One bounded-key shuffle of (id, hash) pairs —
+    // payloads never move after the map-side decode. Groups with
+    // n > 1 are the dup clusters; min id is the canonical keeper
+    // (same rule as the text dedup family).
+    "q_multimodal_phash" -> ((spark, _) => {
+      import spark.implicits._
+      val media = Multimodal.synthesizePng(spark, 100)
+      val dups = media.filter(_.media_id < 2)
+        .map(r => r.copy(media_id = r.media_id + 10000))
+      Multimodal.imageHash(media.union(dups))
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(min(col("media_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keeper"))
+    }),
+
     "q_multimodal_resize" -> ((spark, _) => {
       Multimodal.resizeImage(Multimodal.synthesize(spark, 300), newW = 8, newH = 8)
         .toDF()

@@ -195,6 +195,49 @@ class MultimodalSpec extends SparkSuite {
     assert(feats(3) == 2.0 / 8) // 32767, -32768
   }
 
+  test("perceptual hash: stable, scale-invariant, pixel-edit tolerant") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def rec(id: Long, p: Array[Byte]) = Multimodal.MediaRecord(
+      id, "image", Multimodal.MediaMeta("png", -1, -1, 0, 1), p)
+    // deterministic 16x16 gradient test image
+    def pix(x: Int, y: Int): Int = {
+      val v = (x * 16 + y * 3) & 0xff
+      0xff000000 | (v << 16) | (v << 8) | v
+    }
+    val base = png(16, 16, pix)
+    // identical payloads hash identically
+    val Array(h1, h2) = Multimodal.imageHash(
+      Seq(rec(1, base), rec(2, base)).toDS()).collect().map(_.phash)
+    assert(h1 == h2)
+    // 2x nearest-neighbor upscale = same 8x8 cells = identical hash
+    val up = png(32, 32, (x, y) => pix(x / 2, y / 2))
+    val hUp = Multimodal.imageHash(Seq(rec(3, up)).toDS()).collect().head.phash
+    assert(hUp == h1, "aHash must survive an exact 2x rescale")
+    // one edited pixel flips few bits (near-dup stays within a band)
+    val edit = png(16, 16, (x, y) =>
+      if (x == 0 && y == 0) 0xffffffff else pix(x, y))
+    val hEdit = Multimodal.imageHash(Seq(rec(4, edit)).toDS()).collect().head.phash
+    assert(java.lang.Long.bitCount(h1 ^ hEdit) <= 8,
+      s"single-pixel edit moved ${java.lang.Long.bitCount(h1 ^ hEdit)} bits")
+    // non-decodable images are dropped, not hashed
+    assert(Multimodal.imageHash(
+      Seq(rec(5, Array[Byte](1, 2, 3))).toDS()).count() == 0)
+    // the registered dedup query finds exactly the planted duplicates
+    // (and nothing else: 100 distinct noise images must not collide)
+    val dups = SparkEntry.queries("q_multimodal_phash")(spark, Sf).collect()
+    assert(dups.map(_.getLong(1)).toSet == Set(0L, 1L),
+      "keepers must be the two low-id planted image dups")
+    assert(dups.forall(_.getLong(2) == 2L))
+  }
+
   test("synthesized audio is real WAV; corrupt audio degrades, not throws") {
     val audio = media.filter(_.kind == "audio")
     val n = audio.count()
