@@ -39,15 +39,30 @@ object PageRank {
     * @return (id, rank) with sum(rank) == distinct node count */
   def apply(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val deg = edges.groupBy(col("src").as("id"))
+    // materialize the edge list ONCE: the caller's upstream (joins,
+    // distinct, symmetrize) must not re-execute inside every
+    // iteration — without this the k rounds each replay the full edge
+    // derivation (measured at sf0.1)
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // Attach the out-degree to each edge ONCE and pre-partition by the
+    // join key: per round, the big side then joins exchange-free (its
+    // hash partitioning survives localCheckpoint) and only the
+    // node-count-sized rank vector shuffles. rank/deg divides with the
+    // SAME operands as a node-side division would, so the per-edge
+    // decimal contribution — and every rank — is bit-identical to the
+    // two-join formulation; the shuffle_hash hint keeps the probe
+    // sort-free (never broadcast: ranks grows with the graph).
+    val eD = e.join(deg, col("src") === col("id"))
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
       .localCheckpoint()
     var ranks = deg.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val weighted = ranks.join(deg, "id")
-        .select(col("id").as("w_src"),
-          (col("rank") / col("deg")).cast(D).as("w"))
-      ranks = edges.join(weighted, col("src") === col("w_src"))
+      ranks = eD.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("deg")).cast(D).as("w"))
         .groupBy(col("dst").as("id"))
         .agg((lit(1.0 - damping) +
           lit(damping) * sum(col("w")).cast("double")).as("rank"))

@@ -139,6 +139,38 @@ object Joins extends QueryPack {
     "q_join_asof_fwd" -> ((spark, sfDir) =>
       asofJoin(spark, sfDir, forward = true, "next_signup_ts")),
 
+    // NEAREST as-of join: whichever signup is closer in time, either
+    // direction (backward wins ties). Both direction passes ride the
+    // SAME user_id partitioning — the second window re-sorts in place,
+    // no extra exchange — and the pick is an exact µs-interval
+    // comparison (identical on both engines), never a float delta.
+    "q_join_asof_nearest" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("prio"),
+          when(col("event_type") === "signup", col("ts")).as("sig_ts"))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("prio").asc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("prio").asc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("b_ts", last(col("sig_ts"), ignoreNulls = true).over(wb))
+        .withColumn("f_ts", last(col("sig_ts"), ignoreNulls = true).over(wf))
+        .filter(col("prio") === 1)
+        .withColumn("nearest_signup_ts",
+          when(col("f_ts").isNull, col("b_ts"))
+            .when(col("b_ts").isNull, col("f_ts"))
+            .when(col("ts") - col("b_ts") <= col("f_ts") - col("ts"),
+              col("b_ts"))
+            .otherwise(col("f_ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("nearest_signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_join_multikey" -> ((spark, sfDir) => {
       val s = Tables.supplier(spark, sfDir)
       val c = Tables.customer(spark, sfDir)
@@ -242,6 +274,27 @@ object Joins extends QueryPack {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON s.user_id = p.user_id AND s.ts >= p.ts
         |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT * FROM events WHERE event_type = 'signup'),
+        |b AS (
+        |  SELECT p.event_id, MAX(s.ts) AS b_ts
+        |  FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.ts <= p.ts
+        |  GROUP BY p.event_id),
+        |f AS (
+        |  SELECT p.event_id, MIN(s.ts) AS f_ts
+        |  FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.ts >= p.ts
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN f_ts IS NULL THEN b_ts
+        |       WHEN b_ts IS NULL THEN f_ts
+        |       WHEN p.ts - b_ts <= f_ts - p.ts THEN b_ts
+        |       ELSE f_ts END AS nearest_signup_ts
+        |FROM p
+        |JOIN b ON p.event_id = b.event_id
+        |JOIN f ON p.event_id = f.event_id
         |ORDER BY p.event_id""".stripMargin,
 
     "q_join_multikey" ->

@@ -188,6 +188,31 @@ object ScansSinks extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Scan-time schema evolution: two write epochs with different
+    // schemas (a column added mid-stream — the warehouse reality)
+    // read back through ONE `mergeSchema` scan; rows from the old
+    // epoch surface the new column as null. mergeSchema costs a
+    // footer-merge pass, so production turns it on per-read, not
+    // globally — exactly how it's scoped here. The rollup coalesces
+    // pre-schema rows into a sentinel group and must equal computing
+    // the same split straight from the source (the oracle's CASE).
+    "q_scan_parquet_merge" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "orders_evolve")
+      val o = Tables.orders(spark, sfDir)
+      val cut = lit("1998-01-01").cast("timestamp_ntz")
+      o.filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/epoch=1")
+      o.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/epoch=2")
+      spark.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-schema)")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("prio"))
+    }),
+
     // Partitioned write (ref A7 layout) → read back through the
     // partition-discovered directory tree; per-partition rollup must
     // equal the source aggregation.
@@ -229,6 +254,14 @@ object ScansSinks extends QueryPack {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scan_parquet_merge" ->
+      """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |    THEN o_orderpriority ELSE '(pre-schema)' END AS prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
 
     "q_sink_parquet_part" ->
       """SELECT event_type, COUNT(*) AS n,
