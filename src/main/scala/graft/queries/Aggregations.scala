@@ -184,6 +184,24 @@ object Aggregations extends QueryPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // Deterministic argmax (max_by semantics): the built-in max_by
+    // breaks ties arbitrarily — ungradable and irreproducible — so the
+    // argmax rides ONE struct max over the (measure, unique key) pair:
+    // lexicographic struct comparison makes the winner total-ordered,
+    // and a struct max is a mergeable partial aggregate (map-side
+    // combine, no window shuffle of raw rows).
+    "q_agg_argmax" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority"),
+          struct(dec(col("o_totalprice")).as("p"), col("o_orderkey").as("k")).as("m"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("m")).as("mx"))
+        .select(col("o_orderpriority"),
+          col("mx.k").as("top_orderkey"),
+          col("mx.p").cast("double").as("top_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Sketch-based: no DuckDB oracle (HLL++ impl differs) — tolerance
     // ScalaTest vs exact countDistinct instead (SURVEY.md §2-B).
     "q_agg_approx_distinct" -> ((spark, sfDir) => {
@@ -470,6 +488,18 @@ object Aggregations extends QueryPack {
         |    ORDER BY o_orderdate, o_orderkey) AS priority_seq,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+        |        o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey AS top_orderkey,
+        |  CAST(p AS DOUBLE) AS top_price
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_percentile_disc" ->
       """WITH ranked AS (
