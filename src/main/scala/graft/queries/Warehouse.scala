@@ -51,6 +51,37 @@ object Warehouse extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Point-in-time dimension lookup: each purchase joined to the SCD2
+    // interval (q_scd2's history, rebuilt inline) that was ACTIVE at
+    // the purchase's timestamp — the as-of-correct warehouse join that
+    // prevents attribute leakage from the future. Equi key (user_id)
+    // carries the join; the validity-interval test rides as residual,
+    // so the plan is a plain hash join whose per-key candidate count is
+    // the user's version count — bounded, no window over the fact side,
+    // scalable to any fact volume. Intervals are disjoint [from, to) so
+    // every fact matches EXACTLY one version (zero-length intervals
+    // from same-ts changes exclude themselves).
+    "q_join_pit" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val dim = ev
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_v").isNull || col("value") =!= col("prev_v"))
+        .withColumn("eff_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id").as("d_user"), col("value").as("d_value"),
+          col("ts").as("eff_from"), col("eff_to"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      facts.join(dim, col("user_id") === col("d_user") &&
+          col("ts") >= col("eff_from") &&
+          (col("eff_to").isNull || col("ts") < col("eff_to")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("d_value"), col("eff_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // Incremental rollup: the per-type event rollup maintained across
     // three append batches (split by ts) — the final accumulator must
     // equal the direct full-scan aggregate, which is exactly what the
@@ -103,6 +134,26 @@ object Warehouse extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM merged WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_pit" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    LAG(value, 1) OVER w AS prev_v
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |dim AS (
+        |  SELECT user_id AS d_user, value AS d_value, ts AS eff_from,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS eff_to
+        |  FROM ordered WHERE prev_v IS NULL OR value <> prev_v),
+        |facts AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts, d_value, eff_from
+        |FROM facts JOIN dim
+        |  ON user_id = d_user AND ts >= eff_from
+        |  AND (eff_to IS NULL OR ts < eff_to)
+        |ORDER BY event_id""".stripMargin,
 
     "q_agg_incremental" ->
       """SELECT event_type, COUNT(*) AS n,
