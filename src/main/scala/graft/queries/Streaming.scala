@@ -113,6 +113,22 @@ object Streaming extends QueryPack {
           col("user_id").as("s_user_id"), col("ts").as("sts"))
       StreamOps.leftOuterIntervalJoin(purchases, signups)
         .orderBy(col("purchase_id"), col("signup_id"))
+    }),
+
+    // FULL OUTER variant: reconciliation — orphan purchases AND orphan
+    // signups both surface null-padded. Batch form of
+    // StreamOps.fullOuterIntervalJoin; both-side delayed-emission
+    // semantics are exercised in StreamingSpec.
+    "q_stream_full_outer" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("s_user_id"), col("ts").as("sts"))
+      StreamOps.fullOuterIntervalJoin(purchases, signups)
+        .orderBy(col("purchase_id"), col("signup_id"))
     })
   )
 
@@ -190,6 +206,19 @@ object Streaming extends QueryPack {
         |FROM p LEFT JOIN s
         |  ON s.user_id = p.user_id
         | AND s.ts >= p.ts - INTERVAL '1 hour' AND s.ts <= p.ts
-        |ORDER BY purchase_id, signup_id NULLS FIRST""".stripMargin
+        |ORDER BY purchase_id, signup_id NULLS FIRST""".stripMargin,
+
+    "q_stream_full_outer" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+        |FROM p FULL JOIN s
+        |  ON s.user_id = p.user_id
+        | AND s.ts >= p.ts - INTERVAL '1 hour' AND s.ts <= p.ts
+        |ORDER BY purchase_id NULLS FIRST, signup_id NULLS FIRST""".stripMargin
   )
 }

@@ -143,6 +143,28 @@ object StreamOps {
       purchases.withWatermark("pts", watermark),
       signups.withWatermark("sts", watermark))
 
+  /** FULL OUTER stream-stream interval join — reconciliation shape:
+    * both unmatched purchases AND unmatched signups surface with a
+    * null opposite side (e.g. auditing conversion events against
+    * their attributions, where orphans on either side are the rows of
+    * interest). Same equi key + bounded interval as [[intervalJoin]];
+    * the outer rule applies to BOTH sides — each side's unmatched row
+    * emits only once the OTHER side's watermark has passed its
+    * interval, so state on both sides stays bounded (asserted in
+    * StreamingSpec against the batch form). */
+  def fullOuterIntervalJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases.join(signups,
+        col("s_user_id") === col("user_id") &&
+        col("sts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("sts") <= col("pts"), "full_outer")
+      .select(col("purchase_id"), col("signup_id"))
+
+  def fullOuterIntervalJoinStream(purchases: DataFrame, signups: DataFrame,
+      watermark: String): DataFrame =
+    fullOuterIntervalJoin(
+      purchases.withWatermark("pts", watermark),
+      signups.withWatermark("sts", watermark))
+
   /** Stream-STATIC enrichment join: each event picks up its dimension
     * row by equi key. On a stream, Spark re-plans the static side per
     * micro-batch (so dimension updates between batches are visible) and

@@ -154,6 +154,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: orphans on both sides emit after watermark") {
+    import spark.implicits._
+    val pMem = MemoryStream[Purchase](spark)
+    val sMem = MemoryStream[Signup](spark)
+    val q = StreamOps.fullOuterIntervalJoinStream(pMem.toDF(), sMem.toDF(),
+        "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin_fouter")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Long)] = spark.table("ssjoin_fouter").collect()
+      .map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)),
+        (if (r.isNullAt(1)) -1L else r.getLong(1)))).toSet
+    try {
+      // P1 matches S10; P4 (user 3) and S12 (user 2 — no purchase) are
+      // orphans on opposite sides. S12 sits at t(35) so the min-source
+      // watermark (t(35) - 10m) stays BELOW P4's interval bound t(30)
+      // until the late rows below advance it.
+      pMem.addData(Purchase(1, 1, t(90)), Purchase(4, 3, t(30)))
+      sMem.addData(Signup(10, 1, t(40)), Signup(12, 2, t(35)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 10L)),
+        "orphans must NOT emit before the watermark passes their intervals")
+      // advance both watermarks, then one more trigger to flush
+      pMem.addData(Purchase(99, 8, t(300)))
+      sMem.addData(Signup(99, 9, t(300)))
+      q.processAllAvailable()
+      pMem.addData(Purchase(100, 8, t(310)))
+      sMem.addData(Signup(100, 9, t(310)))
+      q.processAllAvailable()
+      assert(rows().contains((4L, -1L)),
+        "unmatched purchase must emit null-padded")
+      assert(rows().contains((-1L, 12L)),
+        "unmatched signup must emit null-padded")
+      // parity with the batch form on the finalized prefix
+      val batch = StreamOps.fullOuterIntervalJoin(
+          Seq(Purchase(1, 1, t(90)), Purchase(4, 3, t(30))).toDF(),
+          Seq(Signup(10, 1, t(40)), Signup(12, 2, t(35))).toDF())
+        .collect().map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)),
+          (if (r.isNullAt(1)) -1L else r.getLong(1)))).toSet
+      assert(batch == Set((1L, 10L), (4L, -1L), (-1L, 12L)))
+      assert(batch.subsetOf(rows()))
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming result equals batch") {
     import spark.implicits._
     val events = Seq(
