@@ -191,6 +191,30 @@ object EventsAnalytics extends QueryPack {
           coalesce(col("v"), last(col("v"), ignoreNulls = true).over(w),
             lit(0.0)).as("v_filled"))
         .orderBy(col("user_id"), col("d"))
+    }),
+
+    // Event-type transition matrix (first-order Markov estimate) — the
+    // sequence-modeling prep a behavior model trains on: per-user
+    // time-ordered lag pairs, counted per (prev → next), row-normalized
+    // to transition probabilities. One user_id window shuffle for the
+    // lag; the 25-cell counts table joins its 5-row totals without a
+    // broadcast hint (AQE sizes it). n/tot is an exact integer ratio →
+    // identical doubles on both engines.
+    "q_events_markov" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val counts = pairs
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+      counts.join(totals, "prev")
+        .select(col("prev"), col("next"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .orderBy(col("prev"), col("next"))
     })
   )
 
@@ -329,6 +353,21 @@ object EventsAnalytics extends QueryPack {
         |  COALESCE(v, last_value(v IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
-        |FROM j ORDER BY user_id, d""".stripMargin
+        |FROM j ORDER BY user_id, d""".stripMargin,
+
+    "q_events_markov" ->
+      """WITH pairs AS (
+        |  SELECT LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    event_type AS next
+        |  FROM events),
+        |counts AS (
+        |  SELECT prev, next, COUNT(*) AS n FROM pairs
+        |  WHERE prev IS NOT NULL GROUP BY prev, next),
+        |totals AS (SELECT prev, SUM(n) AS tot FROM counts GROUP BY prev)
+        |SELECT prev, next, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM counts JOIN totals USING (prev)
+        |ORDER BY prev, next""".stripMargin
   )
 }

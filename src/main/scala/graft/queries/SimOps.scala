@@ -344,6 +344,33 @@ object SimOps extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-label embedding centroid — the class-prototype / k-means-step
+    // primitive, as a DISTRIBUTED vector aggregate: posexplode to
+    // (label, pos, v), per-(label, pos) exact-integer sums (order- and
+    // partitioning-independent — a float/double sum across rows would
+    // drift with partition order), one double division chain at the
+    // end. Elements are quantized EXPLICITLY at 1e-10 via
+    // round(v·1e10) — ties-away-from-zero on both engines — because
+    // every implicit float→decimal path differs across engines
+    // (Spark rounds the float's shortest repr, DuckDB the exact binary
+    // expansion; and decimal HALF_UP vs half-even flips exact .5
+    // tails — both measured). The integer sum stays exact below 2^53
+    // per (label, pos) cell, i.e. ~9e5 rows × |v| ≤ 1 per cell.
+    // Shuffle volume = rows × dim partials, map-side combined; never a
+    // per-label collect.
+    "q_sim_centroid" -> ((spark, sfDir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.embeddings(spark, sfDir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * lit(1e10)).cast(d380)).as("s"))
+        .select(col("label"), (col("pos") + 1).as("pos"),
+          (col("s").cast("double") / lit(1e10) / col("n").cast("double"))
+            .as("c"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // Embedding-cosine near-dup: pairs above a similarity threshold
     // inside label blocks — the embedding-space member of the dedup
     // family (exact / Jaccard / n-gram / MinHash / SimHash / cosine).
@@ -445,6 +472,18 @@ object SimOps extends QueryPack {
       s"(sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
 
   override def oracleSql: Map[String, String] = Map(
+    "q_sim_centroid" ->
+      """WITH idx AS (
+        |  SELECT label, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i AS INTEGER) AS pos,
+        |  CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e10)
+        |      AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1e10 / CAST(COUNT(*) AS DOUBLE) AS c
+        |FROM idx GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
+
     "q_sim_topk" ->
       s"""WITH probe AS (
          |  SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
