@@ -53,6 +53,39 @@ object GlobalRank {
       .drop("__pid", "__opid", "__local_rn", "__offset")
   }
 
+  /** Scale-safe GLOBAL running sum (prefix sum) — same two-pass trick
+    * as [[withRowNumber]], with per-partition SUMS instead of counts:
+    * range-partition on the total-order keys, cumulative-sum within
+    * each partition, then add the exclusive prefix of per-partition
+    * totals (metadata-scale window + broadcast). Pass a DECIMAL value
+    * column: the partial sums merge order-independently, so the
+    * result is bit-identical on any partitioning — a double value
+    * here would drift with partition boundaries (repo determinism
+    * rules). Keys must define a total order (unique-id tiebreak). */
+  def withRunningSum(df: DataFrame, sumCol: String, value: Column,
+      keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val localW = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local_cum", sum(col("__v")).over(localW))
+    val offsetW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid")).agg(sum(col("__v")).as("__psum"))
+      .withColumn("__offset", sum(col("__psum")).over(offsetW))
+      .select(col("__pid").as("__opid"), col("__offset"))
+    local
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(sumCol, when(col("__offset").isNull, col("__local_cum"))
+        .otherwise(col("__offset") + col("__local_cum")))
+      .drop("__pid", "__opid", "__v", "__local_cum", "__offset")
+  }
+
   /** Per-GROUP row numbering with the same two-pass trick.
     *
     * `Window.partitionBy(group).orderBy(keys)` bounds parallelism by

