@@ -147,4 +147,37 @@ class PropertySpec extends SparkSuite {
     assert(sigs(1L) == sigs(3L), "signature must be order-insensitive (set semantics)")
     assert(sigs(1L) != sigs(4L), "disjoint docs must (generically) differ")
   }
+
+  /** Reference Levenshtein over code points (plain DP). */
+  private def lev(a: String, b: String): Int = {
+    val as = a.codePoints().toArray
+    val bs = b.codePoints().toArray
+    val d = Array.tabulate(as.length + 1, bs.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to as.length; j <- 1 to bs.length) {
+      val sub = d(i - 1)(j - 1) + (if (as(i - 1) == bs(j - 1)) 0 else 1)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), sub)
+    }
+    d(as.length)(bs.length)
+  }
+
+  /** CharHistL1's pruning bound (q_dedup_editdist): the leading-byte
+    * char-histogram L1 never exceeds 2x the true edit distance, for
+    * arbitrary strings including multibyte — filtering candidate
+    * pairs at l1 <= 2*maxDist is therefore lossless. */
+  test("char-histogram L1 lower-bounds 2x edit distance on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', 'é', 'ß', '日', '語', 'ü'))
+    val word = Gen.choose(0, 24)
+      .flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    val cases = samples(Gen.zip(word, word), 400)
+    assert(cases.size > 300)
+    cases.foreach { case (a, b) =>
+      val l1 = graft.expressions.CharHist.l1(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(l1 <= 2 * lev(a, b), s"bound violated for '$a' vs '$b'")
+    }
+  }
 }
