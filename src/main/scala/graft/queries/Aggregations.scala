@@ -89,6 +89,41 @@ object Aggregations extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Skewness / excess kurtosis from EXACT integer raw moments — the
+    // built-in skewness()/kurtosis() merge FP running moments
+    // (order-dependent) and engines disagree on bias correction, so
+    // the four power sums are decimal-exact (x² downcast to
+    // DECIMAL(18,0) keeps x³/x⁴ inside both engines' 38-digit cap —
+    // integer values, no rounding) and the closed forms are evaluated
+    // once in double with sqrt, never pow (pow is not correctly
+    // rounded; m2^1.5 = m2·√m2 is two exact-rounded ops).
+    "q_agg_moments" -> ((spark, sfDir) => {
+      val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+      val d = Tables.documents(spark, sfDir)
+        .select(col("source"), col("n_chars").cast(d180).as("x"))
+        .withColumn("x2", (col("x") * col("x")).cast(d180))
+      val agg = d.groupBy(col("source")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("x")).as("s1"),
+        sum(col("x2")).as("s2"),
+        sum((col("x2") * col("x"))).as("s3"),
+        sum((col("x2") * col("x2"))).as("s4"))
+      val n = col("cnt").cast("double")
+      val s1 = col("s1").cast("double")
+      val s2 = col("s2").cast("double")
+      val s3 = col("s3").cast("double")
+      val s4 = col("s4").cast("double")
+      val m = s1 / n
+      val m2 = s2 / n - m * m
+      val m3 = s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m
+      val m4 = s4 / n - lit(4.0) * m * (s3 / n) +
+        lit(6.0) * m * m * (s2 / n) - lit(3.0) * m * m * m * m
+      agg.select(col("source"), col("cnt").as("n"),
+          (m3 / (m2 * sqrt(m2))).as("skew"),
+          (m4 / (m2 * m2) - lit(3.0)).as("kurt"))
+        .orderBy(col("source"))
+    }),
+
     // Exact INTERPOLATED percentile (percentile_cont semantics):
     // Spark's `percentile` and DuckDB's `quantile_cont` agree
     // bit-for-bit on the (1−f)·lo + f·hi interpolation (measured on
@@ -443,6 +478,37 @@ object Aggregations extends QueryPack {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_moments" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS DECIMAL(18,0)) AS x,
+        |    CAST(CAST(n_chars AS DECIMAL(18,0))
+        |      * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(18,0)) AS x2
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, COUNT(*) AS cnt,
+        |    SUM(x) AS s1, SUM(x2) AS s2,
+        |    SUM(x2 * x) AS s3, SUM(x2 * x2) AS s4
+        |  FROM d GROUP BY source),
+        |m AS (
+        |  SELECT source, cnt,
+        |    CAST(cnt AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+        |    CAST(s4 AS DOUBLE) AS s4
+        |  FROM a),
+        |c AS (
+        |  SELECT source, cnt, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM m)
+        |SELECT source, cnt AS n,
+        |  m3 / (m2 * SQRT(m2)) AS skew,
+        |  m4 / (m2 * m2) - 3.0 AS kurt
+        |FROM c ORDER BY source""".stripMargin,
 
     "q_agg_percentile_cont" ->
       """SELECT o_orderpriority,

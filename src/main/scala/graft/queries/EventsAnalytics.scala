@@ -193,6 +193,27 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"), col("d"))
     }),
 
+    // Longest consecutive-day activity streak per user — the
+    // gaps-and-islands pattern by rank difference: within a user,
+    // consecutive calendar days all share the same (day − row_number)
+    // anchor, so one user-keyed window + two aggregates find every
+    // island without a self-join or an iterative pass. Same single
+    // user_id shuffle as the other per-user stages.
+    "q_events_streak" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val active = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+      active
+        .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("best_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    }),
+
     // Event-type transition matrix (first-order Markov estimate) — the
     // sequence-modeling prep a behavior model trains on: per-user
     // time-ordered lag pairs, counted per (prev → next), row-normalized
@@ -354,6 +375,20 @@ object EventsAnalytics extends QueryPack {
         |    PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
         |FROM j ORDER BY user_id, d""".stripMargin,
+
+    "q_events_streak" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |anchored AS (
+        |  SELECT user_id,
+        |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS anchor
+        |  FROM active),
+        |islands AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len
+        |  FROM anchored GROUP BY user_id, anchor)
+        |SELECT user_id, MAX(len) AS best_streak, COUNT(*) AS n_streaks
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_markov" ->
       """WITH pairs AS (
