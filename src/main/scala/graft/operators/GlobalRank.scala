@@ -86,6 +86,47 @@ object GlobalRank {
       .drop("__pid", "__opid", "__v", "__local_cum", "__offset")
   }
 
+  /** Per-GROUP running sum, scale-safe for FEW, HUGE groups — where
+    * `Window.partitionBy(group)` would bound parallelism by group
+    * cardinality (five groups = five tasks, whatever the data size).
+    * Same structure as [[withRunningSum]]: range-partition on
+    * (group ++ keys) so a huge group spans many consecutive range
+    * partitions, cumulative-sum within (partition, group), then add
+    * the exclusive per-(group, partition-run) offsets — one row per
+    * (partition, group) pair, metadata-scale. DECIMAL value required
+    * (order-independent partial merges). Keys must total-order rows
+    * within a group. */
+  def withRunningSumPerGroup(df: DataFrame, sumCol: String, value: Column,
+      groupCols: Seq[String], keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val groupRefs = groupCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, (groupRefs ++ keys): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val localW = Window.partitionBy(col("__pid") +: groupRefs: _*)
+      .orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local_cum", sum(col("__v")).over(localW))
+    val offsetW = Window.partitionBy(groupRefs: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid") +: groupRefs: _*).agg(sum(col("__v")).as("__psum"))
+      .withColumn("__offset", sum(col("__psum")).over(offsetW))
+      .select(col("__pid").as("__opid") +:
+        groupCols.map(n => col(n).as(s"__og_$n")) :+ col("__offset"): _*)
+    val joinCond = groupCols.foldLeft(col("__pid") === col("__opid")) {
+      (acc, n) => acc && col(n) === col(s"__og_$n")
+    }
+    local
+      .join(broadcast(offsets), joinCond)
+      .withColumn(sumCol, when(col("__offset").isNull, col("__local_cum"))
+        .otherwise(col("__offset") + col("__local_cum")))
+      .drop("__pid" +: "__opid" +: "__v" +: "__local_cum" +: "__offset" +:
+        groupCols.map(n => s"__og_$n"): _*)
+  }
+
   /** Per-GROUP row numbering with the same two-pass trick.
     *
     * `Window.partitionBy(group).orderBy(keys)` bounds parallelism by

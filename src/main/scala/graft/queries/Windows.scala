@@ -151,6 +151,27 @@ object Windows extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Cumulative revenue share WITHIN each order priority — five huge
+    // groups, the shape where `Window.partitionBy(priority)` caps the
+    // job at five tasks regardless of data size. GlobalRank
+    // .withRunningSumPerGroup spreads each group across many range
+    // partitions (two-pass prefix sum, decimal-exact); the 5-row group
+    // totals join back unhinted (AQE broadcasts at runtime).
+    "q_pareto_by_priority" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dec(col("o_totalprice")).as("p"))
+      val totals = o.groupBy(col("o_orderpriority"))
+        .agg(sum(col("p")).as("tot"))
+      GlobalRank.withRunningSumPerGroup(o, "cum", col("p"),
+          Seq("o_orderpriority"), col("p").desc, col("o_orderkey").asc)
+        .join(totals, "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("cum").cast("double") / col("tot").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_win_firstlast" -> ((spark, sfDir) => {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(spark, sfDir)
@@ -278,6 +299,25 @@ object Windows extends QueryPack {
         |SELECT o_orderkey,
         |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
         |FROM c CROSS JOIN t ORDER BY o_orderkey""".stripMargin,
+
+    "q_pareto_by_priority" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_orderpriority, SUM(p) AS tot
+        |  FROM o GROUP BY o_orderpriority),
+        |c AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    SUM(p) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY p DESC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM o)
+        |SELECT o_orderkey, o.o_orderpriority,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM c o JOIN t USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_win_ntile" ->
       """SELECT c_custkey,

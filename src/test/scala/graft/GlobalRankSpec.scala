@@ -115,6 +115,33 @@ class GlobalRankSpec extends SparkSuite {
     assert(got2 == want)
   }
 
+  test("withRunningSumPerGroup matches Window.partitionBy cumulative sums") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val df = Seq.tabulate(600)(i =>
+      (s"g${i % 3}", BigDecimal(rng.nextInt(100000)) / 100, i.toLong))
+      .toDF("g", "v", "id")
+      .select(col("g"), col("v").cast(d182).as("v"), col("id"))
+      .repartition(5)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> r.getString(1)
+    val got = GlobalRank
+      .withRunningSumPerGroup(df, "cum", col("v"), Seq("g"),
+        col("v").desc, col("id").asc)
+      .select(col("id"), col("cum").cast("string")).collect().map(key).toMap
+    val want = df
+      .withColumn("cum", sum(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum").cast("string")).collect().map(key).toMap
+    assert(got == want)
+    val got2 = GlobalRank
+      .withRunningSumPerGroup(df.repartition(11), "cum", col("v"), Seq("g"),
+        col("v").desc, col("id").asc)
+      .select(col("id"), col("cum").cast("string")).collect().map(key).toMap
+    assert(got2 == want)
+  }
+
   test("q_win_ntile matches the built-in ntile/percent_rank/cume_dist") {
     val got = SparkEntry.queries("q_win_ntile")(spark, Sf).collect()
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
