@@ -82,6 +82,27 @@ object Warehouse extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Single-pass data-quality report — the validation gate a pipeline
+    // runs before publishing a table: row count, per-column null
+    // counts, key uniqueness (exact distinct vs rows), domain bounds,
+    // value-range violations, all as ONE aggregate over ONE scan (no
+    // per-check passes). At 100 TB this is the cheapest possible
+    // shape: map-side partials for every metric, a 1-row result.
+    "q_data_quality" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
+        countDistinct(col("o_orderkey")).as("distinct_orderkey"),
+        min(col("o_orderdate")).cast("string").as("min_date"),
+        max(col("o_orderdate")).cast("string").as("max_date"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpositive_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+    }),
+
     // Incremental rollup: the per-type event rollup maintained across
     // three append batches (split by ts) — the final accumulator must
     // equal the direct full-scan aggregate, which is exactly what the
@@ -154,6 +175,21 @@ object Warehouse extends QueryPack {
         |  ON user_id = d_user AND ts >= eff_from
         |  AND (eff_to IS NULL OR ts < eff_to)
         |ORDER BY event_id""".stripMargin,
+
+    "q_data_quality" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_custkey,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_date,
+        |  COUNT(DISTINCT o_orderkey) AS distinct_orderkey,
+        |  CAST(MIN(o_orderdate) AS VARCHAR) AS min_date,
+        |  CAST(MAX(o_orderdate) AS VARCHAR) AS max_date,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nonpositive_price,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+        |FROM orders""".stripMargin,
 
     "q_agg_incremental" ->
       """SELECT event_type, COUNT(*) AS n,
