@@ -80,6 +80,31 @@ object SortsSets extends QueryPack {
         .except(Tables.supplier(spark, sfDir)
           .filter(col("s_suppkey") <= 20).select(col("s_nationkey").as("nk")))
         .orderBy(col("nk"))
+    }),
+
+    // MULTISET set-ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    // matters — a part returned 3 times and accepted once keeps 2
+    // copies, which the distinct-semantics q_except would collapse.
+    // Spark plans both as a single count-propagating aggregate (sum of
+    // ±1 tags), not a join — one shuffle on the value. Output is
+    // re-grouped to (value, multiplicity) so the unordered multiset
+    // compares deterministically.
+    "q_except_all" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        .exceptAll(
+          li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("mult"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q_intersect_all" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+        .intersectAll(
+          li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("mult"))
+        .orderBy(col("l_partkey"))
     })
   )
 
@@ -138,6 +163,20 @@ object SortsSets extends QueryPack {
         |  SELECT c_nationkey AS nk FROM customer
         |  EXCEPT
         |  SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey <= 20)
-        |ORDER BY nk""".stripMargin
+        |ORDER BY nk""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT l_partkey, COUNT(*) AS mult FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT l_partkey, COUNT(*) AS mult FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
   )
 }
