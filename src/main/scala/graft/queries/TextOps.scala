@@ -453,6 +453,26 @@ object TextOps extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // End-to-end edit-distance dedup — the editdist family's
+    // production pipeline row, same shape as q_dedup_e2e: lossless
+    // length-band + L1-pruned candidates → banded-DP verify (all
+    // inside editDistancePairs) → pointer-jumping components → min-id
+    // survivor per component, counted by source. The oracle replays
+    // the pipeline over the plain theta-join pairs with a
+    // recursive-CTE closure.
+    "q_dedup_editdist_e2e" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = editDistancePairs(docs, maxDist = 12)
+        .select(col("d1"), col("d2"))
+      val losers = connectedComponents(pairs)
+        .filter(col("comp") < col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("source"))
+    }),
+
     "q_text_stats" -> ((spark, sfDir) => {
       Tables.documents(spark, sfDir)
         .groupBy(col("lang"))
@@ -979,6 +999,28 @@ object TextOps extends QueryPack {
         |FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_editdist_e2e" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id
+        |   AND abs(length(a.text) - length(b.text)) <= 12
+        |   AND levenshtein(a.text, b.text) <= 12),
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |losers AS (
+        |  SELECT a AS id FROM (
+        |    SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+        |  WHERE comp < a)
+        |SELECT source, COUNT(*) AS n_survivors
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
