@@ -18,6 +18,11 @@ import graft.Tables.dec
   */
 object Joins extends QueryPack {
 
+  /** Nullable 5-bucket key for q_join_nullsafe: bucket 0 becomes the
+    * "unknown" (null) bucket. */
+  private def nullif5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c % 5 === 0, lit(null)).otherwise(c % 5)
+
   /** Both as-of directions in one place: signup/purchase rows union
     * into a single stream; walking it in time order (ascending for
     * backward, descending for forward, signups first on ts ties so
@@ -182,6 +187,29 @@ object Joins extends QueryPack {
         .orderBy(col("n_name"))
     }),
 
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): null
+    // keys MATCH each other instead of vanishing — the semantics a
+    // dimension join needs when "unknown" is itself a bucket. The
+    // nullable key is derived (every 5th bucket nulled) so both the
+    // null-null match and the plain matches are exercised; Spark
+    // plans `<=>` as an ordinary hash join (null-safe keys hash like
+    // values), NOT a nested loop.
+    "q_join_nullsafe" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+        .select(nullif5(col("o_custkey")).as("k"),
+          Tables.dec(col("o_totalprice")).as("p"))
+        .groupBy(col("k"))
+        .agg(sum(col("p")).as("rev"), count(lit(1)).as("n_orders"))
+      val c = Tables.customer(spark, sfDir)
+        .select(nullif5(col("c_custkey")).as("ck"))
+        .groupBy(col("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      o.join(c, col("k") <=> col("ck"))
+        .select(col("k"), col("n_orders"), col("n_cust"),
+          col("rev").cast("double").as("rev"))
+        .orderBy(col("k"))
+    }),
+
     // Range (interval) join via BIN BLOCKING: overlapping price bands
     // [900+10k, 925+10k) matched to parts. A bare range predicate
     // plans as a broadcast-nested-loop scan of every (row, band) pair
@@ -303,6 +331,22 @@ object Joins extends QueryPack {
         |JOIN customer c ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_custkey % 5 = 0 THEN NULL
+        |    ELSE o_custkey % 5 END AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |oa AS (SELECT k, SUM(p) AS rev, COUNT(*) AS n_orders FROM o GROUP BY k),
+        |c AS (
+        |  SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |    ELSE c_custkey % 5 END AS ck
+        |  FROM customer),
+        |ca AS (SELECT ck, COUNT(*) AS n_cust FROM c GROUP BY ck)
+        |SELECT k, n_orders, n_cust, CAST(rev AS DOUBLE) AS rev
+        |FROM oa JOIN ca ON k IS NOT DISTINCT FROM ck
+        |ORDER BY k NULLS FIRST""".stripMargin,
 
     "q_join_range" ->
       """SELECT lo, COUNT(*) AS n_parts

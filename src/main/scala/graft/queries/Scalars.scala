@@ -84,6 +84,23 @@ object Scalars extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Error-safe casts and arithmetic (TRY_* semantics): malformed
+    // input, division by zero, and numeric overflow yield NULL instead
+    // of killing the job — the ingest posture for dirty data at scale
+    // (a single bad row must not fail a 100 TB load). Spark's
+    // try_cast/try_divide/try_add map to DuckDB's TRY_CAST and
+    // CASE-guarded arithmetic; the overflow row is semantically NULL
+    // on both engines.
+    "q_cast_safe" -> ((spark, sfDir) => {
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          expr("try_cast(p_name AS INT)").as("bad_int"),
+          expr("try_cast(CAST(p_size AS STRING) AS INT)").as("rt_int"),
+          try_divide(lit(1.0), col("p_size") - col("p_size")).as("div0"),
+          expr("try_add(9223372036854775807L, p_partkey + 1)").as("ovf"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q_cast" -> ((spark, sfDir) => {
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -148,6 +165,15 @@ object Scalars extends QueryPack {
         |  GREATEST(o_totalprice, 100000.0) AS floor_price,
         |  LEAST(o_totalprice, 400000.0) AS capped_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_cast_safe" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_name AS INTEGER) AS bad_int,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS rt_int,
+        |  CASE WHEN p_size - p_size = 0 THEN NULL
+        |    ELSE 1.0 / (p_size - p_size) END AS div0,
+        |  CAST(NULL AS BIGINT) AS ovf
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
