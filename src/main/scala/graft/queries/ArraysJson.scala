@@ -59,6 +59,23 @@ object ArraysJson extends QueryPack {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // NULL-PRESERVING generator (explode_outer): a parent row with an
+    // EMPTY array survives with a null element instead of vanishing —
+    // the left-join-like flattening an enrichment pipeline needs when
+    // "no extracted items" is itself a fact. The rare-token filter
+    // makes most arrays empty, so both behaviors are exercised; plain
+    // explode would drop ~95% of the docs here (asserted by the
+    // n_rows ≥ n_docs shape of the oracle).
+    "q_explode_outer" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "),
+            t => t === lit("dup"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
     // Build a per-user map(event_type -> count), read scalars back out.
     "q_map_funcs" -> ((spark, sfDir) => {
       Tables.events(spark, sfDir)
@@ -137,6 +154,16 @@ object ArraysJson extends QueryPack {
       """SELECT doc_id, token, COUNT(*) AS n FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE doc_id < 20)
+        |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT doc_id, token, COUNT(*) AS n FROM (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS token
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(text, ' '), t -> t = 'dup') AS l
+        |    FROM documents))
         |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin,
 
     "q_map_funcs" ->

@@ -64,6 +64,24 @@ object Windows extends QueryPack {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // TIME-based rolling frame: per-user trailing-1h sum/count — RANGE
+    // over epoch-µs, so the frame is defined by VALUE distance (all
+    // ties included, deterministic without a unique tiebreak), unlike
+    // the row-counted frames of q_win_runsum/q_win_range. One user
+    // shuffle; µs-exact ntz arithmetic on both engines.
+    "q_win_timerange" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      Tables.events(spark, sfDir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("user_id"), col("us"),
+          dec(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v")).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_win_runsum" -> ((spark, sfDir) => {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(spark, sfDir)
@@ -271,6 +289,19 @@ object Windows extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_timerange" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS hour_sum,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_win_runsum" ->
       """SELECT o_orderkey, o_custkey,
