@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -862,6 +862,50 @@ object TextOps extends QueryPack {
           aggregate(col("feats"), lit(0L),
             (acc, f) => (acc * 31 + f) % 1000000007L).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (the MOSS plagiarism-detection selection
+    // rule): k-gram hashes (k = 3, same cross-engine token feature as
+    // q_text_fingerprint), then the MINIMUM of every w = 4 consecutive
+    // hashes, deduplicated — guarantees any shared run of ≥ k+w−1
+    // tokens contributes a common fingerprint while keeping O(n/w)
+    // prints per doc. Entirely MAP-SIDE per document, and every stage
+    // is a zip_with over the array and its own SHIFTED tail — O(n)
+    // array traversals per row. The index-based formulation
+    // (transform over sequence + element_at) is a trap: project
+    // collapsing inlines the parent array into every lambda element,
+    // re-deriving it per index — measured minutes-not-seconds at
+    // sf0.1. zip_with evaluates each child array once per row.
+    // Rolling min of 4 = pairwise min zipped with itself shifted 2.
+    "q_text_winnow" -> ((spark, sfDir) => {
+      def shift(a: Column, by: Int): Column =
+        slice(a, lit(1 + by), greatest(size(a) - by, lit(0)))
+      // zip_with pads the SHORTER array with nulls (and least() skips
+      // nulls rather than propagating), so each zipped stage is
+      // truncated to its valid prefix — phantom boundary windows would
+      // otherwise survive as partial minima.
+      def prefix(a: Column, len: Column): Column =
+        slice(a, lit(1), greatest(len, lit(0)))
+      val fs = transform(split(col("text"), " "),
+        t => length(t).cast("long") * 131 + ascii(substring(t, 1, 1)))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), fs.as("fs"))
+        .select(col("doc_id"), col("fs"),
+          zip_with(col("fs"), shift(col("fs"), 1),
+            (a, b) => a * 31 + b).as("t1"))
+        .select(col("doc_id"),
+          prefix(zip_with(col("t1"), shift(col("fs"), 2),
+            (a, b) => (a * 31 + b) % 1000000007L),
+            size(col("fs")) - 2).as("hs"))
+        .select(col("doc_id"),
+          prefix(zip_with(col("hs"), shift(col("hs"), 1), least(_, _)),
+            size(col("hs")) - 1).as("m2"))
+        .select(col("doc_id"),
+          array_distinct(prefix(
+            zip_with(col("m2"), shift(col("m2"), 2), least(_, _)),
+            size(col("m2")) - 2)).as("fps"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
     })
   )
 
@@ -1262,6 +1306,26 @@ object TextOps extends QueryPack {
         |      list_transform(string_split(text, ' '),
         |        t -> CAST(len(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1)))),
         |    (acc, f) -> (acc * 31 + f) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_winnow" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(len(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1)))
+        |      AS fs
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(fs) - 1), i ->
+        |      ((fs[i] * 31 + fs[i+1]) * 31 + fs[i+2]) % 1000000007) AS hs
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2), j ->
+        |      list_min(hs[j:j+3]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM w
+        |ORDER BY doc_id, fp""".stripMargin
   )
 }
