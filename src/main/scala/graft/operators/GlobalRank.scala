@@ -116,8 +116,12 @@ object GlobalRank {
       .withColumn("__offset", sum(col("__psum")).over(offsetW))
       .select(col("__pid").as("__opid") +:
         groupCols.map(n => col(n).as(s"__og_$n")) :+ col("__offset"): _*)
+    // null-safe group match: a NULL group key is a real group here —
+    // plain === would never match it, hand every null-keyed row a null
+    // __offset, and silently take the first-partition-run branch even
+    // when the null group spans multiple range partitions
     val joinCond = groupCols.foldLeft(col("__pid") === col("__opid")) {
-      (acc, n) => acc && col(n) === col(s"__og_$n")
+      (acc, n) => acc && (col(n) <=> col(s"__og_$n"))
     }
     local
       .join(broadcast(offsets), joinCond)
@@ -175,8 +179,9 @@ object GlobalRank {
       .withColumn("__gn", sum(col("__cnt")).over(totalW))
       .select(col("__pid").as("__opid") +:
         groupCols.map(n => col(n).as(s"__og_$n")) :+ col("__offset") :+ col("__gn"): _*)
+    // null-safe for the same reason as withRunningSumPerGroup above
     val joinCond = groupCols.foldLeft(col("__pid") === col("__opid")) {
-      (acc, n) => acc && col(n) === col(s"__og_$n")
+      (acc, n) => acc && (col(n) <=> col(s"__og_$n"))
     }
     val joined = local
       .join(broadcast(offsets), joinCond)

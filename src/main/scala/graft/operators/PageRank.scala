@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DecimalType
 
 /** Damped PageRank over an edge list, bit-deterministic at any
@@ -60,14 +61,24 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint()
     var ranks = deg.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
+    // eD/ranks now hold everything the iterations read; the raw edge and
+    // degree checkpoints are dead weight in the block manager — at scale
+    // each is edge-/node-count-sized. Same discipline per round below:
+    // localCheckpoint is eager, so once the new state is materialized the
+    // superseded round's blocks are unreachable and must be released.
+    Bridge.unpersistCheckpoint(e)
+    Bridge.unpersistCheckpoint(deg)
     for (_ <- 1 to iterations) {
+      val prev = ranks
       ranks = eD.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
         .select(col("dst"), (col("rank") / col("deg")).cast(D).as("w"))
         .groupBy(col("dst").as("id"))
         .agg((lit(1.0 - damping) +
           lit(damping) * sum(col("w")).cast("double")).as("rank"))
         .localCheckpoint()
+      Bridge.unpersistCheckpoint(prev)
     }
+    Bridge.unpersistCheckpoint(eD)
     ranks
   }
 }

@@ -181,16 +181,25 @@ object CompositesB extends QueryPack {
           .filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"))
+      // threshold stays DECIMAL-exact end to end: value > 1.5 × mean is
+      // compared as value·2·n > 3·total with precisions narrowed so no
+      // engine's multiply exceeds width 38 — a double-cast threshold
+      // double-rounds in DuckDB (int128 → double → /10^scale) once the
+      // unscaled total passes 2^53, flipping rows sitting exactly on
+      // the boundary
+      val d246 = org.apache.spark.sql.types.DecimalType(24, 6)
+      val d306 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val d10 = org.apache.spark.sql.types.DecimalType(10, 0)
       val v = Tables.lineitem(spark, sfDir)
         .join(eur, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"),
           dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("val"))
         .groupBy(col("l_partkey"))
-        .agg(sum(col("val")).as("value"))
-      val thr = v.agg(
-        (sum(col("value")).cast("double") / count(lit(1))).as("avg_v"))
+        .agg(sum(col("val")).cast(d246).as("value"))
+      val thr = v.agg(sum(col("value")).cast(d306).as("tot_v"),
+        count(lit(1)).cast(d10).as("n_v"))
       v.crossJoin(broadcast(thr))
-        .filter(col("value").cast("double") > lit(1.5) * col("avg_v"))
+        .filter(col("value") * lit(2) * col("n_v") > lit(3) * col("tot_v"))
         .select(col("l_partkey"), col("value").cast("double").as("part_value"))
         .orderBy(col("part_value").desc, col("l_partkey"))
     }),
@@ -453,14 +462,15 @@ object CompositesB extends QueryPack {
         |  WHERE r_name = 'EUROPE'),
         |pv AS (
         |  SELECT l_partkey,
-        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
-        |      AS value
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS value
         |  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
         |  GROUP BY 1),
-        |t AS (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) AS avg_v FROM pv)
+        |t AS (SELECT CAST(SUM(value) AS DECIMAL(30,6)) AS tot_v,
+        |  CAST(COUNT(*) AS DECIMAL(10,0)) AS n_v FROM pv)
         |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
         |FROM pv CROSS JOIN t
-        |WHERE CAST(value AS DOUBLE) > 1.5 * avg_v
+        |WHERE value * 2 * n_v > 3 * tot_v
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
 
     "q_composite_q12" ->

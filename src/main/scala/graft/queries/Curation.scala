@@ -95,7 +95,15 @@ object Curation extends QueryPack {
     // (vs rand(), which is neither reproducible nor oracle-checkable).
     "q_shuffle_shards" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      // the Knuth multiply runs in DECIMAL(38,0), not int64: doc_id
+      // beyond ~3.47e9 would overflow the long product — Spark
+      // (non-ANSI) wraps silently to negative shards while DuckDB
+      // raises, so the "identical hash on any engine" claim would
+      // break exactly when the corpus got big. Decimal is exact to
+      // doc_id ~1e28 and closes back to long after the mod.
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val h = ((col("doc_id").cast(d38) * lit(2654435761L)) % lit(4294967296L))
+        .cast("long")
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), (h % 16).as("shard"), h.as("hv"))
         .withColumn("pos", row_number().over(
@@ -201,7 +209,8 @@ object Curation extends QueryPack {
     "q_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    (doc_id * 2654435761) % 4294967296 AS hv
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |      AS BIGINT) AS hv
         |  FROM documents)
         |SELECT doc_id, hv % 16 AS shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 16

@@ -200,12 +200,18 @@ object ScansSinks extends QueryPack {
       val dir = fixtureDir(sfDir, "orders_evolve")
       val o = Tables.orders(spark, sfDir)
       val cut = lit("1998-01-01").cast("timestamp_ntz")
-      o.filter(col("o_orderdate") < cut)
+      val pre = o.filter(col("o_orderdate") < cut)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .write.mode("overwrite").parquet(s"$dir/epoch=1")
-      o.filter(col("o_orderdate") >= cut)
+      val post = o.filter(col("o_orderdate") >= cut)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .write.mode("overwrite").parquet(s"$dir/epoch=2")
+      // an empty epoch writes no part files, so the mergeSchema read
+      // would silently lose that epoch's columns and fail resolution
+      // downstream — surface the fixture-shape dependency loudly instead
+      require(!pre.isEmpty && !post.isEmpty,
+        s"orders fixture must straddle the $cut schema-evolution cut " +
+          "(one epoch is empty — adjust the cut for this fixture)")
+      pre.write.mode("overwrite").parquet(s"$dir/epoch=1")
+      post.write.mode("overwrite").parquet(s"$dir/epoch=2")
       spark.read.option("mergeSchema", "true").parquet(dir)
         .groupBy(coalesce(col("o_orderpriority"), lit("(pre-schema)")).as("prio"))
         .agg(count(lit(1)).as("n"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
 import graft.operators.BandGuard
@@ -169,15 +170,25 @@ object SimOps extends QueryPack {
       // be optimized for the partition encoding will actually use —
       // training by cosine while encoding by L2 inflates quantization
       // error on norm-varying segments
-      val w = Window.partitionBy(col("seg"), col("vec_id"))
-        .orderBy(col("sim").desc, col("cell_id"))
       val books = centroids.withColumn("halfNorm",
         dot(col("centroid"), col("centroid")) / 2)
+      // same argmax shape as pqEncode: a max(struct) hash aggregate
+      // with map-side partial combine — no window sort of the scored
+      // sample stream. Ties break to the smallest cell_id via the
+      // negated id; the embedding rides in the struct tail, which can
+      // never decide a comparison (it is constant within a
+      // (seg, vec_id) group — score and negCell tie only within one
+      // cell).
       val assigned = segRows.join(broadcast(books), "seg")
-        .select(col("seg"), col("vec_id"), col("embedding"), col("cell_id"),
-          (dot(col("embedding"), col("centroid")) - col("halfNorm")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select(col("seg"), col("vec_id"),
+          struct(
+            (dot(col("embedding"), col("centroid")) - col("halfNorm")).as("score"),
+            (-col("cell_id")).as("negCell"),
+            col("embedding").as("emb")).as("cand"))
+        .groupBy(col("seg"), col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("seg"), col("vec_id"),
+          (-col("best.negCell")).as("cell_id"), col("best.emb").as("embedding"))
       // order-independent centroid mean: avg() over floats depends on
       // partition/merge order (FP addition is non-associative), which
       // made codebooks — and the top-50 ADC cut downstream — drift
@@ -192,6 +203,7 @@ object SimOps extends QueryPack {
         .groupBy(col("seg"), col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv").cast("float")).as("centroid"))
+      val prev = centroids
       centroids = centroids.as("c")
         .join(means.as("n"),
           col("c.seg") === col("n.seg") && col("c.cell_id") === col("n.cell_id"),
@@ -199,7 +211,11 @@ object SimOps extends QueryPack {
         .select(col("c.seg").as("seg"), col("c.cell_id").as("cell_id"),
           coalesce(col("n.centroid"), col("c.centroid")).as("centroid"))
         .localCheckpoint()
+      // eager checkpoint: new codebook materialized, previous round's
+      // blocks are unreachable — release rather than accumulate
+      Bridge.unpersistCheckpoint(prev)
     }
+    Bridge.unpersistCheckpoint(segRows)
     centroids
   }
 
@@ -276,11 +292,14 @@ object SimOps extends QueryPack {
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
+      val prev = centroids
       centroids = centroids.as("c")
         .join(means.as("n"), col("c.cell_id") === col("n.cell_id"), "left")
         .select(col("c.cell_id").as("cell_id"),
           coalesce(col("n.centroid"), col("c.centroid")).as("centroid"))
         .localCheckpoint()
+      // round 1's prev is the caller's seed table — not ours to release
+      if (prev ne seed) Bridge.unpersistCheckpoint(prev)
     }
     centroids
   }

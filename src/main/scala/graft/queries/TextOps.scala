@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
 import graft.operators.BandGuard
@@ -141,15 +142,21 @@ object TextOps extends QueryPack {
       val neighborMin = allEdges.join(labels, allEdges("d2") === labels("id"))
         .groupBy(allEdges("d1").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
+      val prev = labels
       labels = labels.as("l")
         .join(neighborMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
         .localCheckpoint()
+      // eager checkpoint: the new label state is materialized, so the
+      // superseded round's blocks (node-count-sized each) are dead —
+      // release them instead of letting every round accumulate
+      Bridge.unpersistCheckpoint(prev)
       prevSum = curSum
       curSum = labelSum()
       rounds += 1
     }
+    Bridge.unpersistCheckpoint(edges)
     labels
   }
 

@@ -12,4 +12,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * Dataset. Iterative operators (PageRank, connected components,
+    * k-means/PQ training) checkpoint their state every round; without
+    * this, every superseded round's blocks stay resident until session
+    * end — at scale that is node-count-sized garbage per round. The
+    * checkpointed plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * leaf wrapping the persisted RDD; unpersist it directly (non-
+    * blocking), touching only THIS dataset's blocks — unlike a
+    * getPersistentRDDs diff, this cannot race with concurrent queries.
+    * The input must not be used again after the call.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit = df match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }
