@@ -913,6 +913,20 @@ object TextOps extends QueryPack {
             size(col("m2")) - 2)).as("fps"))
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // BPE merge TRAINING (q_text_tokens lexes with a fixed pattern;
+    // this learns the merge table itself): corpus → word-frequency
+    // table in one pass, then 16 distributed pair-count + greedy-merge
+    // rounds — see operators/BpeTrain.scala for the full design. The
+    // merge sequence is deterministic (exact integer pair counts,
+    // lexicographic tie-break), but the iterative argmax chain is not
+    // expressible as one DuckDB statement — declared no-oracle;
+    // BpeSpec proves merge-table equality against an independent
+    // single-node reference implementation and partitioning invariance.
+    "q_text_bpe" -> ((spark, sfDir) => {
+      graft.operators.BpeTrain(Tables.documents(spark, sfDir), numMerges = 16)
+        .orderBy(col("rank"))
     })
   )
 
