@@ -88,6 +88,41 @@ class PlanSpec extends SparkSuite {
     assert(executedPlan("q_composite_q15").contains("BroadcastHashJoin"))
   }
 
+  test("composite pack: each selective predicate reaches PushedFilters by name") {
+    // The generic composite tests prove SOME filter pushed; these name
+    // every load-bearing predicate. At 100 TB each of these is the
+    // difference between scanning a row group and skipping it — a
+    // refactor that silently lifts one off the scan (e.g. by computing
+    // the filter column first) must fail here, not in a benchmark.
+    val expected: Map[String, Seq[String]] = Map(
+      "q_composite_q3" -> Seq(          // date window + market segment
+        "LessThan(o_orderdate", "GreaterThan(l_shipdate",
+        "EqualTo(c_mktsegment,BUILDING)"),
+      "q_composite_q5" -> Seq(          // order-year window + region name
+        "GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate",
+        "EqualTo(r_name,ASIA)"),
+      "q_composite_q6" -> Seq(          // all three scan predicates
+        "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"),
+      "q_composite_q10" -> Seq(         // quarter window + return flag
+        "GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate",
+        "EqualTo(l_returnflag,R)"),
+      "q_composite_q14" -> Seq(         // promo month window
+        "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"),
+      "q_composite_q19" -> Seq(         // per-side disjunction extracted
+        "EqualTo(p_brand,Brand#12"))    // from the OR'd brackets
+    // default metadata truncation (100 chars) cuts PushedFilters lists
+    // mid-name — raise it so the assertion sees the full list
+    withSQLConf("spark.sql.maxMetadataStringLength" -> "10000") {
+      for ((q, preds) <- expected; p <- preds) {
+        val plan = executedPlan(q)
+        assert(plan.contains(p),
+          s"$q: predicate $p not pushed to the scan\n" + plan.take(3000))
+      }
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact scan") {
     val dir = "target/test-fixtures/dpp_events"
     Tables.events(spark, Sf)
