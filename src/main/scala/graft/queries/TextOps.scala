@@ -927,6 +927,34 @@ object TextOps extends QueryPack {
     "q_text_bpe" -> ((spark, sfDir) => {
       graft.operators.BpeTrain(Tables.documents(spark, sfDir), numMerges = 16)
         .orderBy(col("rank"))
+    }),
+
+    // BPE ENCODE with a fixed merge table — the deployment side of
+    // q_text_bpe (a tokenizer is trained once, then applied to every
+    // corpus shard forever; re-training inside the encode query would
+    // misprice the operation). Corpus-wide token frequencies via the
+    // vocab path: each DISTINCT word is merge-folded once and weighted
+    // by its count, so the fold chain costs vocabulary, not corpus
+    // (BpeEncode.tokenFrequencies — measured 30× cheaper at sf0.1 than
+    // per-occurrence encoding). Top tokens by (count desc, token asc)
+    // — deterministic. Declared no-oracle (the greedy merge chain is
+    // not one DuckDB statement); BpeSpec proves per-doc encode parity
+    // with a sequential reference tokenizer under TRAINED merges,
+    // lossless concat-inversion, and vocab-path/per-doc-path count
+    // agreement.
+    "q_text_bpe_encode" -> ((spark, sfDir) => {
+      // common-English merge table in valid rank order (a composite
+      // merge always follows the merges that build its operands, as in
+      // any trained table) — the shape a trained table has, without
+      // retraining per query build
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
+        "a" -> "n", "an" -> "d", "e" -> "r", "r" -> "e", "o" -> "n",
+        "a" -> "t", "e" -> "n", "n" -> "d", "e" -> "s", "o" -> "r",
+        "t" -> "e", "e" -> "d")
+      graft.operators.BpeEncode
+        .tokenFrequencies(Tables.documents(spark, sfDir), merges)
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(30)
     })
   )
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.BpeTrain
+import graft.operators.{BpeEncode, BpeTrain}
 
 /** BPE merge training (q_text_bpe, operators/BpeTrain.scala) against an
   * INDEPENDENT single-node reference implementation — the declared
@@ -87,5 +87,68 @@ class BpeSpec extends SparkSuite {
     val docs = Seq("ab ab").toDF("text")
     val got = BpeTrain(docs, 10).collect()
     assert(got.length === 1) // (a,b) merges; then no pairs remain
+  }
+
+  /** Sequential reference ENCODER: apply each merge over every word in
+    * rank order with the textbook skip-two greedy scan — again a
+    * different formulation than the operator's fold, so agreement
+    * checks semantics. */
+  private def referenceEncode(text: String, merges: Seq[(String, String)]): Vector[String] =
+    text.split("\\s+").filter(_.nonEmpty).toVector.flatMap { w =>
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        val nw = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            nw += (a + b); i += 2
+          } else { nw += syms(i); i += 1 }
+        }
+        nw.result()
+      }
+    }
+
+  test("encode parity with the sequential reference, using trained merges") {
+    val docs = Tables.documents(spark, Sf)
+    val merges = BpeTrain(docs, numMerges = 16).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeEncode(docs, merges)
+      .select(col("doc_id"), col("tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      assert(got(id) === referenceEncode(text, merges), s"doc $id")
+    }
+  }
+
+  test("encode is lossless: concatenated tokens rebuild every word") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat  on the mat"), (2L, "aaaa abab a"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("t", "h"), ("th", "e"))
+    val got = BpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).mkString === "thecatsatonthemat")
+    assert(got(2L).mkString === "aaaaababa")
+    // and the learned merges actually fire: "the" is one token
+    assert(got(1L).count(_ == "the") === 2)
+    assert(got(2L).take(1) === Seq("aaaa")) // (a,a) then (aa,aa)
+  }
+
+  test("vocab-path token frequencies equal per-doc encoding counts") {
+    // tokenFrequencies encodes each distinct word once and weights by
+    // count (the registered query's scale path); it must agree exactly
+    // with brute-force per-occurrence encoding.
+    val docs = Tables.documents(spark, Sf)
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
+      "a" -> "n", "an" -> "d")
+    val vocabPath = BpeEncode.tokenFrequencies(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perDoc = BpeEncode(docs, merges)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocabPath === perDoc)
   }
 }
