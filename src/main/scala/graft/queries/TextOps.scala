@@ -420,6 +420,38 @@ object TextOps extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // LINE-level exact dedup across the corpus — the repeated-passage
+    // removal stage (boilerplate headers, licence blocks, templated
+    // spans) that document-level dedup can't see: re-line every doc
+    // into 8-token chunks (the fixture has no newlines; production
+    // splits on \n), drop every line that occurred EARLIER anywhere in
+    // the corpus — (doc_id, position) order, so keep-first is total and
+    // deterministic — and rebuild each doc from its surviving lines.
+    // ONE corpus-sized shuffle keyed by line content decides first
+    // occurrence (the distributed hash-set formulation); the rebuild
+    // groups by doc. Fully-duplicated docs vanish — exact-dup removal
+    // falls out as the degenerate case.
+    "q_dedup_lines" -> ((spark, sfDir) => {
+      val chunks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ceil(size(col("t")) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")))
+            .as(Seq("cidx", "line")))
+      val firstW = Window.partitionBy(col("line"))
+        .orderBy(col("doc_id"), col("cidx"))
+      chunks.withColumn("rn", row_number().over(firstW))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("cidx"), col("line")))),
+            s => s.getField("line"))).as("text_dedup"),
+          count(lit(1)).as("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edit-distance near-dup pairs: lossless length-band blocking +
     // threshold Levenshtein verify (see editDistancePairs; property
     // and mega-bin coverage in EditDistSpec). maxDist 12: the
@@ -1013,6 +1045,21 @@ object TextOps extends QueryPack {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |  unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS cidx FROM toks),
+        |lines AS (SELECT doc_id, cidx,
+        |  array_to_string(t[(cidx*8+1):(cidx*8+8)], ' ') AS line FROM idx),
+        |first AS (SELECT doc_id, cidx, line,
+        |  ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, cidx) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  string_agg(line, ' ' ORDER BY cidx) AS text_dedup,
+        |  COUNT(*) AS n_lines_kept
+        |FROM first WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_pipeline" ->
       """WITH toks AS (

@@ -55,6 +55,35 @@ class StreamingSoakSpec extends SparkSuite {
     }
   }
 
+  test("dropDuplicatesWithinWatermark state is horizon-bounded across a 50-batch soak (RocksDB)") {
+    import spark.implicits._
+    withSQLConf(Rocks) {
+      val mem = MemoryStream[Ev](spark)
+      val q = StreamOps.dedupStream(mem.toDS().toDF(), "30 minutes")
+        .writeStream.format("memory").queryName("dedup_soak")
+        .outputMode("append").start()
+      try {
+        // every batch: 8 NEW ids (sent twice — the dedup work) at an
+        // event time advancing 10 min per batch. Plain dropDuplicates
+        // would retain all 400 ids forever; WithinWatermark must hold
+        // only the 30-min horizon (~4 batches × 8 ids).
+        for (b <- 0 until 50) {
+          val evs = (0 until 8).map { i =>
+            Ev(b * 8L + i, i.toLong, "view", t(60 + b * 10), 1.0) }
+          mem.addData(evs ++ evs: _*)
+          q.processAllAvailable()
+        }
+        val totals = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).filter(_ > 0)
+        assert(totals.nonEmpty, "no state-operator progress recorded")
+        assert(totals.max <= 64, // 2x slack over the 32-id horizon
+          s"dedup state grew past the watermark horizon: max=${totals.max}")
+        // and dedup still ran: each id appears exactly once downstream
+        assert(spark.table("dedup_soak").count() === 400)
+      } finally q.stop()
+    }
+  }
+
   test("full-outer interval-join state is watermark-bounded across a 50-batch soak (RocksDB)") {
     import spark.implicits._
     withSQLConf(Rocks) {
