@@ -53,6 +53,30 @@ class EditDistSpec extends SparkSuite {
     assert(rows(1).getInt(0) === 0)
   }
 
+  test("the threshold DP stays the LAST join conjunct in the physical plan") {
+    // The blocked join's whole cost model rests on conjunct order: the
+    // O(maxDist·len) DP must run only on pairs that survive the cheap
+    // id/length-band/L1 prunes (editDistancePairs keeps it inside the
+    // join condition precisely because a post-join filter gets inlined
+    // AHEAD of the prunes by PushPredicateThroughJoin — measured 10 s
+    // flat at sf0.1 when that happens). Pin the evaluation order in
+    // the plan itself so an optimizer change can't silently
+    // re-quadratify the query.
+    val plan = SparkEntry.queries("q_dedup_editdist")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("levenshtein"))
+      .getOrElse(fail("no join node carries the levenshtein conjunct\n" +
+        plan.take(3000)))
+    val lenBand = joinLine.indexOf("abs(")
+    val l1 = joinLine.indexOf("char_hist_l1")
+    val lev = joinLine.indexOf("levenshtein")
+    assert(lenBand >= 0 && l1 >= 0 && lev >= 0,
+      "expected all three prune conjuncts in the join condition\n" + joinLine)
+    assert(lenBand < l1 && l1 < lev,
+      "conjunct order regressed (DP no longer last)\n" + joinLine)
+  }
+
   test("an over-cap length bin emits only hub-star pairs") {
     import spark.implicits._
     val docs = (1 to 300).map(i => (i.toLong, "equal length text here"))
