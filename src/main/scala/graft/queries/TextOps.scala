@@ -374,6 +374,59 @@ object TextOps extends QueryPack {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-doc cross-entropy under an add-one-smoothed bigram LM trained
+    * on the corpus itself — the CCNet-style statistical quality gate:
+    * heuristic ratios flag structural junk, LM fit flags fluent-looking
+    * gibberish that passes them (high cross-entropy = the corpus LM is
+    * surprised by the doc).
+    *
+    * Scale shape: the two count tables are observed-bigram- and
+    * vocab-sized (sublinear in the corpus), joined back to the bigram
+    * stream WITHOUT a broadcast hint — AQE broadcasts them while they
+    * fit and falls back to a shuffled join when a 100 TB corpus's
+    * bigram table outgrows an executor, which is exactly the right
+    * behavior at both ends. The vocabulary size rides the plan as a
+    * 1-row lazy broadcast (the q_composite_q22 scalar form). Scoring
+    * itself is one map-side pass plus the per-doc aggregate.
+    *
+    * Determinism: every log-prob is a pure function of exact integer
+    * counts — identical doubles at any partitioning — and the per-doc
+    * sum runs over DECIMAL(28,18)-cast addends (order-independent), so
+    * scores are BIT-identical across repartitionings (PerplexitySpec
+    * asserts it). Inner joins are correct here because the LM trains on
+    * the corpus it scores: every doc bigram has a count. Scoring
+    * held-out text against this LM would need left joins with
+    * (0 + 1)-smoothed defaults.
+    *
+    * @return (doc_id, n_bigrams, cross_entropy) — natural-log base;
+    *         docs with fewer than 2 tokens have no bigrams and drop.
+    */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val d2818 = org.apache.spark.sql.types.DecimalType(28, 18)
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        slice(col("t"), lit(2), size(col("t"))).as("tl"))
+      .select(col("doc_id"), explode(arrays_zip(col("t"), col("tl"))).as("p"))
+      .filter(col("p.tl").isNotNull)
+      .select(col("doc_id"), col("p.t").as("a"), col("p.tl").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    pairs
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("cab") + 1).cast("double") / (col("ca").cast("double") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("logp").cast(d2818)).cast("double") / count(lit(1)))
+          .as("cross_entropy"))
+  }
+
   override def queries: Map[String, Query] = Map(
     // Exact dedup on a normalized key (first 8 tokens — the fixture has
     // no full-text duplicates); deterministic survivor = min doc_id.
@@ -541,6 +594,19 @@ object TextOps extends QueryPack {
           (col("n_chars").cast("double") / size(col("toks"))).as("chars_per_token"),
           (size(filter(col("toks"), t => t === "the" || t === "a"))
             .cast("double") / size(col("toks"))).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Statistical quality gate: per-doc cross-entropy under a bigram
+    // LM trained on the corpus itself (bigramCrossEntropy below) — the
+    // LM-fit filter that catches fluent-looking gibberish the heuristic
+    // ratios (q_text_quality) pass. Declared no-oracle: log() doubles
+    // are not cross-engine bit-stable; PerplexitySpec proves parity
+    // with a sequential reference LM, BIT-identical scores across
+    // repartitionings (decimal-summed log-probs), and that a planted
+    // gibberish doc scores strictly worst.
+    "q_text_perplexity" -> ((spark, sfDir) => {
+      bigramCrossEntropy(Tables.documents(spark, sfDir))
         .orderBy(col("doc_id"))
     }),
 

@@ -13,12 +13,13 @@ class PlanAuditSpec extends SparkSuite {
   // q_win_ntile, q_text_tfidf, and q_sample_temperature's global max.
   // q_composite_q22 / q_composite_q11: 1-row scalar-average broadcast;
   // q_events_gapfill: calendar-bounded day spine broadcast under the
-  // user grid; q_pareto_share: 1-row grand-total broadcast.
+  // user grid; q_pareto_share: 1-row grand-total broadcast;
+  // q_text_perplexity: 1-row vocabulary-size broadcast.
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
       "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift",
       "q_sample_temperature", "q_composite_q22", "q_composite_q11",
-      "q_events_gapfill", "q_pareto_share")
+      "q_events_gapfill", "q_pareto_share", "q_text_perplexity")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
