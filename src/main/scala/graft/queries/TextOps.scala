@@ -430,13 +430,17 @@ object TextOps extends QueryPack {
   override def queries: Map[String, Query] = Map(
     // Exact dedup on a normalized key (first 8 tokens — the fixture has
     // no full-text duplicates); deterministic survivor = min doc_id.
+    // Survivor selection is a min(struct) HASH aggregate, not a window
+    // row_number: a viral duplicate key lands its whole bucket on one
+    // window-sort task, while the aggregate map-side-combines hot keys
+    // on every input task and never sorts (doc_id is unique, so the
+    // struct order never reads the lang field).
     "q_dedup_exact" -> ((spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
+      Tables.documents(spark, sfDir)
         .withColumn("dkey", array_join(slice(split(col("text"), " "), 1, 8), " "))
-      val w = Window.partitionBy(col("dkey")).orderBy(col("doc_id"))
-      docs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("lang"))
+        .groupBy(col("dkey"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("k"))
+        .groupBy(col("k.lang").as("lang"))
         .agg(count(lit(1)).as("n_survivors"))
         .orderBy(col("lang"))
     }),
@@ -481,25 +485,26 @@ object TextOps extends QueryPack {
     // the corpus — (doc_id, position) order, so keep-first is total and
     // deterministic — and rebuild each doc from its surviving lines.
     // ONE corpus-sized shuffle keyed by line content decides first
-    // occurrence (the distributed hash-set formulation); the rebuild
-    // groups by doc. Fully-duplicated docs vanish — exact-dup removal
-    // falls out as the degenerate case.
+    // occurrence — a min(struct) HASH aggregate, not a window
+    // row_number: a viral boilerplate line map-side-combines down to
+    // one candidate per input task instead of sorting its whole bucket
+    // on one task (the distributed hash-set formulation, skew-proof by
+    // construction). The rebuild groups by doc. Fully-duplicated docs
+    // vanish — exact-dup removal falls out as the degenerate case.
     "q_dedup_lines" -> ((spark, sfDir) => {
-      val chunks = Tables.documents(spark, sfDir)
+      Tables.documents(spark, sfDir)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"),
           posexplode(transform(
             sequence(lit(0), ceil(size(col("t")) / lit(8.0)).cast("int") - 1),
             i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")))
             .as(Seq("cidx", "line")))
-      val firstW = Window.partitionBy(col("line"))
-        .orderBy(col("doc_id"), col("cidx"))
-      chunks.withColumn("rn", row_number().over(firstW))
-        .filter(col("rn") === 1)
-        .groupBy(col("doc_id"))
+        .groupBy(col("line"))
+        .agg(min(struct(col("doc_id"), col("cidx"))).as("k"))
+        .groupBy(col("k.doc_id").as("doc_id"))
         .agg(
           concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("cidx"), col("line")))),
+            array_sort(collect_list(struct(col("k.cidx").as("cidx"), col("line")))),
             s => s.getField("line"))).as("text_dedup"),
           count(lit(1)).as("n_lines_kept"))
         .orderBy(col("doc_id"))
@@ -640,7 +645,10 @@ object TextOps extends QueryPack {
     // production order; the oracle recomposes the same three stages in
     // SQL, so the COMPOSITION is what this row proves. Shapes: quality
     // is map-side (counts materialized before the filter — FilterExec
-    // re-tokenization trap); dedup is one key shuffle + row_number;
+    // re-tokenization trap); dedup is one min(struct) hash aggregate on
+    // the key (map-side-combined — a viral duplicate key collapses on
+    // every input task instead of sorting on one window task; doc_id
+    // leads the struct so no later field is ever compared);
     // decontamination shuffles grams (never doc pairs) and anti-joins
     // on doc_id.
     "q_curate_e2e" -> ((spark, sfDir) => {
@@ -653,11 +661,13 @@ object TextOps extends QueryPack {
         .filter(col("n_toks") >= 5 &&
           col("n_stop").cast("double") / col("n_toks") <= 0.5 &&
           col("n_chars").cast("double") / col("n_toks") <= 12.0)
-      val w = Window.partitionBy(col("dkey")).orderBy(col("doc_id"))
       val deduped = quality
         .withColumn("dkey", array_join(slice(col("toks"), 1, 8), " "))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("dkey"))
+        .agg(min(struct(col("doc_id"), col("source"), col("lang"),
+          col("toks"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+          col("k.lang").as("lang"), col("k.toks").as("toks"))
       def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
         explode(ShingleJoin(col("toks"), 8, shortToUnigrams = false)).as("gram"))
       val benchGrams = grams(docs.filter(col("source") === "src0"))
