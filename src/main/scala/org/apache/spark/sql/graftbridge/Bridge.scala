@@ -15,18 +15,27 @@ object Bridge {
 
   /** Release the block-manager storage behind a `localCheckpoint()`ed
     * Dataset. Iterative operators (PageRank, connected components,
-    * k-means/PQ training) checkpoint their state every round; without
-    * this, every superseded round's blocks stay resident until session
-    * end — at scale that is node-count-sized garbage per round. The
-    * checkpointed plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
-    * leaf wrapping the persisted RDD; unpersist it directly (non-
-    * blocking), touching only THIS dataset's blocks — unlike a
-    * getPersistentRDDs diff, this cannot race with concurrent queries.
-    * The input must not be used again after the call.
+    * k-means/PQ training, BPE training) checkpoint their state every
+    * round; without this, every superseded round's blocks stay resident
+    * until session end — at scale that is node-count-sized garbage per
+    * round. The checkpointed plan is a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] leaf wrapping the
+    * persisted RDD; unpersist it directly (non-blocking), touching only
+    * THIS dataset's blocks — unlike a getPersistentRDDs diff, this
+    * cannot race with concurrent queries. The input must not be used
+    * again after the call.
+    *
+    * Deliberately a NO-OP unless the analyzed plan is EXACTLY the
+    * checkpoint leaf: on a derived plan (filter/join over a checkpoint)
+    * a traversal-based release would unpersist every LogicalRDD it
+    * finds, including a shared checkpoint a live sibling still reads —
+    * and a localCheckpoint has no recompute lineage, so the sibling's
+    * next action would fail unrecoverably. Restricting to the root
+    * leaf makes that misuse impossible instead of merely unlikely.
     */
   def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit = df match {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
-      c.queryExecution.analyzed.foreach {
+      c.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
         case _ => ()
       }

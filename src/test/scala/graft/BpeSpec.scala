@@ -15,10 +15,20 @@ import graft.operators.{BpeEncode, BpeTrain}
   */
 class BpeSpec extends SparkSuite {
 
+  /** Code-point split — the operator's symbol unit (Spark's
+    * `split(w, "")` splits by code point); `w.map(_.toString)` would
+    * shear surrogate pairs into lone surrogates on non-BMP text. */
+  private def codePoints(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
+  /** Tie-break order: code-point order == UTF-8 binary == Spark's own
+    * string order (String.compareTo diverges above the BMP). */
+  private implicit val cpOrd: Ordering[String] = BpeTrain.CodePointOrdering
+
   /** Textbook sequential BPE over a word-frequency table. */
   private def referenceBpe(freq: Map[String, Long], numMerges: Int): Seq[(Int, String, String)] = {
     var words: Vector[(Vector[String], Long)] =
-      freq.toVector.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      freq.toVector.map { case (w, c) => (codePoints(w), c) }
     val out = Vector.newBuilder[(Int, String, String)]
     var rank = 1
     var continue = true
@@ -28,7 +38,7 @@ class BpeSpec extends SparkSuite {
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
       if (counts.isEmpty) continue = false
       else {
-        // max count, ties to lexicographically smallest (left, right)
+        // max count, ties to code-point-smallest (left, right)
         val (a, b) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
         out += ((rank, a, b))
         words = words.map { case (syms, c) =>
@@ -95,7 +105,7 @@ class BpeSpec extends SparkSuite {
     * checks semantics. */
   private def referenceEncode(text: String, merges: Seq[(String, String)]): Vector[String] =
     text.split("\\s+").filter(_.nonEmpty).toVector.flatMap { w =>
-      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+      merges.foldLeft(codePoints(w)) { case (syms, (a, b)) =>
         val nw = Vector.newBuilder[String]
         var i = 0
         while (i < syms.length) {
@@ -134,6 +144,96 @@ class BpeSpec extends SparkSuite {
     // and the learned merges actually fire: "the" is one token
     assert(got(1L).count(_ == "the") === 2)
     assert(got(2L).take(1) === Seq("aaaa")) // (a,a) then (aa,aa)
+  }
+
+  test("non-BMP corpus: code-point symbols and code-point tie-break " +
+      "agree with the reference") {
+    import spark.implicits._
+    // A supplementary character (emoji U+1F600, two UTF-16 code units)
+    // interleaved with a BMP char ABOVE the surrogate range (U+FFFD):
+    // a code-unit split shears the emoji into lone surrogates, and a
+    // UTF-16 compareTo tie-break sorts the emoji BELOW U+FFFD (its
+    // high surrogate 0xD83D < 0xFFFD) while code-point order sorts it
+    // above — either bug diverges from the reference here.
+    val emoji = new String(Character.toChars(0x1F600))
+    val hi = "\uFFFD"
+    val doc = Seq(
+      s"$emoji$hi$emoji", s"$hi$emoji$hi", s"$emoji$hi$emoji", "ab", "ab"
+    ).mkString(" ")
+    val docs = Seq(doc).toDF("text").withColumn("doc_id", lit(1L))
+    val expected = referenceBpe(corpusFreq(Seq(doc)), 6)
+      .map { case (r, a, b) => (r, a, b, a + b) }
+    val got = BpeTrain(docs, 6).orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got === expected)
+    // learned symbols are whole code points — no lone surrogates
+    got.foreach { case (_, l, r, _) =>
+      Seq(l, r).foreach { s =>
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          assert(!Character.isSurrogate(cp.toChar) || Character.charCount(cp) == 2,
+            s"lone surrogate in symbol ${s.map(c => f"${c.toInt}%04x")}")
+          i += Character.charCount(cp)
+        }
+      }
+    }
+  }
+
+  test("merge-table parity with the sequential reference at 256 merges") {
+    import spark.implicits._
+    // A corpus rich enough for 256 distinct merges: 200 deterministic
+    // LCG-generated 16-char words over a 20-letter alphabet (low pair
+    // sharing, so the vocab doesn't collapse early) with skewed counts
+    // (word i repeated (i mod 13)+1 times) — count ties exercise the
+    // code-point tie-break throughout the chain.
+    val alpha = "abcdefghijklmnopqrst"
+    var seed = 12345L
+    def nextInt(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val rows = (0 until 200).flatMap { i =>
+      val w = (0 until 16).map(_ => alpha(nextInt(20))).mkString
+      Seq.fill(i % 13 + 1)(w)
+    }
+    val docs = rows.grouped(16).map(_.mkString(" ")).toSeq.toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val expected = referenceBpe(corpusFreq(rows.grouped(16).map(_.mkString(" ")).toSeq), 256)
+    val got = BpeTrain(docs, 256).orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === expected)
+    assert(got.size >= 200, s"corpus exhausted after only ${got.size} merges " +
+      "— fixture not rich enough to exercise a deep merge chain")
+  }
+
+  test("per-round work is proportional to affected words, not vocab size") {
+    import spark.implicits._
+    // 2000 single-letter filler words: they have NO adjacent pairs, so
+    // no merge can ever touch them — only the 4 planted multi-char
+    // words are ever affected. The incremental trainer must therefore
+    // aggregate at most 4 words per round; the round-6 full-recount
+    // design processed all 2004.
+    val filler = (0 until 2000).map(i => s"${('a' + i % 26).toChar}")
+    val planted = Seq("wxyz", "wxyz", "wxyzwxyz", "yzwx")
+    val docs = (filler ++ planted).grouped(50).map(_.mkString(" ")).toSeq
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val (mergesDf, stats) =
+      BpeTrain.trainWithStats(docs, numMerges = 6, collectStats = true)
+    val merges = mergesDf.collect()
+    assert(merges.length >= 3, "planted words must yield at least 3 merges")
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      assert(s.affectedWords <= planted.distinct.size.toLong,
+        s"round ${s.rank} aggregated ${s.affectedWords} words — " +
+          "delta counting must touch only words containing the merged pair")
+    }
+    // and the merge table still matches the sequential reference
+    val expected = referenceBpe(
+      corpusFreq((filler ++ planted).grouped(50).map(_.mkString(" ")).toSeq), 6)
+      .map { case (r, a, b) => (r, a, b) }
+    assert(merges.sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq === expected)
   }
 
   test("vocab-path token frequencies equal per-doc encoding counts") {
