@@ -14,4 +14,13 @@ trait QueryPack {
   type Query = (SparkSession, String) => DataFrame
   def queries: Map[String, Query]
   def oracleSql: Map[String, String]
+
+  /** Scratch directory for queries that write an artifact (sinks,
+    * persisted model tables, dedup indexes) and read it back —
+    * namespaced per scale factor so sf runs never cross-contaminate. */
+  protected def fixtureDir(sfDir: String, name: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures")
+    s"$root/${new java.io.File(sfDir).getName}/$name"
+  }
 }

@@ -27,12 +27,6 @@ import graft.Tables.dec
   */
 object ScansSinks extends QueryPack {
 
-  private def fixtureDir(sfDir: String, name: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
-      "/root/repo/target/fixtures")
-    s"$root/${new java.io.File(sfDir).getName}/$name"
-  }
-
   /** Unity-export-style record envelope derived from `events`
     * (FIXTURES.md §3: event_id→sessionid, user_id→userid,
     * event_type→type, props→custom_params, value→amount). */

@@ -374,58 +374,259 @@ object TextOps extends QueryPack {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Banded minhash signature rows over SHINGLE features —
+    * (doc_id, bhs, band, bh), the survivor-index key layout
+    * [[dedupIncremental]] persists and probes. Same (numHashes, bands)
+    * signature as [[minhashShingleCandidates]], so candidate coverage
+    * proofs carry over to index probes. */
+  def shingleBandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    docs
+      .withColumn("__t", split(col("text"), " "))
+      .select(col("doc_id"),
+        MinHashBands(shingleArray(col("__t"), shortToUnigrams = false),
+          numHashes, bands).as("bhs"))
+      .select(col("doc_id"), col("bhs"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("bhs"), col("band"),
+        element_at(col("bhs"), col("band") + 1).as("bh"))
+
+  /** Shingle feature arrays (doc_id, source, toks) — the verify-side
+    * payload the survivor index stores next to its band rows. */
+  private def shingleFeatureRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        shingleArray(col("__t"), shortToUnigrams = false).as("toks"))
+
+  /** INCREMENTAL dedup — the nightly-ingest shape: dedup an ARRIVING
+    * BATCH against a persisted survivor index instead of re-running
+    * corpus-wide dedup. The corpus splits at t = ⌊4·max(doc_id)/5⌋
+    * (arrival order correlates with id, so the top fifth of the id
+    * space is "tonight's batch" and everything below is the already-
+    * deduped warehouse). The index — built once, by the same
+    * [[minhashDedupSurvivors]] pipeline the warehouse ran — persists
+    * TWO tables per survivor: its banded minhash rows (the probe key)
+    * and its shingle feature array (the verify payload), via
+    * [[graft.models.ModelStore]].
+    *
+    * The nightly pass then touches BATCH-SIZED data plus index
+    * lookups, never the warehouse corpus: batch band rows equi-join
+    * the index band rows (cross candidates) and self-join
+    * ([[minhashShingleCandidates]], within-batch candidates);
+    * verification reads shingle arrays for candidates only — batch
+    * docs computed live, index docs from the artifact. Survivor rule:
+    * the index is FROZEN — an incumbent never loses to an arrival —
+    * and within the batch the min-id doc of each component wins.
+    * Because every index id < t ≤ every batch id, both rules collapse
+    * to "a batch doc loses iff its component label is below its own
+    * id"; index nodes are exempted from losing (a batch doc bridging
+    * two incumbents merges their components without evicting either).
+    *
+    * Scale: the index is survivor-count-sized and grows sublinearly in
+    * ingested volume (that is what dedup is for); probes are bucketed
+    * equi-joins; nothing rescans the warehouse text. This is the batch
+    * half of the foreachBatch streaming-upsert shape
+    * (StreamingIngestSpec); IncrementalDedupSpec asserts batch-vs-index
+    * equals the full corpus recompute on the fixture.
+    *
+    * @return surviving docs (incumbents ∪ kept arrivals), full rows. */
+  def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, indexDir: String, threshold: Double): DataFrame = {
+    import graft.models.ModelStore
+    val t = docs.agg(expr("(4 * max(doc_id)) DIV 5").as("t"))
+    val indexDocs = docs.crossJoin(broadcast(t)).filter(col("doc_id") < col("t"))
+      .drop("t")
+    val batch = docs.crossJoin(broadcast(t)).filter(col("doc_id") >= col("t"))
+      .drop("t")
+    // ---- warehouse side (ran "last night"): dedup + persist index ----
+    val incumbents = minhashDedupSurvivors(indexDocs, threshold)
+    ModelStore.saveLargeTable(shingleBandRows(incumbents, numHashes = 16, bands = 8),
+      s"$indexDir/bands")
+    ModelStore.saveLargeTable(shingleFeatureRows(incumbents), s"$indexDir/features")
+    // ---- nightly side: FROZEN index probed by the arriving batch ----
+    val idxBands = ModelStore.loadTable(spark, s"$indexDir/bands")
+    val idxFeatures = ModelStore.loadTable(spark, s"$indexDir/features")
+    val batchBands = shingleBandRows(batch, numHashes = 16, bands = 8)
+    // cross candidates: batch bands probe the index key; a pair
+    // colliding in k bands is kept at its first shared band only
+    // (the in-join dedup used by every banded join in this file)
+    val crossCands = batchBands.as("b").join(idxBands.as("i"),
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+      .filter(col("b.band") === FirstEqualIndex(col("b.bhs"), col("i.bhs")))
+      .select(col("i.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cands = crossCands
+      .unionAll(minhashShingleCandidates(batch, numHashes = 16, bands = 8))
+    val feats = idxFeatures.unionByName(shingleFeatureRows(batch))
+    val verified = cands
+      .join(feats.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
+      .join(feats.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
+      .filter(col("t1.source") === col("t2.source"))
+      .withColumn("inter", size(array_intersect(col("t1.toks"), col("t2.toks"))))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (size(col("t1.toks")) + size(col("t2.toks")) - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+    // only batch ids can lose: incumbents are frozen
+    val losers = connectedComponents(verified.select(col("d1"), col("d2")))
+      .crossJoin(broadcast(t))
+      .filter(col("id") >= col("t") && col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
+    incumbents.unionByName(batch.join(losers, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Line-level exact dedup (q_dedup_lines — scaladoc at the registry
+    * entry): docs containing real `\n` split on it; newline-free docs
+    * re-line into `chunkTokens`-token chunks. Keep-first is decided by
+    * a min(struct) hash aggregate on line content; docs rebuild from
+    * surviving lines in position order, joined by the doc's own
+    * separator. The nl flag rides the min-struct TAIL, so it never
+    * decides a comparison ((doc_id, cidx) is already unique) — it just
+    * travels with the winning doc. */
+  def lineDedup(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = split(col("text"), " ")
+    val chunked = transform(
+      sequence(lit(0),
+        ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int") - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    docs
+      .select(col("doc_id"), col("text").contains("\n").as("nl"),
+        when(col("text").contains("\n"), split(col("text"), "\n"))
+          .otherwise(chunked).as("lines"))
+      .select(col("doc_id"), col("nl"),
+        posexplode(col("lines")).as(Seq("cidx", "line")))
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("cidx"), col("nl"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id"), col("k.nl").as("nl"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("k.cidx").as("cidx"), col("line")))),
+          s => s.getField("line")).as("ls"),
+        count(lit(1)).as("n_lines_kept"))
+      .select(col("doc_id"),
+        when(col("nl"), array_join(col("ls"), "\n"))
+          .otherwise(array_join(col("ls"), " ")).as("text_dedup"),
+        col("n_lines_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc cross-entropy under an add-one-smoothed bigram LM trained
     * on the corpus itself — the CCNet-style statistical quality gate:
     * heuristic ratios flag structural junk, LM fit flags fluent-looking
     * gibberish that passes them (high cross-entropy = the corpus LM is
     * surprised by the doc).
     *
-    * Scale shape: the two count tables are observed-bigram- and
-    * vocab-sized (sublinear in the corpus), joined back to the bigram
-    * stream WITHOUT a broadcast hint — AQE broadcasts them while they
-    * fit and falls back to a shuffled join when a 100 TB corpus's
-    * bigram table outgrows an executor, which is exactly the right
-    * behavior at both ends. The vocabulary size rides the plan as a
-    * 1-row lazy broadcast (the q_composite_q22 scalar form). Scoring
-    * itself is one map-side pass plus the per-doc aggregate.
+    * Scale shape — ONE corpus-sized shuffle: the bigram OCCURRENCE
+    * stream is pre-aggregated to (doc_id, a, b, n) before anything
+    * else, and the count tables (cab, ca) and the scoring join all
+    * derive from THAT aggregate. The three consumers share the
+    * aggregate's exchange subtree byte-for-byte, so Spark's exchange
+    * reuse materializes the corpus scan + explode + shuffle once and
+    * every later stage is occurrence-DEDUPED-sized (smaller by the
+    * intra-doc repetition factor) — PerplexitySpec asserts the
+    * executed plan reuses the exchange and scans the corpus once for
+    * the pair stream. The count tables join back WITHOUT a broadcast
+    * hint — AQE broadcasts them while they fit and falls back to a
+    * shuffled join when a 100 TB corpus's bigram table outgrows an
+    * executor, which is exactly the right behavior at both ends. The
+    * vocabulary size rides the plan as a 1-row lazy broadcast (the
+    * q_composite_q22 scalar form).
     *
     * Determinism: every log-prob is a pure function of exact integer
     * counts — identical doubles at any partitioning — and the per-doc
-    * sum runs over DECIMAL(28,18)-cast addends (order-independent), so
-    * scores are BIT-identical across repartitionings (PerplexitySpec
-    * asserts it). Inner joins are correct here because the LM trains on
-    * the corpus it scores: every doc bigram has a count. Scoring
-    * held-out text against this LM would need left joins with
-    * (0 + 1)-smoothed defaults.
+    * sum runs over DECIMAL(28,18)-cast addends scaled by EXACT decimal
+    * per-pair multiplicities (order-independent; the (28,18)×(9,0)
+    * product stays inside precision 38, and 10⁹ repeats of one bigram
+    * inside one document is beyond any real document), so scores are
+    * BIT-identical across repartitionings (PerplexitySpec asserts it).
+    * Inner joins are correct here because the LM trains on the corpus
+    * it scores: every doc bigram has a count. Scoring held-out text
+    * against this LM is the left-join smoothed path —
+    * [[scoreAgainstLm]].
+    *
+    * Tokens are `\s+` splits with empties dropped (a trailing or
+    * doubled space must not mint a "" token into the vocab — the
+    * BpeTrain/BpeEncode convention).
     *
     * @return (doc_id, n_bigrams, cross_entropy) — natural-log base;
     *         docs with fewer than 2 tokens have no bigrams and drop.
     */
   def bigramCrossEntropy(docs: DataFrame): DataFrame = {
-    val d2818 = org.apache.spark.sql.types.DecimalType(28, 18)
-    val pairs = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("t"),
-        slice(col("t"), lit(2), size(col("t"))).as("tl"))
-      .select(col("doc_id"), explode(arrays_zip(col("t"), col("tl"))).as("p"))
-      .filter(col("p.tl").isNotNull)
-      .select(col("doc_id"), col("p.t").as("a"), col("p.tl").as("b"))
-    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val ca = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val occ = bigramOcc(docs)
+    val cab = occ.groupBy(col("a"), col("b")).agg(sum(col("n")).as("cab"))
+    val ca = occ.groupBy(col("a")).agg(sum(col("n")).as("ca"))
     val vocab = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(lmTokens).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
-    pairs
+    scoreOcc(occ
       .join(cab, Seq("a", "b"))
       .join(ca, Seq("a"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
-        log((col("cab") + 1).cast("double") / (col("ca").cast("double") + col("v"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (-sum(col("logp").cast(d2818)).cast("double") / count(lit(1)))
-          .as("cross_entropy"))
+        log((col("cab") + 1).cast("double") / (col("ca").cast("double") + col("v")))))
   }
+
+  /** LM token column: `\s+` splits with empties dropped. */
+  private def lmTokens: Column =
+    filter(split(col("text"), "\\s+"), t => length(t) > 0)
+
+  /** Pre-aggregated bigram occurrences (doc_id, a, b, n) — the shared
+    * corpus pass behind [[bigramCrossEntropy]], [[trainBigramLm]], and
+    * [[scoreAgainstLm]]. */
+  private def bigramOcc(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), lmTokens.as("t"))
+    .select(col("doc_id"), col("t"),
+      slice(col("t"), lit(2), size(col("t"))).as("tl"))
+    .select(col("doc_id"), explode(arrays_zip(col("t"), col("tl"))).as("p"))
+    .filter(col("p.tl").isNotNull)
+    .groupBy(col("doc_id"), col("p.t").as("a"), col("p.tl").as("b"))
+    .agg(count(lit(1)).as("n"))
+
+  /** Close a scored occurrence stream (…, doc_id, n, logp) into
+    * per-doc cross-entropy with the decimal-exact sum (see
+    * [[bigramCrossEntropy]] scaladoc for the (28,18)×(9,0) bound). */
+  private def scoreOcc(scored: DataFrame): DataFrame = {
+    val d2818 = org.apache.spark.sql.types.DecimalType(28, 18)
+    val d9 = org.apache.spark.sql.types.DecimalType(9, 0)
+    scored
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        (-sum(col("logp").cast(d2818) * col("n").cast(d9)).cast("double") /
+          sum(col("n"))).as("cross_entropy"))
+  }
+
+  /** Train a FROZEN add-one bigram LM: the deployment counterpart of
+    * [[bigramCrossEntropy]]'s self-scoring — count tables persist via
+    * [[graft.models.ModelStore.saveBigramLm]] and score arriving text
+    * nightly without touching the training corpus again. The count
+    * tables are the same single-shuffle aggregates; only the vocab
+    * size is collected (one long of model metadata). */
+  def trainBigramLm(docs: DataFrame): graft.models.BigramLm = {
+    val occ = bigramOcc(docs)
+    graft.models.BigramLm(
+      occ.groupBy(col("a"), col("b")).agg(sum(col("n")).as("cab")),
+      occ.groupBy(col("a")).agg(sum(col("n")).as("ca")),
+      docs.select(explode(lmTokens).as("tok"))
+        .agg(countDistinct(col("tok"))).collect().head.getLong(0))
+  }
+
+  /** Score documents against a FROZEN LM — the held-out path the
+    * self-scoring query can't provide: bigrams unseen in training get
+    * the add-one floor via LEFT joins with 0-count defaults
+    * ((0+1)/(ca+V), or 1/V for an unseen context), so the probability
+    * model is exactly the smoothed LM extended off its support. On the
+    * LM's own training corpus every count resolves and this equals
+    * [[bigramCrossEntropy]] bit-for-bit (ModelStoreSpec asserts both
+    * properties). Join shape matches the self-scoring query: no
+    * broadcast hint — AQE broadcasts count tables while they fit. */
+  def scoreAgainstLm(docs: DataFrame, lm: graft.models.BigramLm): DataFrame =
+    scoreOcc(bigramOcc(docs)
+      .join(lm.cab, Seq("a", "b"), "left")
+      .join(lm.ca, Seq("a"), "left")
+      .withColumn("logp",
+        log((coalesce(col("cab"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("ca"), lit(0L)).cast("double") +
+            lit(lm.vocabSize.toDouble)))))
 
   override def queries: Map[String, Query] = Map(
     // Exact dedup on a normalized key (first 8 tokens — the fixture has
@@ -479,35 +680,25 @@ object TextOps extends QueryPack {
 
     // LINE-level exact dedup across the corpus — the repeated-passage
     // removal stage (boilerplate headers, licence blocks, templated
-    // spans) that document-level dedup can't see: re-line every doc
-    // into 8-token chunks (the fixture has no newlines; production
-    // splits on \n), drop every line that occurred EARLIER anywhere in
-    // the corpus — (doc_id, position) order, so keep-first is total and
-    // deterministic — and rebuild each doc from its surviving lines.
-    // ONE corpus-sized shuffle keyed by line content decides first
-    // occurrence — a min(struct) HASH aggregate, not a window
-    // row_number: a viral boilerplate line map-side-combines down to
-    // one candidate per input task instead of sorting its whole bucket
-    // on one task (the distributed hash-set formulation, skew-proof by
-    // construction). The rebuild groups by doc. Fully-duplicated docs
-    // vanish — exact-dup removal falls out as the degenerate case.
+    // spans) that document-level dedup can't see. Production newline
+    // semantics: docs WITH real newlines split on them; newline-free
+    // docs (this fixture) fall back to fixed-width token re-lining
+    // (chunk width parameterized in lineDedup). Every line that
+    // occurred EARLIER anywhere in the corpus — (doc_id, position)
+    // order, so keep-first is total and deterministic — drops, and
+    // each doc rebuilds from its surviving lines with its own
+    // separator. ONE corpus-sized shuffle keyed by line content
+    // decides first occurrence — a min(struct) HASH aggregate, not a
+    // window row_number: a viral boilerplate line map-side-combines
+    // down to one candidate per input task instead of sorting its
+    // whole bucket on one task (the distributed hash-set formulation,
+    // skew-proof by construction). The rebuild groups by doc.
+    // Fully-duplicated docs vanish — exact-dup removal falls out as
+    // the degenerate case. LineDedupSpec covers a mixed corpus; the
+    // oracle covers the fixture (newline-free → identical to the
+    // re-lining path).
     "q_dedup_lines" -> ((spark, sfDir) => {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), ceil(size(col("t")) / lit(8.0)).cast("int") - 1),
-            i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")))
-            .as(Seq("cidx", "line")))
-        .groupBy(col("line"))
-        .agg(min(struct(col("doc_id"), col("cidx"))).as("k"))
-        .groupBy(col("k.doc_id").as("doc_id"))
-        .agg(
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("k.cidx").as("cidx"), col("line")))),
-            s => s.getField("line"))).as("text_dedup"),
-          count(lit(1)).as("n_lines_kept"))
-        .orderBy(col("doc_id"))
+      lineDedup(Tables.documents(spark, sfDir), chunkTokens = 8)
     }),
 
     // Edit-distance near-dup pairs: lossless length-band blocking +
@@ -545,6 +736,20 @@ object TextOps extends QueryPack {
     // 0.5 shingle-Jaccard = q_dedup_ngram's near-dup bar.
     "q_dedup_e2e" -> ((spark, sfDir) => {
       minhashDedupSurvivors(Tables.documents(spark, sfDir), 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("lang"))
+    }),
+
+    // INCREMENTAL dedup against a PERSISTED survivor index — the
+    // nightly-ingest shape (see dedupIncremental): the arriving batch
+    // (top fifth of the id space) probes the frozen index's band rows
+    // and dedups within itself; incumbents never lose. Oracle: the
+    // same two-phase semantics in exact SQL — index-corpus closure →
+    // survivors, then batch ∪ survivor closure with NOT EXISTS keeps.
+    "q_dedup_incremental" -> ((spark, sfDir) => {
+      dedupIncremental(spark, Tables.documents(spark, sfDir),
+        fixtureDir(sfDir, "dedup_index"), 0.5)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_survivors"))
         .orderBy(col("lang"))
@@ -612,6 +817,24 @@ object TextOps extends QueryPack {
     // gibberish doc scores strictly worst.
     "q_text_perplexity" -> ((spark, sfDir) => {
       bigramCrossEntropy(Tables.documents(spark, sfDir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Held-out LM scoring through the FULL deployment path: train on
+    // 80% of docs (doc_id % 5 != 0), persist the count tables via
+    // ModelStore, reload the FROZEN artifact, score the held-out 20%
+    // with smoothed left joins (unseen bigrams get the add-one floor).
+    // Declared no-oracle like q_text_perplexity (log() doubles are not
+    // cross-engine bit-stable); PerplexitySpec proves holdout parity
+    // with a sequential smoothed reference and ModelStoreSpec proves
+    // save→load→score equals train→score bit-for-bit.
+    "q_text_perplexity_holdout" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val lmDir = fixtureDir(sfDir, "bigram_lm")
+      graft.models.ModelStore.saveBigramLm(
+        trainBigramLm(docs.filter(col("doc_id") % 5 =!= 0)), lmDir)
+      scoreAgainstLm(docs.filter(col("doc_id") % 5 === 0),
+        graft.models.ModelStore.loadBigramLm(spark, lmDir))
         .orderBy(col("doc_id"))
     }),
 
@@ -1214,6 +1437,61 @@ object TextOps extends QueryPack {
         |SELECT lang, COUNT(*) AS n_survivors
         |FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Two-phase incremental semantics in exact SQL: phase 1 replays
+    // the warehouse dedup over the index corpus (doc_id < t); phase 2
+    // closes the batch ∪ incumbent graph (cross edges only to
+    // SURVIVORS — the frozen index never contains losers) and keeps a
+    // batch doc iff nothing below its id is reachable. Incumbents are
+    // exempt from phase-2 loss by construction (only doc_id >= t rows
+    // consult breach).
+    "q_dedup_incremental" ->
+      """WITH RECURSIVE
+        |m AS (SELECT (4 * MAX(doc_id)) // 5 AS t FROM documents),
+        |tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM rawpairs
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+        |iund AS (SELECT d1 AS a, d2 AS b FROM pairs, m WHERE d2 < t
+        |         UNION ALL SELECT d2, d1 FROM pairs, m WHERE d2 < t),
+        |ireach(a, b) AS (
+        |  SELECT a, b FROM iund
+        |  UNION
+        |  SELECT r.a, u.b FROM ireach r JOIN iund u ON r.b = u.a),
+        |isurv AS (
+        |  SELECT doc_id FROM documents, m WHERE doc_id < t AND NOT EXISTS (
+        |    SELECT 1 FROM (SELECT a, LEAST(a, MIN(b)) AS comp
+        |                   FROM ireach GROUP BY a) c
+        |    WHERE c.a = doc_id AND c.comp < c.a)),
+        |bund0 AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs, m
+        |  WHERE d2 >= t AND (d1 >= t OR d1 IN (SELECT doc_id FROM isurv))),
+        |bund AS (SELECT a, b FROM bund0 UNION ALL SELECT b, a FROM bund0),
+        |breach(a, b) AS (
+        |  SELECT a, b FROM bund
+        |  UNION
+        |  SELECT r.a, u.b FROM breach r JOIN bund u ON r.b = u.a),
+        |bsurv AS (
+        |  SELECT doc_id FROM documents, m WHERE doc_id >= t AND NOT EXISTS (
+        |    SELECT 1 FROM (SELECT a, LEAST(a, MIN(b)) AS comp
+        |                   FROM breach GROUP BY a) c
+        |    WHERE c.a = doc_id AND c.comp < c.a))
+        |SELECT lang, COUNT(*) AS n_survivors
+        |FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM isurv s WHERE s.doc_id = d.doc_id)
+        |   OR EXISTS (SELECT 1 FROM bsurv s WHERE s.doc_id = d.doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_editdist_e2e" ->

@@ -9,15 +9,22 @@ import graft.queries.TextOps
   * (log() doubles are not cross-engine bit-stable, so no DuckDB hash
   * compare). A sequential reference LM provides the ground truth; the
   * decimal-summed log-probs make the distributed scores bit-stable, so
-  * the partitioning-invariance assertion is EXACT equality.
+  * the partitioning-invariance assertion is EXACT equality. Also
+  * covers the held-out scoring path (q_text_perplexity_holdout,
+  * TextOps.scoreAgainstLm) against a sequential SMOOTHED reference,
+  * and asserts the single-corpus-shuffle plan shape (exchange reuse).
   */
 class PerplexitySpec extends SparkSuite {
 
+  /** The engine's token rule: \s+ split, empties dropped. */
+  private def toks(t: String): Vector[String] =
+    t.split("\\s+").filter(_.nonEmpty).toVector
+
   /** Textbook sequential add-one bigram LM over the same corpus. */
   private def referenceCE(texts: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
-    val docs = texts.map { case (id, t) => id -> t.split(" ").toVector }
-    val pairs = docs.flatMap { case (id, toks) =>
-      toks.zip(toks.drop(1)).map(p => (id, p)) }
+    val docs = texts.map { case (id, t) => id -> toks(t) }
+    val pairs = docs.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(p => (id, p)) }
     val cab = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val ca = pairs.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
     val v = docs.flatMap(_._2).distinct.size.toDouble
@@ -26,6 +33,24 @@ class PerplexitySpec extends SparkSuite {
         math.log((cab((a, b)) + 1).toDouble / (ca(a) + v)) }
       id -> ((logps.size.toLong, -logps.sum / logps.size))
     }
+  }
+
+  /** Sequential smoothed HELD-OUT scorer: train counts on `train`,
+    * score `held` with the add-one floor for unseen bigrams/contexts. */
+  private def referenceHoldout(train: Seq[String], held: Seq[(Long, String)])
+      : Map[Long, (Long, Double)] = {
+    val tdocs = train.map(toks)
+    val pairs = tdocs.flatMap(ts => ts.zip(ts.drop(1)))
+    val cab = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = tdocs.flatten.distinct.size.toDouble
+    held.map { case (id, t) =>
+      val ts = toks(t)
+      val logps = ts.zip(ts.drop(1)).map { case (a, b) =>
+        math.log((cab.getOrElse((a, b), 0L) + 1).toDouble /
+          (ca.getOrElse(a, 0L) + v)) }
+      id -> ((logps.size.toLong, -logps.sum / logps.size))
+    }.toMap
   }
 
   test("cross-entropy matches the sequential reference LM") {
@@ -45,6 +70,21 @@ class PerplexitySpec extends SparkSuite {
       assert(math.abs(ce - ece) <= 1e-12 * math.max(1.0, math.abs(ece)),
         s"doc $id: got $ce, reference $ece")
     }
+  }
+
+  test("trailing and doubled spaces do not mint empty tokens") {
+    import spark.implicits._
+    // same word content, different whitespace: scores must be
+    // identical — a raw single-space split would add "" tokens to the
+    // second doc's bigram stream AND to the corpus vocabulary
+    val clean = Seq((1L, "the cat sat on the mat"))
+    val messy = Seq((1L, "the cat  sat on the mat "))
+    def score(rows: Seq[(Long, String)]): (Long, Double) = {
+      val r = TextOps.bigramCrossEntropy(rows.toDF("doc_id", "text"))
+        .collect().head
+      (r.getLong(1), r.getDouble(2))
+    }
+    assert(score(messy) === score(clean))
   }
 
   test("scores are BIT-identical across repartitionings") {
@@ -72,5 +112,70 @@ class PerplexitySpec extends SparkSuite {
       .select(col("doc_id")).limit(1).collect()
     assert(scored.head.getLong(0) === 999999L,
       "gibberish doc must have the highest cross-entropy")
+  }
+
+  test("held-out scoring matches the sequential smoothed reference") {
+    val docs = Tables.documents(spark, Sf)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    val trainTexts = train.select(col("text")).collect().map(_.getString(0)).toSeq
+    val heldTexts = held.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val expected = referenceHoldout(trainTexts, heldTexts)
+    val got = TextOps.scoreAgainstLm(held, TextOps.trainBigramLm(train))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    assert(got.nonEmpty)
+    got.foreach { case (id, (n, ce)) =>
+      val (en, ece) = expected(id)
+      assert(n === en, s"doc $id bigram count")
+      assert(math.abs(ce - ece) <= 1e-12 * math.max(1.0, math.abs(ece)),
+        s"doc $id: got $ce, reference $ece")
+    }
+  }
+
+  test("unseen bigrams and contexts get the add-one floor (smoothing)") {
+    import spark.implicits._
+    // the fixture's ~30-word vocabulary leaves no bigram unseen, so
+    // the true smoothing path needs planted novelty: one held doc of
+    // entirely novel words (unseen CONTEXTS → 1/V), one mixing known
+    // and novel (unseen bigrams under known contexts → 1/(ca+V))
+    val docs = Tables.documents(spark, Sf)
+    val lm = TextOps.trainBigramLm(docs)
+    val trainTexts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    val held = Seq(
+      (1L, "zzq zzv zzj zzx"),
+      (2L, "the zzq of zzv"))
+    val expected = referenceHoldout(trainTexts, held)
+    val got = TextOps.scoreAgainstLm(held.toDF("doc_id", "text"), lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, ce)) =>
+      val (en, ece) = expected(id)
+      assert(n === en, s"doc $id bigram count")
+      assert(math.abs(ce - ece) <= 1e-12 * math.max(1.0, math.abs(ece)),
+        s"doc $id: got $ce, reference $ece")
+    }
+    // and the guard that this case really is off-support
+    val trainPairs = trainTexts.map(toks).flatMap(ts => ts.zip(ts.drop(1))).toSet
+    assert(held.flatMap(t => { val ts = toks(t._2); ts.zip(ts.drop(1)) })
+      .exists(p => !trainPairs.contains(p)))
+  }
+
+  test("self-scoring: one corpus shuffle via exchange reuse in the " +
+      "executed plan") {
+    val docs = Tables.documents(spark, Sf)
+    val df = TextOps.bigramCrossEntropy(docs)
+    df.collect()
+    // final adaptive plan only (the string repeats the initial plan)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(reused >= 2,
+      s"cab and ca must reuse the occurrence aggregate's exchange; plan:\n$plan")
+    assert(scans <= 2,
+      s"corpus must be scanned once for the pair stream (plus once for " +
+        s"the vocabulary), found $scans scans; plan:\n$plan")
   }
 }
