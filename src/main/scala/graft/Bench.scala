@@ -69,7 +69,11 @@ object Bench {
     // Re-measure the top queries in a FRESH session (old one stopped,
     // heap released, paths re-warmed): `isolated` is the map to diff
     // round-over-round; full-run `queries`/`steady` remain for totals.
-    val IsolatedTop = 10
+    // 20 (was 10 through round 6): with the contention flags proven
+    // trustworthy, widening coverage lets the artifact itself catch a
+    // regression in the 1-2 s band (editdist_e2e, triangles, minhash)
+    // instead of leaving it to a judge re-measure.
+    val IsolatedTop = 20
     // A sample started with the 1-min load already near the core count
     // was time-sharing before the query even ran — self-report it so
     // the grader discards the number rather than chasing a phantom.

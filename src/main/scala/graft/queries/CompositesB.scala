@@ -186,18 +186,34 @@ object CompositesB extends QueryPack {
       // engine's multiply exceeds width 38 — a double-cast threshold
       // double-rounds in DuckDB (int128 → double → /10^scale) once the
       // unscaled total passes 2^53, flipping rows sitting exactly on
-      // the boundary
+      // the boundary. The narrowing casts themselves must fail LOUDLY:
+      // non-ANSI Spark yields null on decimal overflow, which the
+      // threshold filter would silently drop while DuckDB raises — the
+      // raise_error guards below make both engines loud (a per-part
+      // value ≥ 1e18 aborts instead of vanishing from the answer).
+      // Null-from-EMPTY stays legitimate: tot_v is only guarded when
+      // n_v > 0, so a fixture with no EUROPE lineitems still returns
+      // zero rows on both engines rather than raising.
       val d246 = org.apache.spark.sql.types.DecimalType(24, 6)
       val d306 = org.apache.spark.sql.types.DecimalType(30, 6)
       val d10 = org.apache.spark.sql.types.DecimalType(10, 0)
+      def loud(c: org.apache.spark.sql.Column, guard: org.apache.spark.sql.Column,
+          what: String): org.apache.spark.sql.Column =
+        when(c.isNull && guard,
+          raise_error(lit(s"q11 decimal overflow: $what exceeded its cast " +
+            "width — widen the narrowing cast")))
+          .otherwise(c)
       val v = Tables.lineitem(spark, sfDir)
         .join(eur, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"),
           dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("val"))
         .groupBy(col("l_partkey"))
-        .agg(sum(col("val")).cast(d246).as("value"))
+        .agg(loud(sum(col("val")).cast(d246), lit(true), "per-part value")
+          .as("value"))
       val thr = v.agg(sum(col("value")).cast(d306).as("tot_v"),
-        count(lit(1)).cast(d10).as("n_v"))
+          count(lit(1)).cast(d10).as("n_v"))
+        .select(loud(col("tot_v"), col("n_v") > 0, "total value").as("tot_v"),
+          col("n_v"))
       v.crossJoin(broadcast(thr))
         .filter(col("value") * lit(2) * col("n_v") > lit(3) * col("tot_v"))
         .select(col("l_partkey"), col("value").cast("double").as("part_value"))

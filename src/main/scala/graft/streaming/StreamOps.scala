@@ -250,4 +250,62 @@ object StreamOps {
       .transformWithState(new ActivityProcessor(gapMinutes),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  /** [[ActivityProcessor]] plus TIMER-DRIVEN eviction — the TWS feature
+    * that keeps per-key state bounded by the ACTIVE key population, not
+    * the ever-seen one: every event (re-)arms one event-time timer at
+    * lastTs + idle (the previous timer is deleted, so a key never holds
+    * more than one), and when the watermark passes an expiry with no
+    * newer activity the key's state clears. Without this, a churning
+    * user base (the 100 TB reality: most users seen once, never again)
+    * accretes state forever even though no window ever reads it again.
+    * StreamingSoakSpec asserts numRowsTotal DECREASES once keys go
+    * quiet and lands on the still-active population. */
+  class IdleEvictProcessor(gapMinutes: Int, idleMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserActivity] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    private def idleMs: Long = idleMinutes * 60000L
+    @transient private var state: ValueState[ActivityState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ActivityState]("activity",
+        org.apache.spark.sql.Encoders.product[ActivityState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      var s = prev.getOrElse(ActivityState(0L, 0L, Long.MinValue))
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val newSession = s.lastTsMs == Long.MinValue ||
+          e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
+        s = ActivityState(s.nEvents + 1,
+          s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
+      }
+      state.update(s)
+      // one live timer per key: re-arm at the new idle deadline
+      prev.filter(_.lastTsMs != Long.MinValue)
+        .foreach(p => getHandle.deleteTimer(p.lastTsMs + idleMs))
+      getHandle.registerTimer(s.lastTsMs + idleMs)
+      Iterator.single(UserActivity(key, s.nEvents, s.nSessions))
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserActivity] = {
+      // defensive guard: only clear if no newer event re-armed the key
+      // (single-live-timer discipline makes this always true)
+      if (state.exists() &&
+          state.get().lastTsMs + idleMs <= expiredTimerInfo.getExpiryTimeInMs)
+        state.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Event-time TWS with idle-key eviction (see [[IdleEvictProcessor]]);
+    * `watermark` drives the timers, so it must be set for eviction to
+    * make progress. */
+  def userActivityTwsIdle(events: Dataset[UserEvent], gapMinutes: Int,
+      idleMinutes: Int, watermark: String): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleEvictProcessor(gapMinutes, idleMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+  }
 }
