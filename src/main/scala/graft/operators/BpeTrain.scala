@@ -39,6 +39,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   *    touches, not to vocab size (BpeSpec asserts this with planted
   *    never-affected filler). The vocab rewrite is a when()-guarded
   *    fold: unaffected rows copy through untouched.
+  *  - Rounds apply a BATCH of merges when sequential equivalence is
+  *    provable from the count table alone ([[selectBatch]]) — the
+  *    round-count lever that takes a 50k-merge production run from 50k
+  *    driver-paced rounds to ~50k/B, while remaining bit-identical to
+  *    one-merge-at-a-time training (BpeSpec pins batched == width-1 ==
+  *    sequential reference).
   *
   * The greedy rewrite merges non-overlapping occurrences left-to-right
   * via a map-side `aggregate` fold — an append-or-merge-last step
@@ -85,10 +91,13 @@ object BpeTrain {
   }
 
   /** Per-round instrumentation for the scaling contract: the round's
-    * aggregate input is `affectedWords` rows (words containing the
-    * merged adjacency), never the whole vocab; `deltaPairs` is the
-    * number of (left, right) count entries the round changed. */
-  final case class RoundStats(rank: Int, affectedWords: Long, deltaPairs: Int)
+    * aggregate input is `affectedWords` rows (words containing any of
+    * the round's merged adjacencies), never the whole vocab;
+    * `deltaPairs` is the number of (left, right) count entries the
+    * round changed; `nMerges` is the round's batch width (see
+    * [[selectBatch]] — ranks rank..rank+nMerges-1 applied together). */
+  final case class RoundStats(rank: Int, nMerges: Int, affectedWords: Long,
+    deltaPairs: Int)
 
   /** True iff `syms` contains the (a, b) adjacency. Greedy
     * left-to-right always merges at least the leftmost occurrence, so
@@ -115,14 +124,92 @@ object BpeTrain {
         i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
       .otherwise(array().cast("array<struct<l:string,r:string>>"))
 
+  /** Select the next PROVABLY-SEQUENTIAL-EQUIVALENT batch of merges —
+    * the round-count lever: a production tokenizer learns 30k-50k
+    * merges, and one Spark round per merge means 50k sequential
+    * driver-paced rounds however cheap each is. Applying B merges per
+    * round cuts that by B, but naive top-B batching is NOT sequential
+    * BPE: applying merge 1 creates new pairs that sequential selection
+    * would have considered before merge 2. This selection only batches
+    * when equivalence is PROVABLE from the current count table alone:
+    *
+    * accept a maximal PREFIX p1..pB of the (count desc, l, r)-sorted
+    * candidates such that, for each accepted pi (i ≥ 2):
+    *  1. pi's symbols are disjoint from every earlier pj's {aj, bj, mj}
+    *     — so applying pj cannot change pi's own count, and greedy
+    *     rewrites commute;
+    *  2. every earlier mj is a FRESH string (never occurs as a symbol
+    *     in the count table, and distinct from other mk) — so new
+    *     pairs never conflate with existing counts, which could
+    *     otherwise INCREASE a bystander pair past pi;
+    *  3. count(pi) STRICTLY exceeds every pair any earlier merge can
+    *     create: a new pair (mj, x) inherits occurrences from old
+    *     (bj, x) adjacencies and (x, mj) from old (x, aj), so
+    *     bound_j = max(maxCount(bj, *), maxCount(*, aj)) computed from
+    *     the CURRENT table is a hard ceiling (counts only decrease
+    *     under disjoint merges). Strictness also settles tie-breaks —
+    *     an equal-count new pair might win the (l, r) comparison.
+    *
+    * The prefix rule matters: a candidate that FAILS a condition stops
+    * the batch (it may legitimately be the next sequential argmax once
+    * the earlier merges land), it is never skipped over. Degenerate
+    * cases — overlapping top pairs, run-collapse (a,a) merges whose
+    * bound includes themselves — naturally fall back to batch size 1,
+    * which is the plain incremental round. BpeSpec's 256-merge parity
+    * against the sequential reference exercises the whole rule, and a
+    * batched-vs-width-1 equality test pins it independently. */
+  private def selectBatch(
+      ordered: scala.collection.SortedSet[(Long, String, String)],
+      counts: scala.collection.Map[(String, String), Long],
+      maxWidth: Int): Vector[(String, String)] = {
+    if (ordered.isEmpty) return Vector.empty
+    // per-symbol count ceilings for condition 3 and freshness for 2
+    val maxLeft = scala.collection.mutable.HashMap.empty[String, Long]
+    val maxRight = scala.collection.mutable.HashMap.empty[String, Long]
+    counts.foreach { case ((l, r), n) =>
+      if (n > maxLeft.getOrElse(l, Long.MinValue)) maxLeft(l) = n
+      if (n > maxRight.getOrElse(r, Long.MinValue)) maxRight(r) = n
+    }
+    def isSymbol(s: String): Boolean =
+      maxLeft.contains(s) || maxRight.contains(s)
+    val acc = Vector.newBuilder[(String, String)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    var bound = Long.MinValue
+    var width = 0
+    var extendable = true
+    val it = ordered.iterator
+    var stop = false
+    while (!stop && width < maxWidth && it.hasNext) {
+      val (n, a, b) = it.next()
+      val m = a + b
+      if (width == 0) {
+        acc += ((a, b)); width = 1
+        used ++= Seq(a, b, m)
+        bound = math.max(maxLeft.getOrElse(b, Long.MinValue),
+          maxRight.getOrElse(a, Long.MinValue))
+        extendable = !isSymbol(m) // condition 2 for this merge's m
+      } else if (extendable && !used(a) && !used(b) && !used(m) &&
+          !isSymbol(m) && n > bound) {
+        acc += ((a, b)); width += 1
+        used ++= Seq(a, b, m)
+        bound = math.max(bound, math.max(maxLeft.getOrElse(b, Long.MinValue),
+          maxRight.getOrElse(a, Long.MinValue)))
+      } else stop = true
+    }
+    acc.result()
+  }
+
   def apply(docs: DataFrame, numMerges: Int, textCol: String = "text"): DataFrame =
     trainWithStats(docs, numMerges, textCol)._1
 
   /** Training plus per-round work stats (spec instrumentation; the
-    * stats cost one extra count job per round, paid only here). */
+    * stats cost one extra count job per round, paid only here).
+    * `batchWidth` caps how many provably-independent merges one round
+    * may apply ([[selectBatch]]); 1 disables batching. */
   def trainWithStats(docs: DataFrame, numMerges: Int, textCol: String = "text",
-      collectStats: Boolean = false): (DataFrame, Seq[RoundStats]) = {
+      collectStats: Boolean = false, batchWidth: Int = 16): (DataFrame, Seq[RoundStats]) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchWidth >= 1, s"batchWidth must be >= 1, got $batchWidth")
     val spark = docs.sparkSession
     // corpus → (symbol-array, count): the single corpus-sized pass.
     // split(w, "") keeps a trailing "" on some JDK regex paths — filter
@@ -157,19 +244,33 @@ object BpeTrain {
     val stats = Vector.newBuilder[RoundStats]
     var rank = 1
     while (rank <= numMerges && ordered.nonEmpty) {
-      val (_, a, b) = ordered.head // O(1) argmax, driver-side
-      merges += ((rank, a, b))
-      val affected = containsPair(col("syms"), a, b)
-      // Deltas from AFFECTED words only: −(old pairs) + (new pairs),
-      // weighted by word count. One small explode+aggregate+collect —
-      // the only shuffle of the round, proportional to affected words.
+      // O(1) argmax (driver-side), extended to a provably-equivalent
+      // batch when the count table licenses it (selectBatch scaladoc)
+      val batch = selectBatch(ordered, counts,
+        math.min(batchWidth, numMerges - rank + 1))
+      batch.zipWithIndex.foreach { case ((a, b), i) =>
+        merges += ((rank + i, a, b))
+      }
+      val affected = batch.map { case (a, b) =>
+        containsPair(col("syms"), a, b) }.reduce(_ || _)
+      // chained greedy folds in rank order — for a disjoint batch this
+      // IS sequential application (each fold leaves the others' symbols
+      // untouched)
+      def rewrite(syms: Column): Column =
+        batch.foldLeft(syms) { case (c, (a, b)) => mergeFold(c, a, b) }
+      // Deltas from AFFECTED words only: −(old pairs) + (post-batch
+      // pairs), weighted by word count. One small explode+aggregate+
+      // collect — the only shuffle of the round, proportional to
+      // affected words. The combined delta lands the exact post-batch
+      // count state (final symbol arrays are order-independent for a
+      // disjoint batch, even though per-step deltas are not).
       val delta = words
         .filter(affected)
         .select(explode(concat(
           transform(adjacentPairs(col("syms")),
             p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
               (-col("cnt")).as("d"))),
-          transform(adjacentPairs(mergeFold(col("syms"), a, b)),
+          transform(adjacentPairs(rewrite(col("syms"))),
             p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
               col("cnt").as("d"))))).as("e"))
         .groupBy(col("e.l"), col("e.r")).agg(sum(col("e.d")).as("d"))
@@ -177,7 +278,7 @@ object BpeTrain {
         .collect()
       if (collectStats) {
         val nAffected = words.filter(affected).count()
-        stats += RoundStats(rank, nAffected, delta.length)
+        stats += RoundStats(rank, batch.size, nAffected, delta.length)
       }
       delta.foreach { r =>
         val k = (r.getString(0), r.getString(1))
@@ -194,11 +295,11 @@ object BpeTrain {
       // blocks released.
       val prev = words
       words = words
-        .select(when(affected, mergeFold(col("syms"), a, b))
+        .select(when(affected, rewrite(col("syms")))
           .otherwise(col("syms")).as("syms"), col("cnt"))
         .localCheckpoint()
       Bridge.unpersistCheckpoint(prev)
-      rank += 1
+      rank += batch.size
     }
     Bridge.unpersistCheckpoint(words)
     import spark.implicits._

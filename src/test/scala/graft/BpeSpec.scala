@@ -200,11 +200,27 @@ class BpeSpec extends SparkSuite {
     val docs = rows.grouped(16).map(_.mkString(" ")).toSeq.toDF("text")
       .withColumn("doc_id", monotonically_increasing_id())
     val expected = referenceBpe(corpusFreq(rows.grouped(16).map(_.mkString(" ")).toSeq), 256)
-    val got = BpeTrain(docs, 256).orderBy(col("rank"))
+    val (gotDf, stats) = BpeTrain.trainWithStats(docs, 256, collectStats = true)
+    val got = gotDf.orderBy(col("rank"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
     assert(got === expected)
     assert(got.size >= 200, s"corpus exhausted after only ${got.size} merges " +
       "— fixture not rich enough to exercise a deep merge chain")
+    // batched rounds really batch: the sequential-equivalence proof
+    // must fire on a real corpus, not degenerate to width 1 everywhere
+    assert(stats.map(_.nMerges).sum === got.size)
+    assert(stats.size < got.size,
+      s"no round batched more than one merge (${stats.size} rounds for " +
+        s"${got.size} merges) — selectBatch never proved independence")
+  }
+
+  test("batched training is bit-identical to width-1 training") {
+    val docs = Tables.documents(spark, Sf)
+    val batched = BpeTrain.trainWithStats(docs, 16)._1
+      .orderBy(col("rank")).collect().toSeq
+    val oneAtATime = BpeTrain.trainWithStats(docs, 16, batchWidth = 1)._1
+      .orderBy(col("rank")).collect().toSeq
+    assert(batched === oneAtATime)
   }
 
   test("per-round work is proportional to affected words, not vocab size") {

@@ -14,12 +14,15 @@ class PlanAuditSpec extends SparkSuite {
   // q_composite_q22 / q_composite_q11: 1-row scalar-average broadcast;
   // q_events_gapfill: calendar-bounded day spine broadcast under the
   // user grid; q_pareto_share: 1-row grand-total broadcast;
-  // q_text_perplexity: 1-row vocabulary-size broadcast.
+  // q_text_perplexity: 1-row vocabulary-size broadcast;
+  // q_dedup_incremental: 1-row batch-cutoff broadcast (the id-space
+  // threshold t rides the plan as a broadcast scalar, q11-style).
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
       "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift",
       "q_sample_temperature", "q_composite_q22", "q_composite_q11",
-      "q_events_gapfill", "q_pareto_share", "q_text_perplexity")
+      "q_events_gapfill", "q_pareto_share", "q_text_perplexity",
+      "q_dedup_incremental")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
