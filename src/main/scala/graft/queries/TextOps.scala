@@ -390,6 +390,64 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("bhs"), col("band"),
         element_at(col("bhs"), col("band") + 1).as("bh"))
 
+  /** Persist a survivor set as a probe-able dedup index: band rows
+    * (the key) + shingle features (the verify payload). The unit the
+    * nightly batch pass ([[dedupBatchAgainstIndex]]) and the streaming
+    * foreachBatch ingest (StreamingIngestSpec) both consume. */
+  def saveDedupIndex(survivors: DataFrame, indexDir: String): Unit = {
+    import graft.models.ModelStore
+    ModelStore.saveLargeTable(
+      shingleBandRows(survivors, numHashes = 16, bands = 8), s"$indexDir/bands")
+    ModelStore.saveLargeTable(shingleFeatureRows(survivors), s"$indexDir/features")
+  }
+
+  /** Dedup ONE arriving batch against a FROZEN persisted index (and
+    * within itself) — the probe half of [[dedupIncremental]], shaped
+    * for a foreachBatch ingest loop: cross candidates from probing the
+    * index band rows, within-batch candidates from the banded
+    * self-join, exact-Jaccard verify on candidates only. Survivor
+    * rule: incumbents never lose; within the batch the min-id doc of
+    * each component wins. Index nodes are pinned by remapping their
+    * ids NEGATIVE in the component graph (batch doc ids must be ≥ 0),
+    * so the rule is independent of how batch and index id ranges
+    * interleave. The index is read-only here — cross-MICRO-BATCH dups
+    * are only caught after an index refresh, which is the documented
+    * frozen-index semantic. Returns the batch's surviving rows. */
+  def dedupBatchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, indexDir: String, threshold: Double): DataFrame = {
+    import graft.models.ModelStore
+    val idxBands = ModelStore.loadTable(spark, s"$indexDir/bands")
+    val idxFeatures = ModelStore.loadTable(spark, s"$indexDir/features")
+    val batchBands = shingleBandRows(batch, numHashes = 16, bands = 8)
+    // cross candidates: batch bands probe the index key; a pair
+    // colliding in k bands is kept at its first shared band only
+    // (the in-join dedup used by every banded join in this file).
+    // Index ids remap to -(id+1): any component touching the index
+    // gets a negative label, losing every batch member in it.
+    val crossCands = batchBands.as("b").join(idxBands.as("i"),
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+      .filter(col("b.band") === FirstEqualIndex(col("b.bhs"), col("i.bhs")))
+      .select((-col("i.doc_id") - 1).as("d1"), col("b.doc_id").as("d2"))
+    val cands = crossCands
+      .unionAll(minhashShingleCandidates(batch, numHashes = 16, bands = 8))
+    val feats = idxFeatures
+      .select((-col("doc_id") - 1).as("doc_id"), col("source"), col("toks"))
+      .unionByName(shingleFeatureRows(batch))
+    val verified = cands
+      .join(feats.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
+      .join(feats.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
+      .filter(col("t1.source") === col("t2.source"))
+      .withColumn("inter", size(array_intersect(col("t1.toks"), col("t2.toks"))))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (size(col("t1.toks")) + size(col("t2.toks")) - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+    val losers = connectedComponents(verified.select(col("d1"), col("d2")))
+      .filter(col("id") >= 0 && col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
+    batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Shingle feature arrays (doc_id, source, toks) — the verify-side
     * payload the survivor index stores next to its band rows. */
   private def shingleFeatureRows(docs: DataFrame): DataFrame =
@@ -432,7 +490,6 @@ object TextOps extends QueryPack {
     * @return surviving docs (incumbents ∪ kept arrivals), full rows. */
   def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, indexDir: String, threshold: Double): DataFrame = {
-    import graft.models.ModelStore
     val t = docs.agg(expr("(4 * max(doc_id)) DIV 5").as("t"))
     val indexDocs = docs.crossJoin(broadcast(t)).filter(col("doc_id") < col("t"))
       .drop("t")
@@ -440,38 +497,9 @@ object TextOps extends QueryPack {
       .drop("t")
     // ---- warehouse side (ran "last night"): dedup + persist index ----
     val incumbents = minhashDedupSurvivors(indexDocs, threshold)
-    ModelStore.saveLargeTable(shingleBandRows(incumbents, numHashes = 16, bands = 8),
-      s"$indexDir/bands")
-    ModelStore.saveLargeTable(shingleFeatureRows(incumbents), s"$indexDir/features")
+    saveDedupIndex(incumbents, indexDir)
     // ---- nightly side: FROZEN index probed by the arriving batch ----
-    val idxBands = ModelStore.loadTable(spark, s"$indexDir/bands")
-    val idxFeatures = ModelStore.loadTable(spark, s"$indexDir/features")
-    val batchBands = shingleBandRows(batch, numHashes = 16, bands = 8)
-    // cross candidates: batch bands probe the index key; a pair
-    // colliding in k bands is kept at its first shared band only
-    // (the in-join dedup used by every banded join in this file)
-    val crossCands = batchBands.as("b").join(idxBands.as("i"),
-        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
-      .filter(col("b.band") === FirstEqualIndex(col("b.bhs"), col("i.bhs")))
-      .select(col("i.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val cands = crossCands
-      .unionAll(minhashShingleCandidates(batch, numHashes = 16, bands = 8))
-    val feats = idxFeatures.unionByName(shingleFeatureRows(batch))
-    val verified = cands
-      .join(feats.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
-      .join(feats.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
-      .filter(col("t1.source") === col("t2.source"))
-      .withColumn("inter", size(array_intersect(col("t1.toks"), col("t2.toks"))))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") /
-          (size(col("t1.toks")) + size(col("t2.toks")) - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
-    // only batch ids can lose: incumbents are frozen
-    val losers = connectedComponents(verified.select(col("d1"), col("d2")))
-      .crossJoin(broadcast(t))
-      .filter(col("id") >= col("t") && col("comp") < col("id"))
-      .select(col("id").as("doc_id"))
-    incumbents.unionByName(batch.join(losers, Seq("doc_id"), "left_anti"))
+    incumbents.unionByName(dedupBatchAgainstIndex(spark, batch, indexDir, threshold))
   }
 
   /** Line-level exact dedup (q_dedup_lines — scaladoc at the registry

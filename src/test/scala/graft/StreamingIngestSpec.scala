@@ -9,6 +9,9 @@ import graft.streaming.{StreamingIngest, StreamOps}
   * encoder resolution fails on nested case classes). */
 case class Up(k: Long, ver: Long, v: String)
 
+/** Arriving document for the foreachBatch incremental-dedup test. */
+case class ArrDoc(doc_id: Long, text: String, source: String, lang: String)
+
 /** End-to-end streaming ingest: the file-source checkpoint must provide
   * the reference's continueFrom semantics natively — a restarted query
   * with the same checkpoint dir picks up only files that arrived after
@@ -91,6 +94,63 @@ class StreamingIngestSpec extends SparkSuite {
       q.processAllAvailable()
       assert(table() ==
         Map(1L -> ((2L, "a2")), 2L -> ((1L, "b")), 3L -> ((1L, "c"))))
+    } finally q.stop()
+  }
+
+  test("foreachBatch incremental dedup: micro-batches probe a FROZEN " +
+      "survivor index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.TextOps
+    val idxDir = s"$root/dedup_index"
+    val outDir = s"$root/dedup_survivors"
+    // warehouse side: dedup the incumbent corpus, persist its index
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val incumbents = Seq(
+      ArrDoc(1L, dup, "s", "en"),
+      ArrDoc(2L, "one two three four five six seven eight", "s", "en"))
+    TextOps.saveDedupIndex(incumbents.toDF(), idxDir)
+    // ingest side: each micro-batch dedups against the frozen index
+    // and within itself, appending its survivors — the foreachBatch
+    // loop a nightly ingest runs (paired with the upsert sink above)
+    val mem = MemoryStream[ArrDoc](spark)
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/dedup_ck")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextOps.dedupBatchAgainstIndex(spark, batch.toDF(), idxDir, 0.5)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a near-dup of incumbent 1 (drops), a novel doc
+      // (survives), and a within-batch dup pair (min id 101 survives)
+      mem.addData(
+        ArrDoc(100L, "alpha beta gamma delta epsilon zeta eta iota", "s", "en"),
+        ArrDoc(101L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "s", "en"),
+        ArrDoc(102L, "nine ten eleven twelve thirteen fourteen fifteen seventeen", "s", "en"))
+      q.processAllAvailable()
+      def surv() = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surv() === Set(101L))
+      // batch 2: another near-dup of incumbent 2 drops; a FROZEN index
+      // does NOT catch a dup of batch-1's novel survivor — that is
+      // the documented semantic (cross-batch dedup needs an index
+      // refresh, the warehouse's nightly rebuild)
+      mem.addData(
+        ArrDoc(200L, "one two three four five six seven nine", "s", "en"),
+        ArrDoc(201L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "s", "en"))
+      q.processAllAvailable()
+      assert(surv() === Set(101L, 201L))
+      // batch-mode equivalence: replaying micro-batch 1 through the
+      // batch API yields the same survivors the stream produced
+      val replay = TextOps.dedupBatchAgainstIndex(spark, Seq(
+          ArrDoc(100L, "alpha beta gamma delta epsilon zeta eta iota", "s", "en"),
+          ArrDoc(101L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "s", "en"),
+          ArrDoc(102L, "nine ten eleven twelve thirteen fourteen fifteen seventeen", "s", "en"))
+          .toDF(), idxDir, 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replay === Set(101L))
     } finally q.stop()
   }
 }
