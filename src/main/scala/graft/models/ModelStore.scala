@@ -47,6 +47,13 @@ object ModelStore {
   def saveLargeTable(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Append rows to a large model table — the refresh half of an
+    * incremental artifact (e.g. newly-accepted survivors joining a
+    * dedup index). Parquet append adds files; a periodic compaction
+    * (pipeline.Compaction) keeps the file count bounded. */
+  def appendLargeTable(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
   def loadTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -160,16 +160,18 @@ object BpeTrain {
     * batched-vs-width-1 equality test pins it independently. */
   private def selectBatch(
       ordered: scala.collection.SortedSet[(Long, String, String)],
-      counts: scala.collection.Map[(String, String), Long],
+      maxLeft: scala.collection.Map[String, Long],
+      maxRight: scala.collection.Map[String, Long],
       maxWidth: Int): Vector[(String, String)] = {
     if (ordered.isEmpty) return Vector.empty
-    // per-symbol count ceilings for condition 3 and freshness for 2
-    val maxLeft = scala.collection.mutable.HashMap.empty[String, Long]
-    val maxRight = scala.collection.mutable.HashMap.empty[String, Long]
-    counts.foreach { case ((l, r), n) =>
-      if (n > maxLeft.getOrElse(l, Long.MinValue)) maxLeft(l) = n
-      if (n > maxRight.getOrElse(r, Long.MinValue)) maxRight(r) = n
-    }
+    // maxLeft/maxRight are STALE-HIGH per-symbol ceilings maintained
+    // monotonically by the caller (O(delta) per round, not O(table)):
+    // counts only rise on fresh-symbol pairs, which the maps track, so
+    // a stale entry can only OVERSTATE a ceiling or keep a dead symbol
+    // "existing" — both strictly conservative (smaller batches), never
+    // unsound. A per-round rebuild would re-tighten them at O(table)
+    // driver cost per round — exactly the scan this operator exists to
+    // avoid at 50k merges.
     def isSymbol(s: String): Boolean =
       maxLeft.contains(s) || maxRight.contains(s)
     val acc = Vector.newBuilder[(String, String)]
@@ -230,6 +232,13 @@ object BpeTrain {
         .orElse(Ordering.by[(Long, String, String), String](_._2)(CodePointOrdering))
         .orElse(Ordering.by[(Long, String, String), String](_._3)(CodePointOrdering))
     val ordered = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    // stale-high per-symbol ceilings for selectBatch (see its scaladoc)
+    val maxLeft = scala.collection.mutable.HashMap.empty[String, Long]
+    val maxRight = scala.collection.mutable.HashMap.empty[String, Long]
+    def bump(l: String, r: String, n: Long): Unit = {
+      if (n > maxLeft.getOrElse(l, Long.MinValue)) maxLeft(l) = n
+      if (n > maxRight.getOrElse(r, Long.MinValue)) maxRight(r) = n
+    }
     words
       .select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
       .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
@@ -238,6 +247,7 @@ object BpeTrain {
         val k = (r.getString(0), r.getString(1))
         counts(k) = r.getLong(2)
         ordered += ((r.getLong(2), k._1, k._2))
+        bump(k._1, k._2, r.getLong(2))
       }
 
     val merges = Vector.newBuilder[(Int, String, String)]
@@ -246,7 +256,7 @@ object BpeTrain {
     while (rank <= numMerges && ordered.nonEmpty) {
       // O(1) argmax (driver-side), extended to a provably-equivalent
       // batch when the count table licenses it (selectBatch scaladoc)
-      val batch = selectBatch(ordered, counts,
+      val batch = selectBatch(ordered, maxLeft, maxRight,
         math.min(batchWidth, numMerges - rank + 1))
       batch.zipWithIndex.foreach { case ((a, b), i) =>
         merges += ((rank + i, a, b))
@@ -288,6 +298,7 @@ object BpeTrain {
         if (next != 0L) {
           counts(k) = next
           ordered += ((next, k._1, k._2))
+          bump(k._1, k._2, next)
         } else counts -= k
       }
       // Vocab rewrite: when()-guarded fold — unaffected rows copy

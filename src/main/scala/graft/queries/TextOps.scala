@@ -401,6 +401,20 @@ object TextOps extends QueryPack {
     ModelStore.saveLargeTable(shingleFeatureRows(survivors), s"$indexDir/features")
   }
 
+  /** REFRESH a dedup index with newly-accepted survivors — the write
+    * half of the nightly cycle: after [[dedupBatchAgainstIndex]]
+    * accepts a batch's survivors, indexing them makes the NEXT batch's
+    * cross-batch dups visible (StreamingIngestSpec runs the full
+    * probe→accept→refresh loop). Append-only: incumbent rows never
+    * rewrite; file count is bounded by periodic compaction
+    * (pipeline.Compaction), the same discipline as any append table. */
+  def appendToDedupIndex(survivors: DataFrame, indexDir: String): Unit = {
+    import graft.models.ModelStore
+    ModelStore.appendLargeTable(
+      shingleBandRows(survivors, numHashes = 16, bands = 8), s"$indexDir/bands")
+    ModelStore.appendLargeTable(shingleFeatureRows(survivors), s"$indexDir/features")
+  }
+
   /** Dedup ONE arriving batch against a FROZEN persisted index (and
     * within itself) — the probe half of [[dedupIncremental]], shaped
     * for a foreachBatch ingest loop: cross candidates from probing the

@@ -153,4 +153,44 @@ class StreamingIngestSpec extends SparkSuite {
       assert(replay === Set(101L))
     } finally q.stop()
   }
+
+  test("probe -> accept -> refresh: a refreshed index catches " +
+      "cross-batch dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.TextOps
+    val idxDir = s"$root/dedup_index_refresh"
+    val outDir = s"$root/dedup_survivors_refresh"
+    TextOps.saveDedupIndex(Seq(
+      ArrDoc(1L, "alpha beta gamma delta epsilon zeta eta theta", "s", "en"))
+      .toDF(), idxDir)
+    val mem = MemoryStream[ArrDoc](spark)
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/dedup_refresh_ck")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // checkpoint survivors BEFORE writing: the append below must
+        // not re-read index files it is itself appending to
+        val surv = TextOps.dedupBatchAgainstIndex(spark, batch.toDF(), idxDir, 0.5)
+          .localCheckpoint()
+        surv.write.mode("append").parquet(outDir)
+        TextOps.appendToDedupIndex(surv, idxDir)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        ArrDoc(101L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "s", "en"))
+      q.processAllAvailable()
+      // batch 2: 201 duplicates batch-1 survivor 101 — the refreshed
+      // index catches it (the frozen-index test above shows the same
+      // arrival SURVIVING without the refresh); 202 is novel
+      mem.addData(
+        ArrDoc(201L, "nine ten eleven twelve thirteen fourteen fifteen seventeen", "s", "en"),
+        ArrDoc(202L, "one two three four five six seven eight", "s", "en"))
+      q.processAllAvailable()
+      val surv = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surv === Set(101L, 202L))
+    } finally q.stop()
+  }
 }
