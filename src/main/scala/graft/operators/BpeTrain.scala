@@ -158,7 +158,7 @@ object BpeTrain {
     * which is the plain incremental round. BpeSpec's 256-merge parity
     * against the sequential reference exercises the whole rule, and a
     * batched-vs-width-1 equality test pins it independently. */
-  private def selectBatch(
+  private[graft] def selectBatch(
       ordered: scala.collection.SortedSet[(Long, String, String)],
       maxLeft: scala.collection.Map[String, Long],
       maxRight: scala.collection.Map[String, Long],

@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
 import graft.operators.BandGuard
-import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, ShingleJoin, SimHash64}
+import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, ShingleJoin, SimHash64, WinnowPrints}
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
   * (exact, Jaccard, MinHash-LSH), corpus analytics, term frequency,
@@ -514,6 +514,35 @@ object TextOps extends QueryPack {
     saveDedupIndex(incumbents, indexDir)
     // ---- nightly side: FROZEN index probed by the arriving batch ----
     incumbents.unionByName(dedupBatchAgainstIndex(spark, batch, indexDir, threshold))
+  }
+
+  /** Per-token winnow feature: length·131 + ascii(first char) — the
+    * cross-engine hash base shared by q_text_fingerprint, the DuckDB
+    * winnow oracle, and [[graft.expressions.WinnowPrints]]'s input. */
+  def winnowFeatures(text: Column): Column =
+    transform(split(text, " "),
+      t => length(t).cast("long") * 131 + ascii(substring(t, 1, 1)))
+
+  /** The declarative zip_with reference formulation of winnowing —
+    * kept as the semantic spec [[graft.expressions.WinnowPrints]] is
+    * asserted against (ExpressionSpec): k-gram rolling hashes over
+    * shifted tails, rolling min of 4 as pairwise min zipped with
+    * itself shifted 2, explicit prefix truncation because zip_with
+    * null-pads the shorter array and least() skips nulls — phantom
+    * boundary windows would otherwise survive as partial minima.
+    * Returns (…, fps array<long>), first-occurrence distinct order. */
+  def winnowHofPrints(fs0: Column): Column = {
+    def shift(a: Column, by: Int): Column =
+      slice(a, lit(1 + by), greatest(size(a) - by, lit(0)))
+    def prefix(a: Column, len: Column): Column =
+      slice(a, lit(1), greatest(len, lit(0)))
+    val fs = fs0
+    val t1 = zip_with(fs, shift(fs, 1), (a, b) => a * 31 + b)
+    val hs = prefix(zip_with(t1, shift(fs, 2),
+      (a, b) => (a * 31 + b) % 1000000007L), size(fs) - 2)
+    val m2 = prefix(zip_with(hs, shift(hs, 1), least(_, _)), size(hs) - 1)
+    array_distinct(prefix(zip_with(m2, shift(m2, 2), least(_, _)),
+      size(m2) - 2))
   }
 
   /** Line-level exact dedup (q_dedup_lines — scaladoc at the registry
@@ -1249,42 +1278,19 @@ object TextOps extends QueryPack {
     // q_text_fingerprint), then the MINIMUM of every w = 4 consecutive
     // hashes, deduplicated — guarantees any shared run of ≥ k+w−1
     // tokens contributes a common fingerprint while keeping O(n/w)
-    // prints per doc. Entirely MAP-SIDE per document, and every stage
-    // is a zip_with over the array and its own SHIFTED tail — O(n)
-    // array traversals per row. The index-based formulation
-    // (transform over sequence + element_at) is a trap: project
-    // collapsing inlines the parent array into every lambda element,
-    // re-deriving it per index — measured minutes-not-seconds at
-    // sf0.1. zip_with evaluates each child array once per row.
-    // Rolling min of 4 = pairwise min zipped with itself shifted 2.
+    // prints per doc. Entirely MAP-SIDE per document. The selection
+    // runs as the codegen'd [[graft.expressions.WinnowPrints]] — one
+    // generated loop over the feature array (the round-6 zip_with
+    // chain, kept below as [[winnowHofPrints]] and parity-asserted in
+    // ExpressionSpec, evaluated five interpreted lambda stages and
+    // materialized an intermediate array per stage per row; it was the
+    // bench's most expensive query at 5.9 s isolated). The FEATURE
+    // transform stays declarative so the formula has one definition
+    // shared with the DuckDB oracle.
     "q_text_winnow" -> ((spark, sfDir) => {
-      def shift(a: Column, by: Int): Column =
-        slice(a, lit(1 + by), greatest(size(a) - by, lit(0)))
-      // zip_with pads the SHORTER array with nulls (and least() skips
-      // nulls rather than propagating), so each zipped stage is
-      // truncated to its valid prefix — phantom boundary windows would
-      // otherwise survive as partial minima.
-      def prefix(a: Column, len: Column): Column =
-        slice(a, lit(1), greatest(len, lit(0)))
-      val fs = transform(split(col("text"), " "),
-        t => length(t).cast("long") * 131 + ascii(substring(t, 1, 1)))
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), fs.as("fs"))
-        .select(col("doc_id"), col("fs"),
-          zip_with(col("fs"), shift(col("fs"), 1),
-            (a, b) => a * 31 + b).as("t1"))
         .select(col("doc_id"),
-          prefix(zip_with(col("t1"), shift(col("fs"), 2),
-            (a, b) => (a * 31 + b) % 1000000007L),
-            size(col("fs")) - 2).as("hs"))
-        .select(col("doc_id"),
-          prefix(zip_with(col("hs"), shift(col("hs"), 1), least(_, _)),
-            size(col("hs")) - 1).as("m2"))
-        .select(col("doc_id"),
-          array_distinct(prefix(
-            zip_with(col("m2"), shift(col("m2"), 2), least(_, _)),
-            size(col("m2")) - 2)).as("fps"))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+          explode(WinnowPrints(winnowFeatures(col("text")), 3, 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
     }),
 

@@ -252,6 +252,88 @@ class BpeSpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq === expected)
   }
 
+  test("PROPERTY: batched selection equals sequential BPE on 300 " +
+      "adversarial random corpora (pure driver, no Spark jobs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // The batching proof (selectBatch) is the subtle logic: exercise it
+    // against the textbook reference with EXACT per-symbol ceilings —
+    // the most aggressive valid bounds, so any hole in the acceptance
+    // rule (overlap, tie-break, merged-symbol conflation) surfaces.
+    // Tiny alphabets force collisions, ties, run collapses, and
+    // same-merged-string conflation ("x"+"yz" vs "xy"+"z" → "xyz").
+    def inMemoryBatched(freq: Map[String, Long], numMerges: Int,
+        width: Int): Seq[(String, String)] = {
+      var words = freq.toVector.map { case (w, c) => (codePoints(w), c) }
+      val out = Vector.newBuilder[(String, String)]
+      var rank = 0
+      var exhausted = false
+      while (rank < numMerges && !exhausted) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- words; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (counts.isEmpty) exhausted = true
+        else {
+          implicit val ord: Ordering[(Long, String, String)] =
+            Ordering.by[(Long, String, String), Long](-_._1)
+              .orElse(Ordering.by[(Long, String, String), String](_._2)(cpOrd))
+              .orElse(Ordering.by[(Long, String, String), String](_._3)(cpOrd))
+          val ordered = scala.collection.immutable.TreeSet.from(
+            counts.map { case ((l, r), n) => (n, l, r) })
+          val maxLeft = scala.collection.mutable.Map.empty[String, Long]
+          val maxRight = scala.collection.mutable.Map.empty[String, Long]
+          counts.foreach { case ((l, r), n) =>
+            if (n > maxLeft.getOrElse(l, Long.MinValue)) maxLeft(l) = n
+            if (n > maxRight.getOrElse(r, Long.MinValue)) maxRight(r) = n
+          }
+          val batch = BpeTrain.selectBatch(ordered, maxLeft, maxRight,
+            math.min(width, numMerges - rank))
+          batch.foreach { case (a, b) =>
+            out += ((a, b))
+            words = words.map { case (syms, c) =>
+              val nw = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  nw += (a + b); i += 2
+                } else { nw += syms(i); i += 1 }
+              }
+              (nw.result(), c)
+            }
+          }
+          rank += batch.size
+        }
+      }
+      out.result()
+    }
+    val corpusGen = for {
+      alphaSize <- Gen.choose(2, 5)
+      nWords <- Gen.choose(3, 10)
+      words <- Gen.listOfN(nWords, for {
+        len <- Gen.choose(1, 8)
+        cs <- Gen.listOfN(len, Gen.choose(0, alphaSize - 1))
+      } yield cs.map(i => ('a' + i).toChar).mkString)
+      counts <- Gen.listOfN(nWords, Gen.choose(1L, 5L))
+    } yield words.zip(counts).groupMapReduce(_._1)(_._2)(_ + _)
+    val cases = (1 to 300).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size >= 250)
+    var batchedRounds = 0
+    var totalMerges = 0
+    cases.foreach { freq =>
+      val expected = referenceBpe(freq, 12).map { case (_, a, b) => (a, b) }
+      Seq(1, 2, 4, 16).foreach { w =>
+        val got = inMemoryBatched(freq, 12, w)
+        assert(got == expected,
+          s"width $w diverged on $freq:\n got $got\n exp $expected")
+      }
+      totalMerges += expected.size
+      batchedRounds += 1
+    }
+    assert(totalMerges > 1000, "generator produced trivially-short merge chains")
+  }
+
   test("vocab-path token frequencies equal per-doc encoding counts") {
     // tokenFrequencies encodes each distinct word once and weights by
     // count (the registered query's scale path); it must agree exactly

@@ -200,6 +200,36 @@ class ExpressionSpec extends SparkSuite {
     assert("""\*\(\d+\) Project \[sign_bit_lsh""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("WinnowPrints equals the zip_with winnow chain, boundaries included") {
+    import graft.expressions.WinnowPrints
+    import graft.queries.TextOps
+    // fixture corpus: bit-parity including first-occurrence distinct order
+    val rows = Tables.documents(spark, Sf).select(col("doc_id"),
+      WinnowPrints(TextOps.winnowFeatures(col("text")), 3, 4).as("fast"),
+      TextOps.winnowHofPrints(TextOps.winnowFeatures(col("text"))).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    // prefix-truncation boundaries: below / at / just above the minimum
+    // k+w−1 = 6 tokens for one print, plus repeated-token dedup
+    import spark.implicits._
+    val edge = Seq("", "a", "a b c d e", "a b c d e f", "a b c d e f g",
+      "a a a a a a a a", "x y x y x y x y x y").toDF("text")
+    val e = edge.select(
+      WinnowPrints(TextOps.winnowFeatures(col("text")), 3, 4).as("fast"),
+      TextOps.winnowHofPrints(TextOps.winnowFeatures(col("text"))).as("ref"))
+      .collect()
+    e.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+    // the 6-token doc yields exactly one print; 5 tokens yield none
+    val one = edge.select(size(
+      WinnowPrints(TextOps.winnowFeatures(col("text")), 3, 4)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(one(2) === 0)
+    assert(one(3) === 1)
+  }
+
   test("MinHashBands and ShingleJoin run inside whole-stage codegen") {
     import graft.expressions.{MinHashBands, ShingleJoin}
     val docs = Tables.documents(spark, Sf)
