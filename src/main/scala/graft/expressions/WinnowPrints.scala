@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Documents with fewer than k+w−1 grams' worth of tokens yield the
   * empty array — exactly the zip_with chain's truncated-prefix
-  * behavior. Null feature elements never occur (the feature transform
-  * is null-intolerant by construction); a null array yields null.
+  * behavior. Null feature elements never occur with the intended
+  * inputs (the feature transform is null-intolerant by construction),
+  * and a stray one fails LOUDLY rather than hashing garbage; a null
+  * array yields null.
   */
 case class WinnowPrints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -61,7 +63,12 @@ case class WinnowPrints(child: Expression, k: Int, w: Int)
       while (i < grams) {
         var h = 0L
         var j = 0
-        while (j < k) { h = h * Mult + fs.getLong(i + j); j += 1 }
+        while (j < k) {
+          if (fs.isNullAt(i + j)) throw new IllegalArgumentException(
+            s"$prettyName: null feature element at ${i + j} — feature " +
+              "transforms feeding winnowing must be null-intolerant")
+          h = h * Mult + fs.getLong(i + j); j += 1
+        }
         hs(i) = h % Mod
         i += 1
       }
@@ -99,6 +106,11 @@ case class WinnowPrints(child: Expression, k: Int, w: Int)
          |  for (int $i = 0; $i < $grams; $i++) {
          |    long $h = 0L;
          |    for (int $j = 0; $j < $k; $j++) {
+         |      if ($fs.isNullAt($i + $j)) {
+         |        throw new IllegalArgumentException(
+         |          "winnow_prints: null feature element — feature transforms " +
+         |          "feeding winnowing must be null-intolerant");
+         |      }
          |      $h = $h * ${Mult}L + $fs.getLong($i + $j);
          |    }
          |    $hs[$i] = $h % ${Mod}L;

@@ -117,12 +117,22 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** (l, r) structs of a symbol array's adjacent pairs. */
+  /** (l, r) structs of a symbol array's adjacent pairs — the
+    * zip-with-shifted-tail shape, NOT transform-over-indices: an
+    * index/element_at formulation re-evaluates the child array
+    * expression per element (interpreted HOFs have no common-
+    * subexpression elimination — the q_text_winnow trap), which
+    * matters here because the delta job feeds this the whole B-merge
+    * rewrite fold chain. zip_with evaluates each child once; the
+    * shifted tail costs two more evaluations (slice + size), so the
+    * chain runs a constant ~3 times per row instead of O(len) times.
+    * zip_with pads the shorter side with null r — exactly the rows to
+    * drop (symbols are never null). */
   private def adjacentPairs(syms: Column): Column =
-    when(size(syms) >= 2,
-      transform(sequence(lit(1), size(syms) - 1),
-        i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
-      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    filter(
+      zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (l, r) => struct(l.as("l"), r.as("r"))),
+      p => p.getField("r").isNotNull)
 
   /** Select the next PROVABLY-SEQUENTIAL-EQUIVALENT batch of merges —
     * the round-count lever: a production tokenizer learns 30k-50k

@@ -355,24 +355,32 @@ object TextOps extends QueryPack {
     * oracle sees the same pair set. */
   def minhashDedupSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
     val cands = minhashShingleCandidates(docs, numHashes = 16, bands = 8)
-    val tokArrays = docs
-      .withColumn("__t", split(col("text"), " "))
-      .select(col("doc_id"), col("source"),
-        shingleArray(col("__t"), shortToUnigrams = false).as("toks"))
-    val verified = cands
-      .join(tokArrays.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
-      .join(tokArrays.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
+    val verified = verifyJaccard(cands, shingleFeatureRows(docs), threshold)
+    val losers = connectedComponents(verified.select(col("d1"), col("d2")))
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact shingle-Jaccard verification of a candidate pair stream
+    * against (doc_id, source, toks) feature rows — the shared verify
+    * stage of every LSH dedup pipeline here (corpus-wide, incremental,
+    * and the streaming probe). Two shuffled hash joins against the
+    * per-doc arrays (map-side set intersection — sizes is doc-level,
+    * deliberately never broadcast: see jaccardOver), source-blocked,
+    * emitting (d1, d2, jac) at or above `threshold`. One definition so
+    * the batch and incremental paths cannot drift. */
+  private def verifyJaccard(cands: DataFrame, feats: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(feats.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
+      .join(feats.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
       .filter(col("t1.source") === col("t2.source"))
       .withColumn("inter", size(array_intersect(col("t1.toks"), col("t2.toks"))))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (size(col("t1.toks")) + size(col("t2.toks")) - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
-    val losers = connectedComponents(verified.select(col("d1"), col("d2")))
-      .filter(col("comp") < col("id"))
-      .select(col("id").as("doc_id"))
-    docs.join(losers, Seq("doc_id"), "left_anti")
-  }
 
   /** Banded minhash signature rows over SHINGLE features —
     * (doc_id, bhs, band, bh), the survivor-index key layout
@@ -428,34 +436,39 @@ object TextOps extends QueryPack {
     * are only caught after an index refresh, which is the documented
     * frozen-index semantic. Returns the batch's surviving rows. */
   def dedupBatchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, indexDir: String, threshold: Double): DataFrame = {
+      batch: DataFrame, indexDir: String, threshold: Double,
+      bucketCap: Int = BandGuard.DefaultCap): DataFrame = {
     import graft.models.ModelStore
-    val idxBands = ModelStore.loadTable(spark, s"$indexDir/bands")
+    // Bucket stats are computed at PROBE time, per side: stats stored
+    // in the index would fragment across appendToDedupIndex epochs and
+    // UNDER-count hot buckets — the unsafe direction for a cap.
+    val idxBands = BandGuard.withBucketStats(
+      ModelStore.loadTable(spark, s"$indexDir/bands"), "band", "bh", "doc_id")
     val idxFeatures = ModelStore.loadTable(spark, s"$indexDir/features")
-    val batchBands = shingleBandRows(batch, numHashes = 16, bands = 8)
+    val batchBands = BandGuard.withBucketStats(
+      shingleBandRows(batch, numHashes = 16, bands = 8), "band", "bh", "doc_id")
     // cross candidates: batch bands probe the index key; a pair
     // colliding in k bands is kept at its first shared band only
-    // (the in-join dedup used by every banded join in this file).
+    // (the in-join dedup used by every banded join in this file), and
+    // BOTH sides carry the mega-bucket cap — a boilerplate-hot
+    // (band, bh) bucket emits only its hub's pairs above the cap,
+    // bounding cross-candidate volume to cap·|other side| instead of
+    // |bucket|², the same linear-output trade as the self-join guard.
     // Index ids remap to -(id+1): any component touching the index
     // gets a negative label, losing every batch member in it.
     val crossCands = batchBands.as("b").join(idxBands.as("i"),
-        col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+        BandGuard.pairCondition("i", "doc_id", bucketCap) &&
+        BandGuard.pairCondition("b", "doc_id", bucketCap))
       .filter(col("b.band") === FirstEqualIndex(col("b.bhs"), col("i.bhs")))
       .select((-col("i.doc_id") - 1).as("d1"), col("b.doc_id").as("d2"))
     val cands = crossCands
-      .unionAll(minhashShingleCandidates(batch, numHashes = 16, bands = 8))
+      .unionAll(minhashShingleCandidates(batch, numHashes = 16, bands = 8,
+        bucketCap = bucketCap))
     val feats = idxFeatures
       .select((-col("doc_id") - 1).as("doc_id"), col("source"), col("toks"))
       .unionByName(shingleFeatureRows(batch))
-    val verified = cands
-      .join(feats.as("t1").hint("shuffle_hash"), col("d1") === col("t1.doc_id"))
-      .join(feats.as("t2").hint("shuffle_hash"), col("d2") === col("t2.doc_id"))
-      .filter(col("t1.source") === col("t2.source"))
-      .withColumn("inter", size(array_intersect(col("t1.toks"), col("t2.toks"))))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") /
-          (size(col("t1.toks")) + size(col("t2.toks")) - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
+    val verified = verifyJaccard(cands, feats, threshold)
     val losers = connectedComponents(verified.select(col("d1"), col("d2")))
       .filter(col("id") >= 0 && col("comp") < col("id"))
       .select(col("id").as("doc_id"))
@@ -669,14 +682,27 @@ object TextOps extends QueryPack {
   /** Train a FROZEN add-one bigram LM: the deployment counterpart of
     * [[bigramCrossEntropy]]'s self-scoring — count tables persist via
     * [[graft.models.ModelStore.saveBigramLm]] and score arriving text
-    * nightly without touching the training corpus again. The count
-    * tables are the same single-shuffle aggregates; only the vocab
-    * size is collected (one long of model metadata). */
+    * nightly without touching the training corpus again.
+    *
+    * Unlike the self-scoring query, where exchange reuse makes all
+    * consumers share one corpus pass inside ONE plan, a trained LM's
+    * tables get consumed by SEPARATE actions (two saves, later scoring
+    * joins) — exchange reuse cannot span actions, so without
+    * materialization each action would replay the corpus scan. The
+    * occurrence aggregate is therefore checkpointed once, both count
+    * tables are materialized from it (occurrence-DEDUPED-sized jobs),
+    * and the occurrence blocks are released — one corpus pass for the
+    * counts plus one for the vocabulary, however many times the LM is
+    * saved or applied. The checkpointed count tables live as long as
+    * the BigramLm (they ARE the model). */
   def trainBigramLm(docs: DataFrame): graft.models.BigramLm = {
-    val occ = bigramOcc(docs)
-    graft.models.BigramLm(
-      occ.groupBy(col("a"), col("b")).agg(sum(col("n")).as("cab")),
-      occ.groupBy(col("a")).agg(sum(col("n")).as("ca")),
+    val occ = bigramOcc(docs).localCheckpoint()
+    val cab = occ.groupBy(col("a"), col("b")).agg(sum(col("n")).as("cab"))
+      .localCheckpoint()
+    val ca = occ.groupBy(col("a")).agg(sum(col("n")).as("ca"))
+      .localCheckpoint()
+    Bridge.unpersistCheckpoint(occ)
+    graft.models.BigramLm(cab, ca,
       docs.select(explode(lmTokens).as("tok"))
         .agg(countDistinct(col("tok"))).collect().head.getLong(0))
   }

@@ -197,6 +197,24 @@ object StreamOps {
     * watermarking (out-of-order rows older than the last seen ts would
     * need a timeout+buffer design — out of scope here).
     */
+  /** The per-key session fold shared by all three custom-state
+    * operators (flatMapGroupsWithState, TWS, TWS+timers) — one
+    * definition so the variants cannot drift from the parity baseline
+    * StatefulSpec asserts. Events sort by event time WITHIN the
+    * invocation; cross-batch ordering remains upstream watermarking's
+    * job (see the ordering note on [[userActivity]]). */
+  private[streaming] def advanceActivity(s0: ActivityState,
+      rows: Iterator[UserEvent], gapMinutes: Int): ActivityState = {
+    var s = s0
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val newSession = s.lastTsMs == Long.MinValue ||
+        e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
+      s = ActivityState(s.nEvents + 1,
+        s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
+    }
+    s
+  }
+
   def userActivity(events: Dataset[UserEvent], gapMinutes: Int): Dataset[UserActivity] = {
     import events.sparkSession.implicits._
     events
@@ -204,13 +222,9 @@ object StreamOps {
       .flatMapGroupsWithState[ActivityState, UserActivity](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (userId, evs, state) =>
-          var s = state.getOption.getOrElse(ActivityState(0L, 0L, Long.MinValue))
-          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val newSession = s.lastTsMs == Long.MinValue ||
-              e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
-            s = ActivityState(s.nEvents + 1,
-              s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
-          }
+          val s = advanceActivity(
+            state.getOption.getOrElse(ActivityState(0L, 0L, Long.MinValue)),
+            evs, gapMinutes)
           state.update(s)
           Iterator(UserActivity(userId, s.nEvents, s.nSessions))
       }
@@ -231,14 +245,9 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[ActivityState], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
         timerValues: TimerValues): Iterator[UserActivity] = {
-      var s = if (state.exists()) state.get()
-              else ActivityState(0L, 0L, Long.MinValue)
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val newSession = s.lastTsMs == Long.MinValue ||
-          e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
-        s = ActivityState(s.nEvents + 1,
-          s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
-      }
+      val s = advanceActivity(
+        if (state.exists()) state.get() else ActivityState(0L, 0L, Long.MinValue),
+        rows, gapMinutes)
       state.update(s)
       Iterator.single(UserActivity(key, s.nEvents, s.nSessions))
     }
@@ -266,33 +275,47 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     private def idleMs: Long = idleMinutes * 60000L
     @transient private var state: ValueState[ActivityState] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    // The armed eviction deadline, tracked SEPARATELY from the session
+    // state and advanced MONOTONICALLY: the session fold's lastTsMs
+    // tracks the latest event in fold order, so a late-but-valid event
+    // (older than a previously seen one, still inside the watermark)
+    // can REGRESS it — deriving the deadline from lastTsMs would then
+    // re-arm the timer EARLIER than the key's true last activity and
+    // clear live state prematurely. max(old deadline, new lastTs+idle)
+    // equals (max event time ever seen) + idle, which is the correct
+    // idle semantics under any arrival order the watermark admits.
+    @transient private var deadline: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[ActivityState]("activity",
         org.apache.spark.sql.Encoders.product[ActivityState], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
         timerValues: TimerValues): Iterator[UserActivity] = {
-      val prev = if (state.exists()) Some(state.get()) else None
-      var s = prev.getOrElse(ActivityState(0L, 0L, Long.MinValue))
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val newSession = s.lastTsMs == Long.MinValue ||
-          e.ts.getTime - s.lastTsMs > gapMinutes * 60000L
-        s = ActivityState(s.nEvents + 1,
-          s.nSessions + (if (newSession) 1 else 0), e.ts.getTime)
-      }
+      val s = advanceActivity(
+        if (state.exists()) state.get() else ActivityState(0L, 0L, Long.MinValue),
+        rows, gapMinutes)
       state.update(s)
-      // one live timer per key: re-arm at the new idle deadline
-      prev.filter(_.lastTsMs != Long.MinValue)
-        .foreach(p => getHandle.deleteTimer(p.lastTsMs + idleMs))
-      getHandle.registerTimer(s.lastTsMs + idleMs)
+      // one live timer per key, at a never-regressing deadline
+      val prev = if (deadline.exists()) Some(deadline.get()) else None
+      val next = math.max(prev.getOrElse(Long.MinValue), s.lastTsMs + idleMs)
+      if (!prev.contains(next)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(next)
+        deadline.update(next)
+      }
       Iterator.single(UserActivity(key, s.nEvents, s.nSessions))
     }
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[UserActivity] = {
-      // defensive guard: only clear if no newer event re-armed the key
-      // (single-live-timer discipline makes this always true)
-      if (state.exists() &&
-          state.get().lastTsMs + idleMs <= expiredTimerInfo.getExpiryTimeInMs)
+      // only the LIVE deadline evicts (single-live-timer discipline
+      // makes stale firings impossible; keep the guard defensive)
+      if (deadline.exists() &&
+          deadline.get() <= expiredTimerInfo.getExpiryTimeInMs) {
         state.clear()
+        deadline.clear()
+      }
       Iterator.empty
     }
   }

@@ -106,6 +106,42 @@ class StreamingSoakSpec extends SparkSuite {
     }
   }
 
+  test("idle-eviction deadline never regresses on late-but-valid events") {
+    import spark.implicits._
+    withSQLConf(Rocks) {
+      // A late (but within-watermark) event makes the session fold's
+      // lastTsMs regress; the eviction deadline must NOT follow it —
+      // deriving the timer from lastTsMs would clear live state early.
+      // u2 drives the watermark; u1 gets a late event, then goes quiet
+      // past the REGRESSED deadline but not the true one.
+      val mem = MemoryStream[UserEvent](spark)
+      val q = StreamOps.userActivityTwsIdle(mem.toDS(), gapMinutes = 30,
+          idleMinutes = 60, watermark = "30 minutes")
+        .writeStream.format("memory").queryName("tws_late_soak")
+        .outputMode("update").start()
+      try {
+        mem.addData(UserEvent(1L, t(120)), UserEvent(2L, t(120)))
+        q.processAllAvailable() // u1 true deadline = 3:00
+        mem.addData(UserEvent(1L, t(105)), UserEvent(2L, t(130)))
+        q.processAllAvailable() // late 1:45: regressed deadline would be 2:45
+        mem.addData(UserEvent(2L, t(200)))
+        q.processAllAvailable() // wm -> 2:50: past 2:45, before 3:00
+        mem.addData(UserEvent(2L, t(205)))
+        q.processAllAvailable() // drain any (wrongly) fired timer
+        mem.addData(UserEvent(1L, t(176)))
+        q.processAllAvailable() // 2:56 > wm — u1 state must still be live
+        import org.apache.spark.sql.functions.col
+        val u1 = spark.table("tws_late_soak").filter(col("user_id") === 1L)
+          .orderBy(col("n_events").desc).select("n_events", "n_sessions")
+          .collect().head
+        // 3 events across one regression + one real new session; a
+        // premature eviction restarts the count at (1, 1)
+        assert((u1.getLong(0), u1.getLong(1)) === ((3L, 2L)),
+          s"late event evicted live state: got $u1")
+      } finally q.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark state is horizon-bounded across a 50-batch soak (RocksDB)") {
     import spark.implicits._
     withSQLConf(Rocks) {
