@@ -75,4 +75,33 @@ object BpeEncode {
         flatten(transform(words, w => encodeWord(w, merges))).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }
+
+  /** The PRODUCTION-merge-count twins of [[encodeWord]] /
+    * [[tokenFrequencies]] / [[apply]]: ranked-greedy encoding via
+    * [[graft.expressions.BpeRankedEncode]] — the merge table rides as
+    * ONE broadcast reference object, so a 32k-50k-merge tokenizer
+    * encodes without chaining 32k fold expressions into the plan (the
+    * encode-side twin of BpeTrain's merge-count scaling). Equal to the
+    * fold chain for TRAINED merge tables — see the expression's
+    * equivalence contract; BpeSpec pins parity at 16 and 256 merges,
+    * ASCII and non-BMP. */
+  def encodeWordRanked(word: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeRankedEncode(word, merges)
+
+  def tokenFrequenciesRanked(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(explode(encodeWordRanked(col("w"), merges)).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+
+  def applyRanked(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    docs.select(col(idCol),
+        flatten(transform(words, w => encodeWordRanked(w, merges))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
 }

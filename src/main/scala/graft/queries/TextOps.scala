@@ -1360,6 +1360,26 @@ object TextOps extends QueryPack {
         .tokenFrequencies(Tables.documents(spark, sfDir), merges)
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
+    }),
+
+    // The PRODUCTION-merge-count encode path: ranked-greedy merging
+    // through graft.expressions.BpeRankedEncode — the merge table
+    // rides as ONE broadcast reference object (hash-map rank lookups)
+    // instead of a chain of fold expressions, so a 32k-merge tokenizer
+    // encodes without blowing up plan analysis (the encode-side twin
+    // of round-7's trainer scaling). Same trained-shape table as
+    // q_text_bpe_encode and — by the equivalence contract BpeSpec pins
+    // at 16/64 merges and non-BMP — the same output. Declared
+    // no-oracle like its twin.
+    "q_text_bpe_encode_ranked" -> ((spark, sfDir) => {
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
+        "a" -> "n", "an" -> "d", "e" -> "r", "r" -> "e", "o" -> "n",
+        "a" -> "t", "e" -> "n", "n" -> "d", "e" -> "s", "o" -> "r",
+        "t" -> "e", "e" -> "d")
+      graft.operators.BpeEncode
+        .tokenFrequenciesRanked(Tables.documents(spark, sfDir), merges)
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(30)
     })
   )
 

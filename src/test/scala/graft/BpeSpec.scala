@@ -252,6 +252,73 @@ class BpeSpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq === expected)
   }
 
+  test("ranked-greedy encode equals the fold chain under trained merges") {
+    val docs = Tables.documents(spark, Sf)
+    val merges = BpeTrain(docs, numMerges = 16).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def toks(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.select(col("doc_id"), col("tokens")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ranked = toks(BpeEncode.applyRanked(docs, merges))
+    assert(ranked === toks(BpeEncode(docs, merges)))
+    assert(ranked.nonEmpty)
+    // and the vocab-path frequency rollup agrees too
+    val f = BpeEncode.tokenFrequencies(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fr = BpeEncode.tokenFrequenciesRanked(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fr === f)
+  }
+
+  test("ranked-greedy encode parity at 64 trained merges and on non-BMP text") {
+    import spark.implicits._
+    val alpha = "abcdefghijklmnopqrst"
+    var seed = 54321L
+    def nextInt(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val rows = (0 until 80).flatMap { i =>
+      val w = (0 until 12).map(_ => alpha(nextInt(20))).mkString
+      Seq.fill(i % 7 + 1)(w)
+    }
+    val docs = rows.grouped(16).map(_.mkString(" ")).toSeq.toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val merges = BpeTrain(docs, 64).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size === 64)
+    def toks(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.select(col("doc_id"), col("tokens")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(BpeEncode.applyRanked(docs, merges)) ===
+      toks(BpeEncode(docs, merges)))
+    // non-BMP: code-point symbols survive the ranked path too
+    val emoji = new String(Character.toChars(0x1F600))
+    val eDocs = Seq(s"$emoji\uFFFD$emoji \uFFFD$emoji\uFFFD ab ab")
+      .toDF("text").withColumn("doc_id", lit(1L))
+    val eMerges = BpeTrain(eDocs, 6).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(toks(BpeEncode.applyRanked(eDocs, eMerges)) ===
+      toks(BpeEncode(eDocs, eMerges)))
+  }
+
+  test("ranked-greedy needs a TRAINED table: an out-of-rank-order " +
+      "hand-written table diverges by design") {
+    import spark.implicits._
+    // rank-1 pair (ab, c) is built over a symbol only minted by rank-2
+    // (a, b) — impossible for BpeTrain to emit. Sequential passes never
+    // reach it (rank 1 runs before "ab" exists); ranked-greedy applies
+    // rank 2 then finds rank 1 live. The divergence IS the documented
+    // equivalence contract.
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val badTable = Seq(("ab", "c"), ("a", "b"))
+    val fold = BpeEncode(docs, badTable).collect().head.getSeq[String](1)
+    val ranked = BpeEncode.applyRanked(docs, badTable)
+      .collect().head.getSeq[String](1)
+    assert(fold === Seq("ab", "c"))
+    assert(ranked === Seq("abc"))
+  }
+
   test("PROPERTY: batched selection equals sequential BPE on 300 " +
       "adversarial random corpora (pure driver, no Spark jobs)") {
     import org.scalacheck.Gen
