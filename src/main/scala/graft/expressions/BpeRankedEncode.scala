@@ -82,7 +82,10 @@ object BpeRankedEncode {
   private def key(a: String, b: String): String = a + " " + b
 
   /** Ranked-greedy encode of one word (called from both the
-    * interpreted eval and the generated code). */
+    * interpreted eval and the generated code). Pair ranks are cached
+    * in an array parallel to the adjacency list and only the two pairs
+    * adjacent to a merge are re-looked-up, so key strings are built
+    * O(len + merges) times per word, not O(len) per merge round. */
   def encodeWord(word: UTF8String,
       ranks: java.util.HashMap[String, Integer]): GenericArrayData = {
     val s = word.toString
@@ -95,20 +98,35 @@ object BpeRankedEncode {
       syms.add(s.substring(i, i + n)): Unit
       i += n
     }
-    var continue = syms.size() >= 2
-    while (continue) {
-      var best = -1
-      var bestRank = Integer.MAX_VALUE
+    if (syms.size() >= 2) {
+      // pairRanks(j) = rank of (syms(j), syms(j+1)), Integer.MAX_VALUE
+      // if unmergeable — kept in lockstep with syms below
+      val pairRanks = new java.util.ArrayList[Integer](syms.size() - 1)
       var j = 0
       while (j < syms.size() - 1) {
-        val r = ranks.get(key(syms.get(j), syms.get(j + 1)))
-        if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); best = j }
+        pairRanks.add(rankOf(ranks, syms.get(j), syms.get(j + 1))): Unit
         j += 1
       }
-      if (best < 0) continue = false
-      else {
-        syms.set(best, syms.get(best) + syms.get(best + 1))
-        syms.remove(best + 1): Unit
+      var continue = true
+      while (continue) {
+        var best = -1
+        var bestRank = Integer.MAX_VALUE
+        var k = 0
+        while (k < pairRanks.size()) {
+          val r = pairRanks.get(k).intValue()
+          if (r < bestRank) { bestRank = r; best = k }
+          k += 1
+        }
+        if (best < 0 || bestRank == Integer.MAX_VALUE) continue = false
+        else {
+          syms.set(best, syms.get(best) + syms.get(best + 1))
+          syms.remove(best + 1): Unit
+          pairRanks.remove(best): Unit
+          if (best > 0)
+            pairRanks.set(best - 1, rankOf(ranks, syms.get(best - 1), syms.get(best))): Unit
+          if (best < syms.size() - 1)
+            pairRanks.set(best, rankOf(ranks, syms.get(best), syms.get(best + 1))): Unit
+        }
       }
     }
     val out = new Array[AnyRef](syms.size())
@@ -118,6 +136,12 @@ object BpeRankedEncode {
       k += 1
     }
     new GenericArrayData(out)
+  }
+
+  private def rankOf(ranks: java.util.HashMap[String, Integer],
+      a: String, b: String): Integer = {
+    val r = ranks.get(key(a, b))
+    if (r == null) Integer.valueOf(Integer.MAX_VALUE) else r
   }
 
   def apply(word: Column, merges: Seq[(String, String)]): Column =

@@ -46,6 +46,37 @@ object BpeEncode {
     }
   }
 
+  /** The PRODUCTION-merge-count twin of [[encodeWord]]: ranked-greedy
+    * encoding via [[graft.expressions.BpeRankedEncode]] — the merge
+    * table rides as ONE broadcast reference object, so a 32k-50k-merge
+    * tokenizer encodes without chaining 32k fold expressions into the
+    * plan (the encode-side twin of BpeTrain's merge-count scaling).
+    * Equal to the fold chain for TRAINED merge tables — see the
+    * expression's equivalence contract; BpeSpec pins parity at 16 and
+    * 64 trained merges, ASCII and non-BMP. */
+  def encodeWordRanked(word: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeRankedEncode(word, merges)
+
+  /** One tokenization pipeline, parameterized on the per-word encoder,
+    * so the fold-chain and ranked paths can never drift in their
+    * split/filter/rollup halves. */
+  private def frequenciesWith(docs: DataFrame, textCol: String,
+      encode: Column => Column): DataFrame =
+    docs
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(explode(encode(col("w"))).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+
+  private def encodeDocsWith(docs: DataFrame, textCol: String, idCol: String,
+      encode: Column => Column): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    docs.select(col(idCol),
+        flatten(transform(words, w => encode(w))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Corpus-wide token frequencies — (token, n) with n summed over all
     * occurrences. Encodes each DISTINCT word once and weights by word
     * count (the same vocab-sized-table trick as BpeTrain): the
@@ -57,51 +88,21 @@ object BpeEncode {
     * (Heaps' law) while occurrences grow linearly. */
   def tokenFrequencies(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame =
-    docs
-      .select(explode(filter(split(col(textCol), "\\s+"),
-        w => length(w) > 0)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(explode(encodeWord(col("w"), merges)).as("token"), col("cnt"))
-      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+    frequenciesWith(docs, textCol, encodeWord(_, merges))
+
+  def tokenFrequenciesRanked(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    frequenciesWith(docs, textCol, encodeWordRanked(_, merges))
 
   /** docs(idCol, textCol) → (idCol, tokens array<string>, n_tokens).
     * Token order within a doc is word order then symbol order —
     * deterministic, and concat-invertible back to the original words
     * (tokenization never drops or reorders characters). */
   def apply(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
-    docs.select(col(idCol),
-        flatten(transform(words, w => encodeWord(w, merges))).as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")))
-  }
-
-  /** The PRODUCTION-merge-count twins of [[encodeWord]] /
-    * [[tokenFrequencies]] / [[apply]]: ranked-greedy encoding via
-    * [[graft.expressions.BpeRankedEncode]] — the merge table rides as
-    * ONE broadcast reference object, so a 32k-50k-merge tokenizer
-    * encodes without chaining 32k fold expressions into the plan (the
-    * encode-side twin of BpeTrain's merge-count scaling). Equal to the
-    * fold chain for TRAINED merge tables — see the expression's
-    * equivalence contract; BpeSpec pins parity at 16 and 256 merges,
-    * ASCII and non-BMP. */
-  def encodeWordRanked(word: Column, merges: Seq[(String, String)]): Column =
-    graft.expressions.BpeRankedEncode(word, merges)
-
-  def tokenFrequenciesRanked(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text"): DataFrame =
-    docs
-      .select(explode(filter(split(col(textCol), "\\s+"),
-        w => length(w) > 0)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(explode(encodeWordRanked(col("w"), merges)).as("token"), col("cnt"))
-      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    encodeDocsWith(docs, textCol, idCol, encodeWord(_, merges))
 
   def applyRanked(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
-    docs.select(col(idCol),
-        flatten(transform(words, w => encodeWordRanked(w, merges))).as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    encodeDocsWith(docs, textCol, idCol, encodeWordRanked(_, merges))
 }

@@ -725,6 +725,18 @@ object TextOps extends QueryPack {
           (coalesce(col("ca"), lit(0L)).cast("double") +
             lit(lm.vocabSize.toDouble)))))
 
+  /** The common-English merge table shared by q_text_bpe_encode and
+    * q_text_bpe_encode_ranked — ONE definition, because the ranked
+    * query's whole point is producing the SAME output through the
+    * merge-count-scalable path. Valid rank order (a composite merge
+    * always follows the merges that build its operands, as in any
+    * trained table). */
+  private val DemoMergeTable: Seq[(String, String)] =
+    Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
+      "a" -> "n", "an" -> "d", "e" -> "r", "r" -> "e", "o" -> "n",
+      "a" -> "t", "e" -> "n", "n" -> "d", "e" -> "s", "o" -> "r",
+      "t" -> "e", "e" -> "d")
+
   override def queries: Map[String, Query] = Map(
     // Exact dedup on a normalized key (first 8 tokens — the fixture has
     // no full-text duplicates); deterministic survivor = min doc_id.
@@ -1348,16 +1360,8 @@ object TextOps extends QueryPack {
     // lossless concat-inversion, and vocab-path/per-doc-path count
     // agreement.
     "q_text_bpe_encode" -> ((spark, sfDir) => {
-      // common-English merge table in valid rank order (a composite
-      // merge always follows the merges that build its operands, as in
-      // any trained table) — the shape a trained table has, without
-      // retraining per query build
-      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
-        "a" -> "n", "an" -> "d", "e" -> "r", "r" -> "e", "o" -> "n",
-        "a" -> "t", "e" -> "n", "n" -> "d", "e" -> "s", "o" -> "r",
-        "t" -> "e", "e" -> "d")
       graft.operators.BpeEncode
-        .tokenFrequencies(Tables.documents(spark, sfDir), merges)
+        .tokenFrequencies(Tables.documents(spark, sfDir), DemoMergeTable)
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
     }),
@@ -1372,12 +1376,8 @@ object TextOps extends QueryPack {
     // at 16/64 merges and non-BMP — the same output. Declared
     // no-oracle like its twin.
     "q_text_bpe_encode_ranked" -> ((spark, sfDir) => {
-      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
-        "a" -> "n", "an" -> "d", "e" -> "r", "r" -> "e", "o" -> "n",
-        "a" -> "t", "e" -> "n", "n" -> "d", "e" -> "s", "o" -> "r",
-        "t" -> "e", "e" -> "d")
       graft.operators.BpeEncode
-        .tokenFrequenciesRanked(Tables.documents(spark, sfDir), merges)
+        .tokenFrequenciesRanked(Tables.documents(spark, sfDir), DemoMergeTable)
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
     })
