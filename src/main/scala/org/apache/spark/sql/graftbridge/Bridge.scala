@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -9,7 +10,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * public API intentionally hides Expression since the Connect split).
   * Everything else in this library uses public APIs only.
   */
-object Bridge {
+object Bridge extends Logging {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -37,8 +38,13 @@ object Bridge {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
       c.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-        case _ => ()
+        case other => logWarning(
+          s"unpersistCheckpoint: plan root is ${other.nodeName}, not a LogicalRDD " +
+            "checkpoint leaf — no blocks released. Pass the checkpointed Dataset " +
+            "itself, not a plan derived from it (derived plans keep their blocks).")
       }
-    case _ => ()
+    case other => logWarning(
+      s"unpersistCheckpoint: unsupported Dataset class ${other.getClass.getName} — " +
+        "no blocks released.")
   }
 }
