@@ -31,9 +31,18 @@ object Tables {
       // non-UTC session would shift every event timestamp
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      // Fixture generations differ: TIMESTAMP(NANOS) surfaces as Long
+      // under nanosAsLong (truncate toward zero to micros, like DuckDB);
+      // TIMESTAMP(MICROS) arrives as a timestamp already — only align
+      // the tz flavor. Either path lands on tz-naive micros.
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case org.apache.spark.sql.types.TimestampNTZType => raw
+        case _ =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      }
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
   }
