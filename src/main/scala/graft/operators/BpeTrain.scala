@@ -95,9 +95,12 @@ object BpeTrain {
     * the round's merged adjacencies), never the whole vocab;
     * `deltaPairs` is the number of (left, right) count entries the
     * round changed; `nMerges` is the round's batch width (see
-    * [[selectBatch]] — ranks rank..rank+nMerges-1 applied together). */
+    * [[selectBatch]] — ranks rank..rank+nMerges-1 applied together);
+    * `retainedPairs` is the driver-held pair-table size AFTER the
+    * round (the quantity `driverPairBudget` bounds); `rescans` is the
+    * cumulative distributed recount number (pruned mode only). */
   final case class RoundStats(rank: Int, nMerges: Int, affectedWords: Long,
-    deltaPairs: Int)
+    deltaPairs: Int, retainedPairs: Int = 0, rescans: Int = 0)
 
   /** True iff `syms` contains the (a, b) adjacency. Greedy
     * left-to-right always merges at least the leftmost occurrence, so
@@ -172,7 +175,8 @@ object BpeTrain {
       ordered: scala.collection.SortedSet[(Long, String, String)],
       maxLeft: scala.collection.Map[String, Long],
       maxRight: scala.collection.Map[String, Long],
-      maxWidth: Int): Vector[(String, String)] = {
+      maxWidth: Int,
+      floorBound: Long = Long.MinValue): Vector[(String, String)] = {
     if (ordered.isEmpty) return Vector.empty
     // maxLeft/maxRight are STALE-HIGH per-symbol ceilings maintained
     // monotonically by the caller (O(delta) per round, not O(table)):
@@ -194,7 +198,14 @@ object BpeTrain {
     while (!stop && width < maxWidth && it.hasNext) {
       val (n, a, b) = it.next()
       val m = a + b
-      if (width == 0) {
+      // floorBound: in pruned mode (driverPairBudget) the table only
+      // retains pairs with count > floor; an UNRETAINED pair may hold
+      // any count ≤ floor + observed gains, so a batch element at or
+      // below that ceiling could be outranked by a pruned pair in true
+      // sequential order — stop the batch there (the caller's rescan
+      // check guarantees the FIRST element clears it).
+      if (n <= floorBound) { stop = true }
+      else if (width == 0) {
         acc += ((a, b)); width = 1
         used ++= Seq(a, b, m)
         bound = math.max(maxLeft.getOrElse(b, Long.MinValue),
@@ -217,11 +228,43 @@ object BpeTrain {
   /** Training plus per-round work stats (spec instrumentation; the
     * stats cost one extra count job per round, paid only here).
     * `batchWidth` caps how many provably-independent merges one round
-    * may apply ([[selectBatch]]); 1 disables batching. */
+    * may apply ([[selectBatch]]); 1 disables batching.
+    *
+    * `driverPairBudget` BOUNDS THE DRIVER-HELD PAIR TABLE — the one
+    * piece of model state whose natural size is distinct-adjacent-pair-
+    * shaped rather than vocab-shaped. Space-delimited corpora keep that
+    * ~10⁶-10⁷ (tens of MB, fine); a space-free CJK-heavy corpus makes
+    * every document one giant "word" and the distinct-pair set can
+    * reach ~10⁸ — tens of GB of TreeSet before the first merge. In
+    * pruned mode the driver retains only the top `driverPairBudget`
+    * pairs STRICTLY ABOVE a count floor (a distributed TopK, so the
+    * full table never lands on the driver), and argmax stays exact:
+    *
+    *  - an unretained pair's count at the last recount was ≤ floor and
+    *    can only DECREASE except through deltas we observe, so
+    *    `floor + gainMax` (gains = positive deltas credited to unknown
+    *    pairs) is a hard ceiling on every pruned count — a pruned pair
+    *    can never be the true argmax while the retained top exceeds
+    *    that ceiling, and [[selectBatch]]'s `floorBound` stops batches
+    *    at it;
+    *  - pairs created by a FRESH merged symbol have provably-zero base
+    *    count and are tracked exactly (no gain, no rescan pressure) —
+    *    the common case every round;
+    *  - when the retained top decays to the ceiling, ONE distributed
+    *    recount (a vocab-sized aggregate + TopK, the same job as
+    *    initialization) rebuilds the table — "a pruned pair can never
+    *    become argmax before a rescan", made operational.
+    *
+    * With fewer distinct pairs than the budget the mode never engages
+    * and training is bit-identical to the unbounded path (BpeSpec's
+    * parity suites run there; BpeBoundedSpec pins pruned == unbounded
+    * on a wide-alphabet space-free corpus). */
   def trainWithStats(docs: DataFrame, numMerges: Int, textCol: String = "text",
-      collectStats: Boolean = false, batchWidth: Int = 16): (DataFrame, Seq[RoundStats]) = {
+      collectStats: Boolean = false, batchWidth: Int = 16,
+      driverPairBudget: Int = 4000000): (DataFrame, Seq[RoundStats]) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(batchWidth >= 1, s"batchWidth must be >= 1, got $batchWidth")
+    require(driverPairBudget >= 2, s"driverPairBudget must be >= 2, got $driverPairBudget")
     val spark = docs.sparkSession
     // corpus → (symbol-array, count): the single corpus-sized pass.
     // split(w, "") keeps a trailing "" on some JDK regex paths — filter
@@ -233,9 +276,6 @@ object BpeTrain {
       .select(filter(split(col("w"), ""), s => length(s) > 0).as("syms"), col("cnt"))
       .localCheckpoint()
 
-    // Initial pair counts: ONE vocab-sized aggregate, collected as model
-    // state (distinct-adjacent-pair-sized — see object scaladoc). Every
-    // later round maintains this incrementally from affected-word deltas.
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     implicit val ord: Ordering[(Long, String, String)] =
       Ordering.by[(Long, String, String), Long](-_._1)
@@ -249,25 +289,94 @@ object BpeTrain {
       if (n > maxLeft.getOrElse(l, Long.MinValue)) maxLeft(l) = n
       if (n > maxRight.getOrElse(r, Long.MinValue)) maxRight(r) = n
     }
-    words
+    // Pruned-mode state (see scaladoc): floor = the strict count cutoff
+    // of the last recount (None = exact mode), gains = positive deltas
+    // credited to pairs we hold no base count for, gainMax its running
+    // max (both reset at each recount — conservative, never unsound).
+    var floor: Option[Long] = None
+    val gains = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var gainMax = 0L
+    var rescans = 0
+
+    def pairCounts: DataFrame = words
       .select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
       .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
-      .collect()
-      .foreach { r =>
-        val k = (r.getString(0), r.getString(1))
-        counts(k) = r.getLong(2)
-        ordered += ((r.getLong(2), k._1, k._2))
-        bump(k._1, k._2, r.getLong(2))
+
+    /** (Re)build the retained table from the CURRENT words state. The
+      * collect is a distributed TopK (`orderBy.limit`) so the driver
+      * never sees more than the budget; `orderBy(n desc, l, r)` uses
+      * Spark's binary UTF8String order == [[CodePointOrdering]], the
+      * same total order as `ordered`. Boundary-count ties are dropped
+      * (retained is STRICTLY above the floor) so pruned ties can never
+      * silently win a tie-break; if one tie class swamps the whole
+      * budget the budget doubles for this rebuild — driver state is
+      * bounded by max(budget, largest tie class + 1). */
+    def rebuild(): Unit = {
+      counts.clear(); ordered.clear(); gains.clear(); gainMax = 0L
+      var budget = driverPairBudget
+      var done = false
+      while (!done) {
+        val rows = pairCounts
+          .orderBy(col("n").desc, col("l"), col("r")).limit(budget).collect()
+        val keep =
+          if (rows.length < budget) { floor = None; rows }
+          else {
+            val f = rows.last.getLong(2)
+            floor = Some(f)
+            rows.filter(_.getLong(2) > f)
+          }
+        if (rows.length >= budget && keep.isEmpty) budget *= 2
+        else {
+          keep.foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            counts(k) = r.getLong(2)
+            ordered += ((r.getLong(2), k._1, k._2))
+            bump(k._1, k._2, r.getLong(2))
+          }
+          done = true
+        }
       }
+    }
+
+    rebuild()
+    if (floor.isDefined) {
+      // Pruned from the start: selectBatch's ceilings (and its symbol-
+      // existence check) must cover PRUNED pairs too. Two symbol-sized
+      // aggregates — paid once; later recounts keep these maps (counts
+      // only decrease, and every observed increase bumps them).
+      val pc = pairCounts
+      pc.groupBy(col("l")).agg(max(col("n")).as("m")).collect()
+        .foreach { r =>
+          val s = r.getString(0); val n = r.getLong(1)
+          if (n > maxLeft.getOrElse(s, Long.MinValue)) maxLeft(s) = n
+        }
+      pc.groupBy(col("r")).agg(max(col("n")).as("m")).collect()
+        .foreach { r =>
+          val s = r.getString(0); val n = r.getLong(1)
+          if (n > maxRight.getOrElse(s, Long.MinValue)) maxRight(s) = n
+        }
+    }
 
     val merges = Vector.newBuilder[(Int, String, String)]
     val stats = Vector.newBuilder[RoundStats]
     var rank = 1
-    while (rank <= numMerges && ordered.nonEmpty) {
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // A pruned pair's count is ≤ floor + gainMax; once the retained
+      // top no longer STRICTLY exceeds that ceiling (or the table ran
+      // dry), the argmax is no longer provably retained → recount.
+      if (floor.exists(f =>
+          ordered.isEmpty || ordered.head._1 <= f + gainMax)) {
+        rescans += 1
+        rebuild()
+      }
+      if (ordered.isEmpty) { exhausted = true }
+      else {
       // O(1) argmax (driver-side), extended to a provably-equivalent
       // batch when the count table licenses it (selectBatch scaladoc)
       val batch = selectBatch(ordered, maxLeft, maxRight,
-        math.min(batchWidth, numMerges - rank + 1))
+        math.min(batchWidth, numMerges - rank + 1),
+        floor.map(_ + gainMax).getOrElse(Long.MinValue))
       batch.zipWithIndex.foreach { case ((a, b), i) =>
         merges += ((rank + i, a, b))
       }
@@ -296,20 +405,43 @@ object BpeTrain {
         .groupBy(col("e.l"), col("e.r")).agg(sum(col("e.d")).as("d"))
         .filter(col("d") =!= 0)
         .collect()
-      if (collectStats) {
-        val nAffected = words.filter(affected).count()
-        stats += RoundStats(rank, batch.size, nAffected, delta.length)
-      }
+      // Symbols this batch creates that did not exist before it: a pair
+      // containing one has a provably-ZERO base count, so its delta can
+      // be tracked exactly even in pruned mode — captured BEFORE the
+      // delta application below bumps the existence maps.
+      val freshSyms: Set[String] = batch.map { case (a, b) => a + b }
+        .filterNot(m => maxLeft.contains(m) || maxRight.contains(m)).toSet
       delta.foreach { r =>
         val k = (r.getString(0), r.getString(1))
-        val old = counts.getOrElse(k, 0L)
-        if (old != 0L) ordered -= ((old, k._1, k._2))
-        val next = old + r.getLong(2)
-        if (next != 0L) {
-          counts(k) = next
-          ordered += ((next, k._1, k._2))
-          bump(k._1, k._2, next)
-        } else counts -= k
+        val d = r.getLong(2)
+        val known = counts.contains(k) || floor.isEmpty ||
+          freshSyms(k._1) || freshSyms(k._2)
+        if (known) {
+          // exact path: base count is held (or provably zero)
+          val old = counts.getOrElse(k, 0L)
+          if (old != 0L) ordered -= ((old, k._1, k._2))
+          val next = old + d
+          if (next != 0L) {
+            counts(k) = next
+            ordered += ((next, k._1, k._2))
+            bump(k._1, k._2, next)
+          } else counts -= k
+        } else if (d > 0) {
+          // pruned pair gaining count (merged symbol collided with an
+          // existing one): base unknown but ≤ floor — raise its ceiling
+          // and the global gainMax that gates rescans/batching; a
+          // negative delta on an unknown pair only lowers a count that
+          // is already below the floor ceiling, so it needs no record
+          val g = gains.getOrElse(k, 0L) + d
+          gains(k) = g
+          if (g > gainMax) gainMax = g
+          floor.foreach(f => bump(k._1, k._2, f + g))
+        }
+      }
+      if (collectStats) {
+        val nAffected = words.filter(affected).count()
+        stats += RoundStats(rank, batch.size, nAffected, delta.length,
+          counts.size, rescans)
       }
       // Vocab rewrite: when()-guarded fold — unaffected rows copy
       // through; checkpoint materializes the new state, superseded
@@ -321,6 +453,7 @@ object BpeTrain {
         .localCheckpoint()
       Bridge.unpersistCheckpoint(prev)
       rank += batch.size
+      }
     }
     Bridge.unpersistCheckpoint(words)
     import spark.implicits._
