@@ -12,12 +12,21 @@ import org.apache.spark.sql.types.DecimalType
   * repo's determinism rules), closed back to double once per
   * iteration.
   *
-  * 100 TB design: each of the k fixed rounds is one equi-join
-  * (edges ⋈ ranks on src) plus one dst-keyed aggregate — the sparse
-  * mat-vec product, all shuffles on graph keys, nothing collected to
-  * the driver. Rank state is localCheckpoint'ed every round so lineage
-  * (and analysis time) stays flat, the same discipline as
-  * [[graft.queries.TextOps.connectedComponents]].
+  * 100 TB design: each round is one equi-join (edges ⋈ ranks on src)
+  * plus one dst-keyed aggregate — the sparse mat-vec product, all
+  * shuffles on graph keys, nothing collected to the driver. Rounds
+  * CHAIN LAZILY and lineage is truncated by a localCheckpoint only
+  * every `ckEvery` rounds (and at the end, so the returned frame is
+  * materialized): a per-round checkpoint forces one scheduler
+  * round-trip and one block-manager write per iteration, which at 10
+  * rounds measured ~1.4 s of pure fixed cost at sf0.1
+  * (graft.PageRankProbe — per-round checkpoint 5.2–6.1 s warm vs
+  * 3.7–4.4 s lazy, strategies otherwise equivalent), while between
+  * checkpoints Spark executes the chained rounds as ONE job with
+  * nothing rank-vector-sized retained. `ckEvery` bounds analysis
+  * depth and recovery re-execution for arbitrary iteration counts;
+  * superseded checkpoints release their blocks each truncation (the
+  * repo-wide iteration discipline).
   *
   * Dangling mass: callers pass an UNDIRECTED (symmetrized) edge list;
   * every node then has out-degree >= 1, so no teleport-correction pass
@@ -37,12 +46,16 @@ object PageRank {
 
   /** @param edges undirected edge list with long columns (src, dst) —
     *              both orientations present for every edge
-    * @return (id, rank) with sum(rank) == distinct node count */
-  def apply(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    * @param ckEvery rounds between lineage-truncating checkpoints
+    * @return (id, rank) with sum(rank) == distinct node count;
+    *         materialized (localCheckpoint'ed) */
+  def apply(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      ckEvery: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(ckEvery >= 1, s"ckEvery must be >= 1, got $ckEvery")
     // materialize the edge list ONCE: the caller's upstream (joins,
-    // distinct, symmetrize) must not re-execute inside every
-    // iteration — without this the k rounds each replay the full edge
+    // distinct, symmetrize) must not re-execute inside the rounds —
+    // without this each checkpoint segment replays the full edge
     // derivation (measured at sf0.1)
     val e = edges.localCheckpoint()
     val deg = e.groupBy(col("src").as("id"))
@@ -60,23 +73,27 @@ object PageRank {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
       .localCheckpoint()
-    var ranks = deg.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
-    // eD/ranks now hold everything the iterations read; the raw edge and
-    // degree checkpoints are dead weight in the block manager — at scale
-    // each is edge-/node-count-sized. Same discipline per round below:
-    // localCheckpoint is eager, so once the new state is materialized the
-    // superseded round's blocks are unreachable and must be released.
     Bridge.unpersistCheckpoint(e)
-    Bridge.unpersistCheckpoint(deg)
-    for (_ <- 1 to iterations) {
-      val prev = ranks
+    // the initial rank vector reads the deg CHECKPOINT lazily — deg's
+    // blocks must survive until the first truncation materializes it
+    var ranks = deg.select(col("id"), lit(1.0).as("rank"))
+    var lastCk: Option[DataFrame] = None
+    var degLive = true
+    for (i <- 1 to iterations) {
       ranks = eD.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
         .select(col("dst"), (col("rank") / col("deg")).cast(D).as("w"))
         .groupBy(col("dst").as("id"))
         .agg((lit(1.0 - damping) +
           lit(damping) * sum(col("w")).cast("double")).as("rank"))
-        .localCheckpoint()
-      Bridge.unpersistCheckpoint(prev)
+      if (i % ckEvery == 0 || i == iterations) {
+        val ck = ranks.localCheckpoint()
+        // the materialized segment no longer reads its inputs: release
+        // the superseded checkpoint (and, after the first segment, deg)
+        lastCk.foreach(Bridge.unpersistCheckpoint)
+        if (degLive) { Bridge.unpersistCheckpoint(deg); degLive = false }
+        lastCk = Some(ck)
+        ranks = ck
+      }
     }
     Bridge.unpersistCheckpoint(eD)
     ranks

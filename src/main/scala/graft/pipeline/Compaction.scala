@@ -25,6 +25,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** Count of parquet leaf files under `dir` (recursive) — the
+    * fragmentation measure append-table maintenance policies gate on
+    * (e.g. the dedup-index refresh loop compacts only past a file-count
+    * threshold, so steady-state epochs pay a listing, not a rewrite). */
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    val it = fs.listFiles(path, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new Path(dir)

@@ -413,14 +413,36 @@ object TextOps extends QueryPack {
     * half of the nightly cycle: after [[dedupBatchAgainstIndex]]
     * accepts a batch's survivors, indexing them makes the NEXT batch's
     * cross-batch dups visible (StreamingIngestSpec runs the full
-    * probe→accept→refresh loop). Append-only: incumbent rows never
-    * rewrite; file count is bounded by periodic compaction
-    * (pipeline.Compaction), the same discipline as any append table. */
-  def appendToDedupIndex(survivors: DataFrame, indexDir: String): Unit = {
+    * probe→accept→refresh loop).
+    *
+    * Append-only with WIRED-IN maintenance: each accepted batch adds
+    * its own files, so across many refresh epochs the band/feature
+    * tables fragment and the next epoch's probe pays one scan task per
+    * small file — file-count creep is probe-latency creep. When a
+    * subdirectory exceeds `compactAboveFiles` parquet files it is
+    * compacted in place (pipeline.Compaction) to
+    * ceil(bytes/targetBytes) files; below the threshold an epoch pays
+    * only a directory listing. Steady state: file count bounded by
+    * `compactAboveFiles + files-per-epoch`, probe task count flat
+    * (StreamingIngestSpec's multi-epoch case asserts both). Safe here
+    * because the refresh loop is sequential — nothing reads the index
+    * during the swap; `compactAboveFiles = Int.MaxValue` opts out for
+    * concurrent-reader deployments, which should schedule
+    * [[graft.pipeline.Compaction.compact]] in their own maintenance
+    * window instead. */
+  def appendToDedupIndex(survivors: DataFrame, indexDir: String,
+      compactAboveFiles: Int = 64, targetBytes: Long = 512L << 20): Unit = {
     import graft.models.ModelStore
+    import graft.pipeline.Compaction
+    val spark = survivors.sparkSession
     ModelStore.appendLargeTable(
       shingleBandRows(survivors, numHashes = 16, bands = 8), s"$indexDir/bands")
     ModelStore.appendLargeTable(shingleFeatureRows(survivors), s"$indexDir/features")
+    Seq(s"$indexDir/bands", s"$indexDir/features").foreach { d =>
+      if (Compaction.parquetFileCount(spark, d) > compactAboveFiles) {
+        Compaction.compact(spark, d, targetBytes): Unit
+      }
+    }
   }
 
   /** Dedup ONE arriving batch against a FROZEN persisted index (and

@@ -193,4 +193,51 @@ class StreamingIngestSpec extends SparkSuite {
       assert(surv === Set(101L, 202L))
     } finally q.stop()
   }
+
+  test("many refresh epochs keep the index file count bounded and the " +
+      "probe task count flat (wired-in compaction)") {
+    import spark.implicits._
+    import graft.pipeline.Compaction
+    import graft.queries.TextOps
+    val idxDir = s"$root/dedup_index_epochs"
+    // distinct 8-token docs so nothing ever dedups away — every epoch
+    // appends its full batch to the index, the worst fragmentation case
+    def doc(id: Long) = ArrDoc(id,
+      (0 until 8).map(t => s"w${id}_$t").mkString(" "), "s", "en")
+    TextOps.saveDedupIndex(Seq(doc(1L)).toDF(), idxDir)
+
+    val epochs = 12
+    val threshold = 6 // well below one epoch's append parallelism × 12
+    var maxBandFiles = 0
+    var maxProbeTasks = 0
+    (0 until epochs).foreach { e =>
+      val batch = Seq(doc(100L + 2 * e), doc(101L + 2 * e)).toDF()
+      val surv = TextOps
+        .dedupBatchAgainstIndex(spark, batch, idxDir, 0.5).localCheckpoint()
+      assert(surv.count() == 2, s"epoch $e: distinct docs must all survive")
+      TextOps.appendToDedupIndex(surv, idxDir,
+        compactAboveFiles = threshold, targetBytes = 1L << 30)
+      val bandFiles = Compaction.parquetFileCount(spark, s"$idxDir/bands")
+      // probe-side scan parallelism ∝ input files at test file sizes:
+      // the task count the NEXT epoch's index join pays
+      val probeTasks = spark.read.parquet(s"$idxDir/bands").rdd.getNumPartitions
+      maxBandFiles = math.max(maxBandFiles, bandFiles)
+      maxProbeTasks = math.max(maxProbeTasks, probeTasks)
+    }
+    // un-maintained, 12 epochs × per-epoch append parallelism would
+    // far exceed the threshold; wired-in compaction must keep the
+    // worst observed count at threshold + one epoch's files
+    val perEpoch = spark.sparkContext.defaultParallelism
+    assert(maxBandFiles <= threshold + perEpoch,
+      s"index fragmented to $maxBandFiles files across $epochs epochs " +
+        s"(threshold $threshold + per-epoch $perEpoch) — compaction not engaging")
+    assert(maxProbeTasks <= threshold + perEpoch,
+      s"probe scan grew to $maxProbeTasks tasks — file creep reached the probe")
+    // and the refreshed, compacted index still carries every epoch's
+    // survivors: a dup of an early-epoch survivor is caught
+    val lateDup = TextOps.dedupBatchAgainstIndex(spark,
+      Seq(doc(100L)).toDF(), idxDir, 0.5)
+    assert(lateDup.count() == 0,
+      "compaction lost index rows — early-epoch survivor no longer matches")
+  }
 }
