@@ -325,7 +325,11 @@ object BpeTrain {
             floor = Some(f)
             rows.filter(_.getLong(2) > f)
           }
-        if (rows.length >= budget && keep.isEmpty) budget *= 2
+        if (rows.length >= budget && keep.isEmpty) {
+          // tie class swamped the budget — widen; saturate rather than
+          // overflow on adversarial uniform-count corpora
+          budget = if (budget > Int.MaxValue / 2) Int.MaxValue else budget * 2
+        }
         else {
           keep.foreach { r =>
             val k = (r.getString(0), r.getString(1))

@@ -121,9 +121,15 @@ object TextOps extends QueryPack {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
+    // LAZY local checkpoints throughout: every round already runs one
+    // mandatory action (the label-sum fixpoint probe), so letting THAT
+    // action materialize the round's checkpoint halves the per-round
+    // job count vs an eager checkpoint + separate probe — the same
+    // scheduler-fixed-cost trim as PageRank's segment chaining, kept
+    // compatible with the probe this operator cannot drop.
     var labels = edges.select(col("d1").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def labelSum(): Long =
       labels.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
     var prevSum = Long.MaxValue
@@ -147,13 +153,14 @@ object TextOps extends QueryPack {
         .join(neighborMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
-        .localCheckpoint()
-      // eager checkpoint: the new label state is materialized, so the
-      // superseded round's blocks (node-count-sized each) are dead —
-      // release them instead of letting every round accumulate
-      Bridge.unpersistCheckpoint(prev)
+        .localCheckpoint(false)
       prevSum = curSum
+      // the probe materializes the lazy checkpoint; only THEN are the
+      // superseded round's blocks (node-count-sized each) dead — the
+      // release must stay after the action, or the new state would
+      // recompute from an already-freed lineage-less checkpoint
       curSum = labelSum()
+      Bridge.unpersistCheckpoint(prev)
       rounds += 1
     }
     Bridge.unpersistCheckpoint(edges)
