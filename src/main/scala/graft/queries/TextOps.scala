@@ -118,8 +118,16 @@ object TextOps extends QueryPack {
     * than silently under-merging.
     * Returns (id, comp) with comp = the component's minimum id. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // pre-partition the symmetrized edge list by the probe key ONCE:
+    // the per-round graph join then reuses this partitioning exchange-
+    // free (it survives localCheckpoint — same discipline as PageRank's
+    // degree-attached edges), so each round shuffles only node-sized
+    // state. Folding the pointer edges into one unioned edge stream —
+    // the previous shape — silently destroyed this: the union is
+    // unpartitioned, so every round re-shuffled the EDGE-sized stream.
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(col("d2"))
       .localCheckpoint()
     // LAZY local checkpoints throughout: every round already runs one
     // mandatory action (the label-sum fixpoint probe), so letting THAT
@@ -140,19 +148,31 @@ object TextOps extends QueryPack {
         throw new IllegalStateException(
           s"connectedComponents still unconverged after $rounds rounds " +
             "(label sum decreasing) — pathological input?")
-      // pointer edges (x → comp(x)): joining them below hands x the
-      // label OF its label — comp is always some node's id in the same
-      // component, so the jumped label is valid and ≤ the current one
-      val allEdges = edges
-        .unionAll(labels.select(col("id").as("d1"), col("comp").as("d2")))
-      val neighborMin = allEdges.join(labels, allEdges("d2") === labels("id"))
-        .groupBy(allEdges("d1").as("nid"))
-        .agg(min(col("comp")).as("ncomp"))
+      // Two separately-shaped contributions, unioned BEFORE the final
+      // min-aggregate (min distributes over union):
+      //  - graph neighbors: edges ⋈ labels on the probe key — the edge
+      //    side reuses its checkpoint partitioning exchange-free, the
+      //    node-sized labels shuffle to it (shuffle_hash: never sort or
+      //    broadcast a vector that grows with the graph);
+      //  - the pointer jump comp ← comp(comp): a node-sized labels
+      //    self-join. It hands every node the label OF its label —
+      //    comp is always some node's id in the same component, so the
+      //    jumped label is valid and ≤ the current one (labels are
+      //    min-decreasing from comp = id). It also makes the aggregate
+      //    TOTAL (every node appears), so the aggregate alone IS the
+      //    new label state — no join back to the old labels, no least().
+      // The groupBy's partial aggregation collapses the edge-sized
+      // stream map-side; only distinct-id rows reach the exchange.
       val prev = labels
-      labels = labels.as("l")
-        .join(neighborMin, col("l.id") === col("nid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
+      val graphMin = edges.join(labels.hint("shuffle_hash"),
+          edges("d2") === labels("id"))
+        .select(edges("d1").as("id"), col("comp"))
+      val jumped = labels.as("x")
+        .join(labels.as("y").hint("shuffle_hash"),
+          col("x.comp") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.comp").as("comp"))
+      labels = graphMin.unionAll(jumped)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(false)
       prevSum = curSum
       // the probe materializes the lazy checkpoint; only THEN are the
