@@ -121,7 +121,7 @@ object Tables {
       throw new IllegalStateException(
         s"refusing tz-dependent timestamp normalization for table '$table': " +
           s"session timeZone is '$tz', need UTC (GraftSession sets it; " +
-          "driver-owned sessions get it from the safety net in Tables.load).")
+          "driver-owned sessions must set spark.sql.session.timeZone=UTC).")
   }
 
   /** Normalize one column to timestamp_ntz across the three observed
@@ -149,11 +149,20 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"))
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // session builders set these too; kept as a safety net for
-      // driver-owned sessions that load tables without our builder
+    if (tsColumns.contains(name)) {
+      // Session builders set this too; kept as a safety net for
+      // driver-owned sessions that load tables without our builder.
+      // Every tsColumns table gets it (ADVICE r10): any of them can
+      // regenerate into the TIMESTAMP(NANOS) flavor, and without
+      // nanosAsLong the scan fails with Spark's raw 'Illegal Parquet
+      // type' instead of this loader's named contract error. The
+      // session TIMEZONE is deliberately NOT force-set here: a read
+      // flag only changes how these files parse, but overriding the
+      // session tz would silently re-interpret every timestamp in the
+      // caller's OWN queries — the tz-adjusted flavor instead fails
+      // loudly via requireUtcSession (ADVICE r9) and the caller
+      // chooses UTC, as every entry point in this repo does.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val normalized = tsColumns.getOrElse(name, Nil).foldLeft(raw) {

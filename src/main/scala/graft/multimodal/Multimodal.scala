@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * training-data pipeline needs around them — decode → feature
   * extraction, frame sampling, and metadata transforms.
   *
-  * IMAGE DECODE IS REAL for PNG payloads: [[PngCodec]] rides the JDK's
-  * `javax.imageio` (no external codec needed), so
+  * IMAGE DECODE IS REAL for PNG and JPEG payloads: [[ImageCodec]]
+  * rides the JDK's `javax.imageio` (no external codec needed), so
   * [[Multimodal.decodeFeatures]] histograms actual pixel luminance and
-  * [[Multimodal.resizeImage]] resamples actual pixels and re-encodes.
+  * [[Multimodal.resizeImage]] resamples actual pixels and re-encodes
+  * (always as PNG — deterministic in the pixels, unlike a JPEG
+  * re-encode).
   * AUDIO DECODE IS REAL for WAV/PCM payloads: [[WavCodec]] rides the
   * JDK's `javax.sound.sampled` — [[Multimodal.decodeFeatures]]
   * histograms actual sample amplitudes and [[Multimodal.audioStats]]
@@ -71,7 +73,7 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract: PNG payloads decode to pixels (JDK
+  /** Decode + feature-extract: PNG/JPEG payloads decode to pixels (JDK
     * ImageIO) and yield a normalized LUMINANCE histogram of `bins`
     * buckets; WAV payloads decode to samples (JDK javax.sound) and
     * yield a normalized AMPLITUDE histogram; everything else
@@ -84,14 +86,14 @@ object Multimodal {
       // first use in this partition pays it
       records.map { r =>
         val counts = new Array[Double](bins)
-        val total = PngCodec.decode(r.payload) match {
+        val total = ImageCodec.decode(r.payload) match {
           case Some(img) =>
             // one bulk raster fetch — per-pixel getRGB pays a color
             // model conversion call per pixel
-            val px = PngCodec.argb(img)
+            val px = ImageCodec.argb(img)
             var i = 0
             while (i < px.length) {
-              counts((PngCodec.luminance(px(i)) * bins) / 256) += 1.0
+              counts((ImageCodec.luminance(px(i)) * bins) / 256) += 1.0
               i += 1
             }
             px.length.toDouble
@@ -183,9 +185,9 @@ object Multimodal {
           if (digits.isEmpty || digits.length > 18) fnv63(path)
           else digits.toLong
         val kind = name.substring(name.lastIndexOf('.') + 1) match {
-          case "png" | "jpg" => "image"
-          case "pcm" | "wav" => "audio"
-          case _             => "video"
+          case "png" | "jpg" | "jpeg" => "image"
+          case "pcm" | "wav"          => "audio"
+          case _                      => "video"
         }
         MediaRecord(id, kind, MediaMeta("file", -1, -1, -1, -1), content)
       }
@@ -203,11 +205,13 @@ object Multimodal {
     require(newW > 0 && newH > 0, "target dimensions must be positive")
     media.map { r =>
       if (r.kind != "image") r
-      else PngCodec.decode(r.payload) match {
+      else ImageCodec.decode(r.payload) match {
         case Some(img) =>
-          val out = PngCodec.resizeNearest(img, newW, newH)
-          r.copy(meta = r.meta.copy(width = newW, height = newH),
-            payload = PngCodec.encode(out))
+          val out = ImageCodec.resizeNearest(img, newW, newH)
+          // re-encode is always PNG (deterministic in the pixels), so a
+          // decoded JPEG input leaves as PNG — record that in the meta
+          r.copy(meta = r.meta.copy(format = "png", width = newW, height = newH),
+            payload = ImageCodec.encode(out))
         case None if r.meta.width > 0 && r.meta.height > 0 &&
             r.payload.length >= r.meta.width * r.meta.height =>
           // guard: metadata can claim dims a truncated payload lacks —
@@ -250,7 +254,7 @@ object Multimodal {
         p += 1
       }
       MediaRecord(id, "image", MediaMeta("png", 16, 16, 0, 1),
-        PngCodec.encode(img))
+        ImageCodec.encode(img))
     }
   }
 
@@ -271,9 +275,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       if (r.kind != "image") None
-      else PngCodec.decode(r.payload).map { img =>
-        val small = PngCodec.resizeNearest(img, 8, 8)
-        val lum = PngCodec.argb(small).map(PngCodec.luminance)
+      else ImageCodec.decode(r.payload).map { img =>
+        val small = ImageCodec.resizeNearest(img, 8, 8)
+        val lum = ImageCodec.argb(small).map(ImageCodec.luminance)
         var sum = 0L
         lum.foreach(sum += _)
         var h = 0L
@@ -301,7 +305,7 @@ object Multimodal {
 
 /** WAV (RIFF/PCM) decode/encode on the JDK's built-in
   * `javax.sound.sampled` — no external codec. Decode is
-  * signature-gated and failure-tolerant like [[PngCodec]]: anything
+  * signature-gated and failure-tolerant like [[ImageCodec]]: anything
   * that is not a readable PCM WAV yields None and callers keep their
   * byte-level fallback. Multi-channel clips mix down to mono by
   * truncated average (deterministic integer arithmetic). */
@@ -380,26 +384,36 @@ private[graft] object WavCodec {
   }
 }
 
-/** PNG decode/encode on the JDK's built-in `javax.imageio` — no
-  * external codec. Decode is signature-gated and failure-tolerant:
-  * anything that is not a readable PNG yields None and callers keep
-  * their byte-level fallback. */
-private[multimodal] object PngCodec {
+/** PNG + JPEG decode (and PNG encode) on the JDK's built-in
+  * `javax.imageio` — no external codec; real image corpora are mostly
+  * JPEG, so both formats route through this ONE codec (ADVICE r10:
+  * `jpg` payloads used to silently fall back to the byte histogram).
+  * Decode is signature-gated and failure-tolerant: anything that is
+  * not a readable PNG/JPEG yields None and callers keep their
+  * byte-level fallback. Re-encode is always PNG: encoding decoded
+  * pixels back to JPEG would be lossy AND encoder-version-dependent,
+  * while PNG is a deterministic function of the pixels. */
+private[multimodal] object ImageCodec {
 
-  private val Magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
 
   // the source is already an in-memory byte array — the default
   // file-backed ImageIO cache would round-trip a temp file per decode
   javax.imageio.ImageIO.setUseCache(false)
 
   def isPng(bytes: Array[Byte]): Boolean =
-    bytes.length > 8 && java.util.Arrays.equals(bytes, 0, 4, Magic, 0, 4)
+    bytes.length > 8 && java.util.Arrays.equals(bytes, 0, 4, PngMagic, 0, 4)
 
-  // NonFatal, not just IOException: ImageIO's PNG reader throws
-  // RuntimeExceptions on corrupt chunk tables, and one bad file must
-  // degrade to the byte-level fallback, not kill a billion-file job
+  /** JPEG/JFIF/EXIF all start FF D8 FF (SOI + first marker byte). */
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length > 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+
+  // NonFatal, not just IOException: ImageIO's readers throw
+  // RuntimeExceptions on corrupt chunk/marker tables, and one bad file
+  // must degrade to the byte-level fallback, not kill a billion-file job
   def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (!isPng(bytes)) None
+    if (!isPng(bytes) && !isJpeg(bytes)) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
@@ -408,6 +422,7 @@ private[multimodal] object PngCodec {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
 
   /** Integer Rec. 601 luma of a packed ARGB pixel, in [0, 255]. */
   def luminance(argb: Int): Int = {

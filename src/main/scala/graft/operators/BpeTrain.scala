@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
 
 /** Distributed BPE (byte-pair-encoding) merge training — the operator
   * that LEARNS a tokenizer's merge table from a corpus, not just lexes
@@ -62,8 +61,13 @@ import org.apache.spark.sql.graftbridge.Bridge
   * sequential reference uses the same code-point split and ordering,
   * with a non-BMP (emoji) corpus case pinning the agreement.
   *
-  * Word state is localCheckpoint'ed per round with the superseded
-  * round's blocks released (the repo-wide iteration discipline).
+  * Word state is checkpointed per round with the superseded round's
+  * storage released (the repo-wide iteration discipline); the `ckpt`
+  * parameter ([[CkptMode]]) selects executor-resident (`Local`,
+  * default) vs durable (`Reliable`) snapshots — under `Reliable` an
+  * executor loss costs one round's re-read, not the training run. The
+  * driver-held merge/count state is driver-resident either way and
+  * unaffected by executor loss.
   *
   * Reproduces the tokenizer-training stage the reference's export
   * corpus feeds downstream (/root/reference/Unity_to_BigQuery.py ships
@@ -222,8 +226,9 @@ object BpeTrain {
     acc.result()
   }
 
-  def apply(docs: DataFrame, numMerges: Int, textCol: String = "text"): DataFrame =
-    trainWithStats(docs, numMerges, textCol)._1
+  def apply(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      ckpt: CkptMode = CkptMode.Local): DataFrame =
+    trainWithStats(docs, numMerges, textCol, ckpt = ckpt)._1
 
   /** Training plus per-round work stats (spec instrumentation; the
     * stats cost one extra count job per round, paid only here).
@@ -261,7 +266,8 @@ object BpeTrain {
     * on a wide-alphabet space-free corpus). */
   def trainWithStats(docs: DataFrame, numMerges: Int, textCol: String = "text",
       collectStats: Boolean = false, batchWidth: Int = 16,
-      driverPairBudget: Int = 4000000): (DataFrame, Seq[RoundStats]) = {
+      driverPairBudget: Int = 4000000,
+      ckpt: CkptMode = CkptMode.Local): (DataFrame, Seq[RoundStats]) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(batchWidth >= 1, s"batchWidth must be >= 1, got $batchWidth")
     require(driverPairBudget >= 2, s"driverPairBudget must be >= 2, got $driverPairBudget")
@@ -274,7 +280,7 @@ object BpeTrain {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(filter(split(col("w"), ""), s => length(s) > 0).as("syms"), col("cnt"))
-      .localCheckpoint()
+    words = Ckpt.materialize(words, ckpt)
 
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     implicit val ord: Ordering[(Long, String, String)] =
@@ -451,15 +457,14 @@ object BpeTrain {
       // through; checkpoint materializes the new state, superseded
       // blocks released.
       val prev = words
-      words = words
+      words = Ckpt.materialize(words
         .select(when(affected, rewrite(col("syms")))
-          .otherwise(col("syms")).as("syms"), col("cnt"))
-        .localCheckpoint()
-      Bridge.unpersistCheckpoint(prev)
+          .otherwise(col("syms")).as("syms"), col("cnt")), ckpt)
+      Ckpt.release(prev, ckpt)
       rank += batch.size
       }
     }
-    Bridge.unpersistCheckpoint(words)
+    Ckpt.release(words, ckpt)
     import spark.implicits._
     val out = merges.result()
       .map { case (r, a, b) => (r, a, b, a + b) }

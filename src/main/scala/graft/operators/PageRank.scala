@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DecimalType
 
 /** Damped PageRank over an edge list, bit-deterministic at any
@@ -25,8 +24,11 @@ import org.apache.spark.sql.types.DecimalType
   * checkpoints Spark executes the chained rounds as ONE job with
   * nothing rank-vector-sized retained. `ckEvery` bounds analysis
   * depth and recovery re-execution for arbitrary iteration counts;
-  * superseded checkpoints release their blocks each truncation (the
-  * repo-wide iteration discipline).
+  * superseded checkpoints release their storage each truncation (the
+  * repo-wide iteration discipline). Fault tolerance is the `ckpt`
+  * parameter ([[CkptMode]]): `Reliable` puts the edge tables and every
+  * snapshot on durable storage so an executor loss on a real cluster
+  * re-reads the last snapshot instead of killing the run.
   *
   * Dangling mass: callers pass an UNDIRECTED (symmetrized) edge list;
   * every node then has out-degree >= 1, so no teleport-correction pass
@@ -47,20 +49,25 @@ object PageRank {
   /** @param edges undirected edge list with long columns (src, dst) —
     *              both orientations present for every edge
     * @param ckEvery rounds between lineage-truncating checkpoints
+    * @param ckpt where truncated state lives ([[CkptMode]]): `Local`
+    *             (default) is executor-resident and fastest;
+    *             `Reliable` snapshots the edge tables and every
+    *             `ckEvery`-th rank vector to the session's checkpoint
+    *             dir, so an executor loss costs at most `ckEvery`
+    *             rounds of re-execution instead of the whole run
     * @return (id, rank) with sum(rank) == distinct node count;
-    *         materialized (localCheckpoint'ed) */
+    *         materialized (checkpointed under `ckpt`) */
   def apply(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      ckEvery: Int = 5): DataFrame = {
+      ckEvery: Int = 5, ckpt: CkptMode = CkptMode.Local): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(ckEvery >= 1, s"ckEvery must be >= 1, got $ckEvery")
     // materialize the edge list ONCE: the caller's upstream (joins,
     // distinct, symmetrize) must not re-execute inside the rounds —
     // without this each checkpoint segment replays the full edge
     // derivation (measured at sf0.1)
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val e = Ckpt.materialize(edges, ckpt)
+    val deg = Ckpt.materialize(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")), ckpt)
     // Attach the out-degree to each edge ONCE and pre-partition by the
     // join key: per round, the big side then joins exchange-free (its
     // hash partitioning survives localCheckpoint) and only the
@@ -69,11 +76,11 @@ object PageRank {
     // decimal contribution — and every rank — is bit-identical to the
     // two-join formulation; the shuffle_hash hint keeps the probe
     // sort-free (never broadcast: ranks grows with the graph).
-    val eD = e.join(deg, col("src") === col("id"))
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
-      .localCheckpoint()
-    Bridge.unpersistCheckpoint(e)
+    val eD = Ckpt.materialize(
+      e.join(deg, col("src") === col("id"))
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src")), ckpt)
+    Ckpt.release(e, ckpt)
     // the initial rank vector reads the deg CHECKPOINT lazily — deg's
     // blocks must survive until the first truncation materializes it
     var ranks = deg.select(col("id"), lit(1.0).as("rank"))
@@ -86,16 +93,16 @@ object PageRank {
         .agg((lit(1.0 - damping) +
           lit(damping) * sum(col("w")).cast("double")).as("rank"))
       if (i % ckEvery == 0 || i == iterations) {
-        val ck = ranks.localCheckpoint()
+        val ck = Ckpt.materialize(ranks, ckpt)
         // the materialized segment no longer reads its inputs: release
         // the superseded checkpoint (and, after the first segment, deg)
-        lastCk.foreach(Bridge.unpersistCheckpoint)
-        if (degLive) { Bridge.unpersistCheckpoint(deg); degLive = false }
+        lastCk.foreach(Ckpt.release(_, ckpt))
+        if (degLive) { Ckpt.release(deg, ckpt); degLive = false }
         lastCk = Some(ck)
         ranks = ck
       }
     }
-    Bridge.unpersistCheckpoint(eD)
+    Ckpt.release(eD, ckpt)
     ranks
   }
 }

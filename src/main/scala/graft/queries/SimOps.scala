@@ -3,10 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
-
 import graft.Tables
-import graft.operators.BandGuard
+import graft.operators.{BandGuard, Ckpt, CkptMode}
 import graft.expressions.{CosineSimilarity, FirstEqualIndex, SignBitLsh}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2-B
@@ -141,29 +139,28 @@ object SimOps extends QueryPack {
     * examples, not the corpus. Output one row per (seg, cell_id) —
     * m × k rows total, broadcast-scale however large the corpus. */
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int,
-      sampleOneIn: Int = 5): DataFrame = {
+      sampleOneIn: Int = 5, ckpt: CkptMode = CkptMode.Local): DataFrame = {
     val segLen = dim / m
     // range-form hash sample: multiply-then-compare-range actually
     // mixes residues (an ==0 residue test is blind to the multiplier
     // and degenerates to plain modulo — correlated id blocks would
     // bias the sample)
-    val segRows = emb
+    // the seed pass and every Lloyd iteration re-read this — slice once
+    val segRows = Ckpt.materialize(emb
       .filter((col("vec_id") * 2654435761L) % 100 < lit(100 / sampleOneIn))
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("seg"))
       .select(col("seg"), col("vec_id"),
-        slice(col("embedding"), col("seg") * segLen + 1, lit(segLen)).as("embedding"))
-      // the seed pass and every Lloyd iteration re-read this — slice once
-      .localCheckpoint()
+        slice(col("embedding"), col("seg") * segLen + 1, lit(segLen)).as("embedding")),
+      ckpt)
     // seeds: the k lowest vec_ids per segment (same deterministic
     // convention as ivfAssign)
     val seedW = Window.partitionBy(col("seg")).orderBy(col("vec_id"))
-    var centroids = segRows
+    var centroids = Ckpt.materialize(segRows
       .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= k)
       .select(col("seg"), col("vec_id").as("cell_id"),
-        col("embedding").as("centroid"))
-      .localCheckpoint()
+        col("embedding").as("centroid")), ckpt)
     for (_ <- 1 to iters) {
       // assignment metric = ENCODING metric (L2-nearest as
       // max dot − ½‖c‖², precomputed broadcast-side): centroids must
@@ -204,18 +201,17 @@ object SimOps extends QueryPack {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv").cast("float")).as("centroid"))
       val prev = centroids
-      centroids = centroids.as("c")
+      centroids = Ckpt.materialize(centroids.as("c")
         .join(means.as("n"),
           col("c.seg") === col("n.seg") && col("c.cell_id") === col("n.cell_id"),
           "left")
         .select(col("c.seg").as("seg"), col("c.cell_id").as("cell_id"),
-          coalesce(col("n.centroid"), col("c.centroid")).as("centroid"))
-        .localCheckpoint()
+          coalesce(col("n.centroid"), col("c.centroid")).as("centroid")), ckpt)
       // eager checkpoint: new codebook materialized, previous round's
-      // blocks are unreachable — release rather than accumulate
-      Bridge.unpersistCheckpoint(prev)
+      // storage is unreachable — release rather than accumulate
+      Ckpt.release(prev, ckpt)
     }
-    Bridge.unpersistCheckpoint(segRows)
+    Ckpt.release(segRows, ckpt)
     centroids
   }
 
@@ -278,7 +274,8 @@ object SimOps extends QueryPack {
     * all members keeps its previous centroid. Centroid tables stay
     * k × dim (driver/broadcast scale) while the corpus side is only
     * ever scanned, never collected. */
-  def kmeansRefine(emb: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+  def kmeansRefine(emb: DataFrame, seed: DataFrame, iters: Int,
+      ckpt: CkptMode = CkptMode.Local): DataFrame = {
     var centroids = seed
     for (_ <- 1 to iters) {
       // same order-independent mean as pqTrain: one rounding into
@@ -293,13 +290,12 @@ object SimOps extends QueryPack {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
       val prev = centroids
-      centroids = centroids.as("c")
+      centroids = Ckpt.materialize(centroids.as("c")
         .join(means.as("n"), col("c.cell_id") === col("n.cell_id"), "left")
         .select(col("c.cell_id").as("cell_id"),
-          coalesce(col("n.centroid"), col("c.centroid")).as("centroid"))
-        .localCheckpoint()
+          coalesce(col("n.centroid"), col("c.centroid")).as("centroid")), ckpt)
       // round 1's prev is the caller's seed table — not ours to release
-      if (prev ne seed) Bridge.unpersistCheckpoint(prev)
+      if (prev ne seed) Ckpt.release(prev, ckpt)
     }
     centroids
   }
@@ -475,6 +471,65 @@ object SimOps extends QueryPack {
       assigned
         .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
         .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF×PQ composed search — the actual billion-vector layout
+    // (VERDICT r10 stretch): the IVF coarse quantizer PRUNES the corpus
+    // to the nprobe cells nearest the query, the PQ codes of ONLY those
+    // cells' members are ADC-scored through the broadcast distance
+    // table, and full vectors are read for the exact re-rank of the
+    // top-50 — so per-query cost is nprobe/k of the corpus in CODES
+    // (16× compressed here, 4 bytes vs 64 floats) plus 50 full
+    // vectors, regardless of corpus size. The cell filter is a
+    // shuffled semi-join on vec_id (inverted-list membership grows with
+    // the corpus — never broadcast), and it prunes BEFORE the code
+    // explode so unprobed cells' codes are dropped at 1 row per vector,
+    // not m. No oracle (both quantizers are training-specific);
+    // SimilaritySpec bounds re-ranked quality and asserts the
+    // probed-cell containment.
+    "q_sim_ann_ivfpq" -> ((spark, sfDir) => {
+      val m = 4; val k = 16; val dim = 64; val segLen = dim / m
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val (centroids, assigned) = ivfAssign(emb, k)
+      val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
+      val codes = pqEncode(emb, codebooks, m, dim)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      val probeCells = centroids.crossJoin(broadcast(probe))
+        .select(col("cell_id"), cosine(col("centroid"), col("probe")).as("sim"))
+        .orderBy(col("sim").desc, col("cell_id"))
+        .limit(4)
+      // inverted-list membership: ids in the probed IVF cells
+      val candIds = assigned
+        .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      // ADC table: dot(probe segment, centroid) per (seg, cell) —
+      // m × k rows, broadcast-scale at any corpus size
+      val dtable = codebooks.crossJoin(broadcast(probe))
+        .select(col("seg"), col("cell_id"),
+          dot(slice(col("probe"), col("seg") * segLen + 1, lit(segLen)),
+            col("centroid")).as("pd"),
+          dot(col("centroid"), col("centroid")).as("cn"))
+      val approx = codes
+        .join(candIds.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), posexplode(col("codes")))
+        .join(broadcast(dtable),
+          col("pos") === col("seg") && col("col") === col("cell_id"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("pd")).as("num"), sum(col("cn")).as("den"))
+      val cand = approx.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (col("num") / (sqrt(col("den")) * sqrt(dot(col("probe"), col("probe")))))
+            .as("approx_cos"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .limit(50)
+      cand.join(emb, "vec_id")
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
-import graft.operators.BandGuard
+import graft.operators.{BandGuard, Ckpt, CkptMode}
 import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, ShingleJoin, SimHash64, WinnowPrints}
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
@@ -113,11 +113,16 @@ object TextOps extends QueryPack {
     * geometrically: rounds are O(log diameter), not O(diameter) (a
     * 10⁶-node path would otherwise be 10⁶ shuffles). Convergence is
     * detected by the strictly-decreasing label sum; each round is
-    * localCheckpoint'ed so lineage (and analysis time) stays flat; a
-    * graph still unconverged at [[ComponentRoundsCap]] throws rather
-    * than silently under-merging.
+    * checkpointed (under `ckpt` — [[graft.operators.CkptMode]]) so
+    * lineage (and analysis time) stays flat; a graph still unconverged
+    * at [[ComponentRoundsCap]] throws rather than silently
+    * under-merging. Under `CkptMode.Reliable` every round's label
+    * state (and the edge list) lives in the session's checkpoint dir,
+    * so on a real cluster an executor loss re-reads the last round
+    * from durable storage instead of killing the run.
     * Returns (id, comp) with comp = the component's minimum id. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      ckpt: CkptMode = CkptMode.Local): DataFrame = {
     // pre-partition the symmetrized edge list by the probe key ONCE:
     // the per-round graph join then reuses this partitioning exchange-
     // free (it survives localCheckpoint — same discipline as PageRank's
@@ -125,19 +130,17 @@ object TextOps extends QueryPack {
     // state. Folding the pointer edges into one unioned edge stream —
     // the previous shape — silently destroyed this: the union is
     // unpartitioned, so every round re-shuffled the EDGE-sized stream.
-    val edges = pairs
+    val edges = Ckpt.materialize(pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .repartition(col("d2"))
-      .localCheckpoint()
+      .repartition(col("d2")), ckpt)
     // LAZY local checkpoints throughout: every round already runs one
     // mandatory action (the label-sum fixpoint probe), so letting THAT
     // action materialize the round's checkpoint halves the per-round
     // job count vs an eager checkpoint + separate probe — the same
     // scheduler-fixed-cost trim as PageRank's segment chaining, kept
     // compatible with the probe this operator cannot drop.
-    var labels = edges.select(col("d1").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(false)
+    var labels = Ckpt.materialize(edges.select(col("d1").as("id")).distinct()
+      .withColumn("comp", col("id")), ckpt, eager = false)
     def labelSum(): Long =
       labels.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
     var prevSum = Long.MaxValue
@@ -171,19 +174,18 @@ object TextOps extends QueryPack {
         .join(labels.as("y").hint("shuffle_hash"),
           col("x.comp") === col("y.id"))
         .select(col("x.id").as("id"), col("y.comp").as("comp"))
-      labels = graphMin.unionAll(jumped)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(false)
+      labels = Ckpt.materialize(graphMin.unionAll(jumped)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")), ckpt, eager = false)
       prevSum = curSum
-      // the probe materializes the lazy checkpoint; only THEN are the
-      // superseded round's blocks (node-count-sized each) dead — the
+      // the probe materializes the lazy checkpoint; only THEN is the
+      // superseded round's storage (node-count-sized each) dead — the
       // release must stay after the action, or the new state would
       // recompute from an already-freed lineage-less checkpoint
       curSum = labelSum()
-      Bridge.unpersistCheckpoint(prev)
+      Ckpt.release(prev, ckpt)
       rounds += 1
     }
-    Bridge.unpersistCheckpoint(edges)
+    Ckpt.release(edges, ckpt)
     labels
   }
 
@@ -380,8 +382,10 @@ object TextOps extends QueryPack {
     * survivors equal the exact pipeline's. Blocked on `source` like
     * [[jaccardPairs]] (the reference's blocking key), so the exact-SQL
     * oracle sees the same pair set. */
-  def minhashDedupSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
-    val cands = minhashShingleCandidates(docs, numHashes = 16, bands = 8)
+  def minhashDedupSurvivors(docs: DataFrame, threshold: Double,
+      bucketCap: Int = BandGuard.DefaultCap): DataFrame = {
+    val cands = minhashShingleCandidates(docs, numHashes = 16, bands = 8,
+      bucketCap = bucketCap)
     val verified = verifyJaccard(cands, shingleFeatureRows(docs), threshold)
     val losers = connectedComponents(verified.select(col("d1"), col("d2")))
       .filter(col("comp") < col("id"))
@@ -456,19 +460,35 @@ object TextOps extends QueryPack {
     * during the swap; `compactAboveFiles = Int.MaxValue` opts out for
     * concurrent-reader deployments, which should schedule
     * [[graft.pipeline.Compaction.compact]] in their own maintenance
-    * window instead. */
+    * window instead.
+    *
+    * Compaction DELETES the files it replaces, which invalidates any
+    * still-live plan whose lineage reads the index — including the
+    * typical `survivors` argument itself (derived from
+    * [[dedupBatchAgainstIndex]]'s anti-join against index-derived
+    * losers). The RETURNED frame is the defense: when compaction
+    * engages, `survivors` is pinned to executor storage
+    * (localCheckpoint) BEFORE the swap, so a caller that keeps using
+    * its survivor set after a refresh must use the return value, not
+    * the argument. (The argument also must not lazily re-read index
+    * files DURING the append itself — checkpoint it before calling if
+    * its lineage reads `indexDir`, as the foreachBatch ingest loop
+    * does.) */
   def appendToDedupIndex(survivors: DataFrame, indexDir: String,
-      compactAboveFiles: Int = 64, targetBytes: Long = 512L << 20): Unit = {
+      compactAboveFiles: Int = 64, targetBytes: Long = 512L << 20): DataFrame = {
     import graft.models.ModelStore
     import graft.pipeline.Compaction
     val spark = survivors.sparkSession
     ModelStore.appendLargeTable(
       shingleBandRows(survivors, numHashes = 16, bands = 8), s"$indexDir/bands")
     ModelStore.appendLargeTable(shingleFeatureRows(survivors), s"$indexDir/features")
-    Seq(s"$indexDir/bands", s"$indexDir/features").foreach { d =>
-      if (Compaction.parquetFileCount(spark, d) > compactAboveFiles) {
-        Compaction.compact(spark, d, targetBytes): Unit
-      }
+    val needCompact = Seq(s"$indexDir/bands", s"$indexDir/features")
+      .filter(d => Compaction.parquetFileCount(spark, d) > compactAboveFiles)
+    if (needCompact.isEmpty) survivors
+    else {
+      val safe = survivors.localCheckpoint()
+      needCompact.foreach(d => Compaction.compact(spark, d, targetBytes): Unit)
+      safe
     }
   }
 

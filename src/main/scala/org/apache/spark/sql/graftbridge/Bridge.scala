@@ -47,4 +47,33 @@ object Bridge extends Logging {
       s"unpersistCheckpoint: unsupported Dataset class ${other.getClass.getName} — " +
         "no blocks released.")
   }
+
+  /** Delete the checkpoint-directory files behind a RELIABLE
+    * (`Dataset.checkpoint`) checkpoint — the durable-storage twin of
+    * [[unpersistCheckpoint]]. The iterative operators running under
+    * [[graft.operators.CkptMode.Reliable]] write one round snapshot to
+    * the checkpoint dir every truncation; without this, a 10k-round
+    * 100 TB job leaves every superseded snapshot on the cluster store
+    * until `SparkContext.stop` (and `spark.cleaner.referenceTracking.
+    * cleanCheckpoints` only fires on driver GC of the RDD — too late
+    * and nondeterministic for a storage budget). Same strict guard as
+    * [[unpersistCheckpoint]]: only an EXACT checkpoint-leaf plan is
+    * released, so a derived plan sharing files with a live sibling can
+    * never lose its storage. A not-yet-materialized (lazy,
+    * never-acted-on) checkpoint has no files; the delete of its empty
+    * path is a no-op. */
+  def releaseReliableCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit = df match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          org.apache.spark.rdd.ReliableRDDCheckpointData
+            .cleanCheckpoint(lr.rdd.sparkContext, lr.rdd.id)
+        case other => logWarning(
+          s"releaseReliableCheckpoint: plan root is ${other.nodeName}, not a " +
+            "LogicalRDD checkpoint leaf — no files released.")
+      }
+    case other => logWarning(
+      s"releaseReliableCheckpoint: unsupported Dataset class ${other.getClass.getName} — " +
+        "no files released.")
+  }
 }

@@ -58,4 +58,29 @@ class ComponentsSpec extends SparkSuite {
     val clique = for (i <- 5L to 9L; j <- (i + 1) to 9L) yield (i, j)
     assert(components(clique).values.forall(_ == 5L))
   }
+
+  test("reliable checkpoint mode: identical labels, no leaked snapshots") {
+    import spark.implicits._
+    import graft.operators.{Ckpt, CkptMode}
+    val rng = new scala.util.Random(31)
+    val pairs =
+      Seq.tabulate(50)(_ => { val a = rng.nextInt(40); (a.toLong, (a + 1 + rng.nextInt(6)).toLong) }) ++
+      (200L until 230L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val local = components(pairs)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-cc-ck").toString)
+    val rel = TextOps.connectedComponents(pairs.toDF("d1", "d2"),
+      ckpt = CkptMode.Reliable)
+    val got = rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == local, "reliable mode must produce the same labels")
+    // every superseded round released its files inside the loop; the
+    // returned frame holds the ONLY live snapshot — after releasing it
+    // the checkpoint dir must hold no rdd-* dirs (the storage bound a
+    // multi-hour job needs from durable checkpointing)
+    Ckpt.release(rel, CkptMode.Reliable)
+    val root = new java.io.File(spark.sparkContext.getCheckpointDir.get)
+    val leaked = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("rdd-"))
+    assert(leaked.isEmpty, s"leaked checkpoint dirs: ${leaked.mkString(", ")}")
+  }
 }

@@ -131,6 +131,62 @@ class MultimodalSpec extends SparkSuite {
     assert(rawFeats.toSeq == Seq(0.5, 0.5))
   }
 
+  test("real JPEG payloads decode: luminance (not byte) features; phash " +
+      "stable across PNG/JPEG re-encodes of the same pixels") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    // 16x16 image of 2x2-pixel constant blocks at staggered gray levels
+    // confined to 140..252: varied enough that the aHash has both 0 and
+    // 1 bits, smooth enough that lossy JPEG keeps cells clear of the
+    // mean threshold — and with EVERY pixel in the upper half of the
+    // luminance range, so a true luminance histogram is cleanly
+    // distinguishable from a byte histogram of the JPEG file (whose
+    // markers/entropy bytes always spread across the full byte range)
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = 140 + (((x / 2) * 8 + (y / 2) * 3) % 15) * 8 // 140..252 grays
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val jpg = enc("jpg")
+    assert(jpg.length > 3 && (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "writer must have produced a real JPEG")
+    val mkRec = (id: Long, payload: Array[Byte], fmt: String) =>
+      Multimodal.MediaRecord(id, "image",
+        Multimodal.MediaMeta(fmt, 16, 16, 0, 1), payload)
+    // every source pixel is ≥140, and JPEG ringing cannot pull a
+    // decoded pixel below the 128 bin boundary — so a true luminance
+    // histogram puts ~all mass in the UPPER of 2 bins, while the old
+    // byte-histogram fallback measurably split the file bytes
+    // (0.53/0.47 observed) across both
+    val feats = Multimodal.decodeFeatures(
+      Seq(mkRec(1L, jpg, "jpg")).toDS(), bins = 2).collect().head.features
+    assert(feats(1) > 0.95 && feats(0) < 0.05,
+      s"JPEG payload fell back to byte histogram: ${feats.toSeq}")
+    // phash agreement: same pixels through PNG (lossless) vs JPEG
+    // (lossy) encodings — block-constant grays survive DCT nearly
+    // intact, so the 64-bit hashes may differ only in a few bits
+    val hashes = Multimodal.imageHash(
+        Seq(mkRec(10L, enc("png"), "png"), mkRec(11L, jpg, "jpg")).toDS())
+      .collect().map(h => h.media_id -> h.phash).toMap
+    assert(hashes.keySet == Set(10L, 11L), "JPEG row must decode and hash")
+    val hamming = java.lang.Long.bitCount(hashes(10L) ^ hashes(11L))
+    assert(hamming <= 4,
+      s"phash unstable across PNG/JPEG re-encodes: hamming $hamming")
+    // and a JPEG input through resizeImage decodes real pixels too:
+    // output is a PNG re-encode of the resampled image
+    val rz = Multimodal.resizeImage(Seq(mkRec(20L, jpg, "jpg")).toDS(), 8, 8)
+      .collect().head
+    assert(rz.meta.format == "png" && rz.meta.width == 8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz.payload))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 8)
+  }
+
   test("non-numeric filenames get distinct stable ids") {
     val dir = new java.io.File("target/test-fixtures/media_noid")
     def rm(f: java.io.File): Unit = {

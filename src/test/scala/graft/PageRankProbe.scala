@@ -8,8 +8,10 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Dev-only profiling harness for the iterative-operator cost seam
   * (VERDICT r9 next-round #3): times PageRank round-state strategies
-  * in one session so scheduler warmup is shared. Not part of the
-  * library surface. Usage: runMain graft.PageRankProbe <sfDir> [reps]
+  * in one session so scheduler warmup is shared. Lives in the TEST
+  * source set (ADVICE r10) so its deliberately-unsound eager-release
+  * variant can never be mistaken for library API. Usage:
+  * `sbt "Test/runMain graft.PageRankProbe <sfDir> [reps]"`
   */
 object PageRankProbe {
 

@@ -46,6 +46,27 @@ class PageRankSpec extends SparkSuite {
     assert(math.abs(total - 4.0) < 1e-9, s"mass $total != node count 4")
   }
 
+  test("reliable checkpoint mode: bit-identical ranks, no leaked snapshots") {
+    import graft.operators.{Ckpt, CkptMode}
+    val edges = edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 4L))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy(col("id")).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = rows(PageRank(edges, iterations = 7, ckEvery = 3))
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-pr-ck").toString)
+    val rel = PageRank(edges, iterations = 7, ckEvery = 3, ckpt = CkptMode.Reliable)
+    assert(rows(rel) == local,
+      "reliable snapshots must be bit-identical to local ones")
+    // the loop released every superseded snapshot (edge tables, interim
+    // rank vectors); only the returned frame's snapshot remains —
+    // release it and the checkpoint dir must be empty of rdd-* dirs
+    Ckpt.release(rel, CkptMode.Reliable)
+    val root = new java.io.File(spark.sparkContext.getCheckpointDir.get)
+    val leaked = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("rdd-"))
+    assert(leaked.isEmpty, s"leaked checkpoint dirs: ${leaked.mkString(", ")}")
+  }
+
   test("bit-identical ranks across partitionings") {
     import spark.implicits._
     val pairs = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L), (i, i % 5 + 200L)))

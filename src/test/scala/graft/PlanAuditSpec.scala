@@ -19,10 +19,10 @@ class PlanAuditSpec extends SparkSuite {
   // threshold t rides the plan as a broadcast scalar, q11-style).
   private val nestedLoopAllowed =
     Set("q_join_cross", "q_sim_topk", "q_sim_ann_ivf", "q_win_ntile",
-      "q_text_tfidf", "q_sim_ann_pq", "q_sketch_cms", "q_text_drift",
-      "q_sample_temperature", "q_composite_q22", "q_composite_q11",
-      "q_events_gapfill", "q_pareto_share", "q_text_perplexity",
-      "q_dedup_incremental")
+      "q_text_tfidf", "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sketch_cms",
+      "q_text_drift", "q_sample_temperature", "q_composite_q22",
+      "q_composite_q11", "q_events_gapfill", "q_pareto_share",
+      "q_text_perplexity", "q_dedup_incremental")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -83,6 +83,41 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"PQ recall@10 $recall < 0.2")
   }
 
+  test("IVF×PQ composed search: results come from probed cells only; " +
+      "re-ranked quality tracks the exact-in-cells winners") {
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    // reference: the exact best within the SAME probed cells (the IVF
+    // pruning is shared; this isolates the PQ+re-rank approximation)
+    val (centroids, assigned) = SimOps.ivfAssign(emb, 16)
+    val probeCells = centroids.crossJoin(broadcast(probe))
+      .select(col("cell_id"), SimOps.cosine(col("centroid"), col("probe")).as("sim"))
+      .orderBy(col("sim").desc, col("cell_id")).limit(4)
+    val inCells = assigned
+      .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
+      .filter(col("vec_id") =!= 0)
+    val cellIds = inCells.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val exact = inCells.crossJoin(broadcast(probe))
+      .select(col("vec_id"), SimOps.cosine(col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val exactMean = exact.map(_.getDouble(1)).sum / exact.length
+
+    val got = SparkEntry.queries("q_sim_ann_ivfpq")(spark, Sf).collect()
+    assert(got.length == 10)
+    // containment: IVF pruning must be real — nothing outside the
+    // probed cells can appear
+    assert(got.map(_.getLong(0)).forall(cellIds.contains),
+      "result from an unprobed IVF cell — the inverted-list filter leaks")
+    // quality: same robust signal as the PQ suite — the composed
+    // search's true cosines track the exact-in-cells winners
+    val gotMean = got.map(_.getDouble(1)).sum / got.length
+    assert(gotMean >= 0.85 * exactMean,
+      s"IVF×PQ mean $gotMean vs exact-in-cells $exactMean")
+    val recall = got.map(_.getLong(0)).count(exactIds.contains) / 10.0
+    assert(recall >= 0.2, s"IVF×PQ recall@10 $recall < 0.2")
+  }
+
   test("PQ codebooks are bit-stable across partitionings") {
     // the centroid mean sums in decimal (order-independent); avg() over
     // floats drifted with partition/merge order and made the whole

@@ -97,6 +97,70 @@ class StreamingIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kill-and-restart mid-stream: a replayed batch leaves the " +
+      "keep-latest table exactly-once") {
+    // The reference's continuation contract
+    // (Unity_to_BigQuery.py:178-180) under FAILURE, not just between
+    // graceful runs: the crash is injected AFTER the sink write but
+    // BEFORE the checkpoint commit — the at-least-once window where a
+    // restart REPLAYS the batch — and the keep-latest table must come
+    // out exactly-once because the upsert is idempotent per (key, ver).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"$root/stream_restart_table"
+    val ck = s"$root/stream_restart_ck"
+    @volatile var crashArmed = true // foreachBatch body runs on the driver
+    val mem = MemoryStream[Up](spark)
+    def start() = mem.toDF().writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.toDF().as[Up].collect()
+        val base =
+          if (new java.io.File(dir).exists) spark.read.parquet(dir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        graft.operators.Upsert(base, batch.toDF(), Seq("k"), "ver")
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(dir)
+        if (crashArmed && rows.exists(_.k == 99L)) {
+          crashArmed = false
+          throw new RuntimeException("injected crash after sink write, before commit")
+        }
+      }
+      .start()
+    def table() = spark.read.parquet(dir).as[Up].collect()
+      .map(u => u.k -> ((u.ver, u.v))).toSeq
+
+    val q1 = start()
+    try {
+      mem.addData(Up(1, 1, "a"), Up(2, 1, "b"))
+      q1.processAllAvailable()
+      assert(table().toMap == Map(1L -> ((1L, "a")), 2L -> ((1L, "b"))))
+      // this batch's first processing crashes post-write: the table has
+      // absorbed it but the offset was never committed
+      mem.addData(Up(1, 2, "a2"), Up(99, 1, "x"))
+      intercept[Throwable] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined, "query must have died on the injected crash")
+    } finally q1.stop()
+
+    // restart from the same checkpoint: the uncommitted batch REPLAYS
+    // (at-least-once delivery), the upsert absorbs it idempotently
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val t = table()
+      assert(t.toMap ==
+        Map(1L -> ((2L, "a2")), 2L -> ((1L, "b")), 99L -> ((1L, "x"))))
+      assert(t.size == 3, s"replay duplicated rows: $t")
+      // and the stream continues normally after recovery
+      mem.addData(Up(3, 1, "c"))
+      q2.processAllAvailable()
+      assert(table().toMap ==
+        Map(1L -> ((2L, "a2")), 2L -> ((1L, "b")), 3L -> ((1L, "c")),
+          99L -> ((1L, "x"))))
+    } finally q2.stop()
+  }
+
   test("foreachBatch incremental dedup: micro-batches probe a FROZEN " +
       "survivor index") {
     import spark.implicits._
@@ -239,5 +303,27 @@ class StreamingIngestSpec extends SparkSuite {
       Seq(doc(100L)).toDF(), idxDir, 0.5)
     assert(lateDup.count() == 0,
       "compaction lost index rows — early-epoch survivor no longer matches")
+  }
+
+  test("appendToDedupIndex returns a survivors frame that survives a " +
+      "compacting refresh") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val idxDir = s"$root/dedup_index_safe_return"
+    TextOps.saveDedupIndex(Seq(
+      ArrDoc(1L, "alpha beta gamma delta epsilon zeta eta theta", "s", "en"))
+      .toDF(), idxDir)
+    // deliberately NOT checkpointed: its lineage reads the index files
+    // (the anti-join against index-derived losers) — exactly the frame
+    // a compacting refresh invalidates
+    val surv = TextOps.dedupBatchAgainstIndex(spark,
+      Seq(ArrDoc(10L, "one two three four five six seven eight", "s", "en"))
+        .toDF(), idxDir, 0.5)
+    // compactAboveFiles = 1 forces compaction, which deletes the files
+    // the ARGUMENT's lineage reads; the returned frame was pinned
+    // before the swap and must still answer
+    val safe = TextOps.appendToDedupIndex(surv, idxDir,
+      compactAboveFiles = 1, targetBytes = 1L << 30)
+    assert(safe.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
   }
 }

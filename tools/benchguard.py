@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Per-query perf-regression gate (VERDICT r10 item 6).
+
+Diffs a round's bench artifact against the prior round's SAME-BOX
+artifact and fails loudly when any of the top-20 isolated queries
+regressed by more than the threshold (default +30%) without a waiver.
+
+    python3 tools/benchguard.py CURRENT PRIOR [--threshold 0.30]
+
+CURRENT/PRIOR accept either a raw `graft.Bench` output line (the
+`target/bench.json` file twin) or a driver `BENCH_r{N}.json` wrapper —
+for wrappers the per-query isolated samples are regex-recovered from
+the stdout tail, which survives the driver's front-truncation because
+each `"name":{"sec":...}` entry is self-contained.
+
+Rules:
+  - only ISOLATED samples are compared (full-run/steady times swing
+    ~2x with ambient load on this box — BASELINE.md round-2 notes);
+  - a sample stamped `contended: true` on either side is skipped (the
+    stamp exists precisely so load spikes don't read as plan
+    regressions);
+  - a regression is waived iff BASELINE.md contains the literal marker
+    `benchguard-ok: <query>` — i.e. a human wrote down WHY the cost
+    moved. Silent regressions fail the gate; documented ones pass.
+
+Exit 0 = clean (or waived), exit 1 = unwaived regression(s).
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+
+ISO_RE = re.compile(
+    r'"(\w+)":\{"sec":([0-9.eE+-]+),"load_before":[0-9.eE+-]+,'
+    r'"load_after":[0-9.eE+-]+,"contended":(true|false)\}')
+
+
+def load_isolated(path):
+    """-> {query: (sec, contended)} from a bench line or driver wrapper."""
+    with open(path) as f:
+        raw = f.read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict) and "isolated_detail" in doc:
+        return {q: (v["sec"], v["contended"])
+                for q, v in doc["isolated_detail"].items()}
+    # driver wrapper: regex-recover from the (possibly truncated) tail
+    text = doc.get("tail", raw) if isinstance(doc, dict) else raw
+    return {q: (float(sec), flag == "true")
+            for q, sec, flag in ISO_RE.findall(text)}
+
+
+def waivers(baseline_md):
+    if not os.path.exists(baseline_md):
+        return set()
+    with open(baseline_md) as f:
+        return set(re.findall(r"benchguard-ok:\s*(\w+)", f.read()))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("current")
+    ap.add_argument("prior")
+    ap.add_argument("--threshold", type=float, default=0.30)
+    ap.add_argument("--baseline-md",
+                    default=os.path.join(os.path.dirname(__file__), "..", "BASELINE.md"))
+    args = ap.parse_args()
+
+    cur = load_isolated(args.current)
+    prev = load_isolated(args.prior)
+    if not cur or not prev:
+        print(f"benchguard: no isolated samples parsed "
+              f"(current={len(cur)}, prior={len(prev)}) — cannot gate", file=sys.stderr)
+        return 1
+    waived = waivers(args.baseline_md)
+
+    regressions, skipped = [], []
+    for q in sorted(set(cur) & set(prev)):
+        c_sec, c_cont = cur[q]
+        p_sec, p_cont = prev[q]
+        if c_cont or p_cont:
+            skipped.append(q)
+            continue
+        if p_sec > 0 and c_sec > p_sec * (1 + args.threshold):
+            regressions.append((q, p_sec, c_sec))
+
+    for q in skipped:
+        print(f"benchguard: SKIP {q} (contended sample)")
+    ok = True
+    for q, p, c in regressions:
+        if q in waived:
+            print(f"benchguard: WAIVED {q}: {p:.2f}s -> {c:.2f}s "
+                  f"(+{(c / p - 1) * 100:.0f}%, benchguard-ok note in BASELINE.md)")
+        else:
+            print(f"benchguard: REGRESSION {q}: {p:.2f}s -> {c:.2f}s "
+                  f"(+{(c / p - 1) * 100:.0f}% > +{args.threshold * 100:.0f}%) — "
+                  f"add a 'benchguard-ok: {q}' note to BASELINE.md explaining the "
+                  f"cost, or fix the plan", file=sys.stderr)
+            ok = False
+    if ok:
+        n = len(set(cur) & set(prev)) - len(skipped)
+        print(f"benchguard: PASS — {n} isolated queries within "
+              f"+{args.threshold * 100:.0f}% of prior round")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
