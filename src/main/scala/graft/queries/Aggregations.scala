@@ -225,6 +225,37 @@ object Aggregations extends QueryPack {
         .orderBy(col("flag"))
     }),
 
+    // Grouped ordinary-least-squares trend (regr_slope/intercept/r2
+    // semantics) from the same exact decimal co-moments as q_agg_corr:
+    // the built-ins merge FP running co-moments (partition-order-
+    // dependent — unusable under a hash gate), whereas decimal power
+    // sums are mergeable partials that collapse to double ONCE, and
+    // the closed forms are evaluated as structurally identical
+    // expression trees on both engines (every double op is IEEE
+    // correctly rounded, so identical trees ⇒ identical bits). One
+    // map-side-combined aggregate per group — no second pass, no
+    // window.
+    "q_agg_linreg" -> ((spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(expr("x * y")).cast("double").as("sxy"),
+          sum(expr("x * x")).cast("double").as("sxx"),
+          sum(expr("y * y")).cast("double").as("syy"))
+        .select(col("flag"), col("cnt").as("n"),
+          expr("(cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)").as("slope"),
+          col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+        .select(col("flag"), col("n"), col("slope"),
+          expr("(sy - slope * sx) / n").as("intercept"),
+          expr("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / " +
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))").as("r2"))
+        .orderBy(col("flag"))
+    }),
+
     "q_agg_collect" -> ((spark, sfDir) => {
       Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey"))
@@ -584,6 +615,30 @@ object Aggregations extends QueryPack {
         |    AS corr_qty_price,
         |  (cnt * sxy - sx * sy) / cnt / (cnt - 1) AS covar_samp_qty_price
         |FROM t ORDER BY flag""".stripMargin,
+
+    "q_agg_linreg" ->
+      """WITH t AS (
+        |  SELECT flag, COUNT(*) AS cnt,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag AS flag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |        FROM lineitem)
+        |  GROUP BY flag),
+        |s AS (
+        |  SELECT flag, cnt AS n,
+        |    (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) AS slope,
+        |    sx, sy, sxy, sxx, syy
+        |  FROM t)
+        |SELECT flag, n, slope,
+        |  (sy - slope * sx) / n AS intercept,
+        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |FROM s ORDER BY flag""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT o_custkey,

@@ -151,6 +151,89 @@ object Curation extends QueryPack {
         .limit(20)
     }),
 
+    // Deterministic fixed-size corpus sample (k = 100) — the
+    // distributed reservoir sample: assigning every row a uniform
+    // pseudo-random priority and keeping the global k smallest IS
+    // reservoir sampling (each subset of size k equally likely under a
+    // random priority), and unlike the classic sequential algorithm it
+    // is embarrassingly parallel — per-partition top-k heaps, then a
+    // k-row driver merge (TakeOrderedAndProject; nothing corpus-sized
+    // moves). The priority is the Knuth multiplicative hash of the
+    // stable key (same decimal-exact formulation as q_shuffle_shards),
+    // so the sample is identical on any engine/partitioning/rerun —
+    // rand() would be neither reproducible nor oracle-checkable.
+    "q_sample_reservoir" -> ((spark, sfDir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val h = ((col("doc_id").cast(d38) * lit(2654435761L)) % lit(4294967296L))
+        .cast("long")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"), h.as("hv"))
+        .orderBy(col("hv"), col("doc_id"))
+        .limit(100)
+    }),
+
+    // Deterministic WEIGHTED sample (k = 50, weight = n_chars) — the
+    // "sample proportional to document length" pass a token-budgeted
+    // corpus draw needs. Priority = hv / weight: a row with twice the
+    // weight halves its expected priority, so the k smallest skew
+    // toward heavy docs while staying a.s. duplicate-free; both
+    // operands are exact integers < 2^53 and one IEEE division is
+    // correctly rounded, so the priority (and the sample) is
+    // bit-identical on any engine. Same top-k plan shape as
+    // q_sample_reservoir: per-partition heaps, k-row merge, no shuffle
+    // of the corpus.
+    "q_sample_weighted" -> ((spark, sfDir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val h = ((col("doc_id").cast(d38) * lit(2654435761L)) % lit(4294967296L))
+        .cast("long")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"), h.as("hv"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("hv").cast("double") / col("n_chars").cast("double"))
+            .as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
+    }),
+
+    // Domain-mixture rebalance — hit a TARGET source mixture with a
+    // deterministic per-source keep rate: rate_s = min(1, budget *
+    // share_s / n_s) where share_s ∝ a per-source weight (here parsed
+    // from the source name; in production a config map) and budget is
+    // half the corpus. A doc survives iff its Knuth hash falls under
+    // rate_s · 2³² — an exact integer compare, so membership is
+    // reproducible row-wise (a later pipeline stage recomputes the
+    // same subset from the rule alone, no sample manifest to ship).
+    // Shape: two bounded aggregates (per-source counts, one totals
+    // row) broadcast back onto a map-side filter — the corpus itself
+    // is never shuffled.
+    "q_domain_mix" -> ((spark, sfDir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val h = ((col("doc_id").cast(d38) * lit(2654435761L)) % lit(4294967296L))
+        .cast("long")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), h.as("hv"),
+          (substring(col("source"), 4, 10).cast("long") + 1L).as("w"))
+      val per = docs.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_s"))
+      val tot = per.agg(sum(col("n_s")).as("n_total"), sum(col("w")).as("w_tot"))
+      val rates = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          least(lit(1.0),
+            (col("n_total").cast("double") / lit(2.0)) *
+              (col("w").cast("double") / col("w_tot").cast("double")) /
+              col("n_s").cast("double")).as("rate"))
+      // no broadcast hint on the rates side: it IS a grouped aggregate
+      // (bounded by the source domain, but the planner can't know) —
+      // AQE sees its runtime size and promotes the join itself
+      docs.join(rates, "source")
+        .filter(col("hv").cast("double") < col("rate") * lit(4294967296.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(rates, "source")
+        .select(col("source"), col("n_s"), col("n_kept"), col("rate"))
+        .orderBy(col("source"))
+    }),
+
     // Per-group feature normalization (z-score) — the feature-scaling
     // pass of a training pipeline, in EXACT arithmetic: both moments
     // are decimal sums of an INTEGER feature (order-independent,
@@ -217,6 +300,52 @@ object Curation extends QueryPack {
         |    ORDER BY hv, doc_id) AS INTEGER) AS pos
         |FROM h
         |ORDER BY shard, pos""".stripMargin,
+
+    "q_sample_reservoir" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |    AS BIGINT) AS hv
+        |FROM documents
+        |ORDER BY hv, doc_id LIMIT 100""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |      AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(hv AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+        |FROM h
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |      AS BIGINT) AS hv,
+        |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, w, COUNT(*) AS n_s FROM d GROUP BY source, w),
+        |tot AS (
+        |  SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+        |    CAST(SUM(w) AS BIGINT) AS w_tot FROM per),
+        |rates AS (
+        |  SELECT source, n_s,
+        |    LEAST(1.0,
+        |      (CAST(n_total AS DOUBLE) / 2.0)
+        |        * (CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE))
+        |        / CAST(n_s AS DOUBLE)) AS rate
+        |  FROM per CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.source, COUNT(*) AS n_kept
+        |  FROM d JOIN rates USING (source)
+        |  WHERE CAST(hv AS DOUBLE) < rate * 4294967296.0
+        |  GROUP BY d.source)
+        |SELECT source, n_s, n_kept, rate
+        |FROM kept JOIN rates USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q_text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

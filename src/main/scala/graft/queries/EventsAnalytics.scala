@@ -214,6 +214,41 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Last-touch attribution — which channel gets credit for each
+    // purchase: the most recent click/view by the same user at most 3
+    // days before the purchase (else 'none'). The per-user running
+    // "last touch" rides ONE user-keyed window (last over rows
+    // unbounded-preceding — the purchase row itself is never a touch,
+    // so no self-match); conversions then collapse to a channel-count
+    // aggregate. No event self-join — the naive purchase×touch join is
+    // quadratic in a user's history at scale; the window is linear.
+    // Revenue sums exactly in decimal (cast to double only at output,
+    // cent-sums far below 2^53).
+    "q_events_attribution" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isTouch = col("event_type").isin("click", "view")
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          dec(col("value")).as("x"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      e.withColumn("t_ch",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("t_us",
+          last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("t_us").isNotNull &&
+              col("us") - col("t_us") <= 3L * 86400L * 1000000L,
+            col("t_ch")).otherwise("none").as("channel"),
+          col("x"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("x")).cast("double").as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
     // Event-type transition matrix (first-order Markov estimate) — the
     // sequence-modeling prep a behavior model trains on: per-user
     // time-ordered lag pairs, counted per (prev → next), row-normalized
@@ -389,6 +424,29 @@ object EventsAnalytics extends QueryPack {
         |  FROM anchored GROUP BY user_id, anchor)
         |SELECT user_id, MAX(len) AS best_streak, COUNT(*) AS n_streaks
         |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS x, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, x, us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS) OVER w AS t_ch,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN us END IGNORE NULLS) OVER w AS t_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT CASE WHEN t_us IS NOT NULL
+        |        AND us - t_us <= 259200000000
+        |      THEN t_ch ELSE 'none' END AS channel, x
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, COUNT(*) AS n_conversions,
+        |  CAST(SUM(x) AS DOUBLE) AS revenue
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
 
     "q_events_markov" ->
       """WITH pairs AS (

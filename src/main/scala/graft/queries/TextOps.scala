@@ -1204,6 +1204,36 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // GRADED contamination — not the binary drop of q_decontaminate
+    // but the per-doc overlap fraction (matched distinct 8-gram
+    // shingles / total distinct shingles) against the benchmark
+    // corpus, surfacing the top-20 most-contaminated docs for audit.
+    // Same scale shape as q_decontaminate: the bench gram set is tiny
+    // relative to the corpus, the join shuffles grams (never doc
+    // pairs), the per-doc rollup is one map-side-combinable aggregate,
+    // and the top-20 is a TakeOrdered — nothing corpus-sized sorts.
+    // share is an exact integer ratio → identical doubles both engines.
+    "q_text_contamination" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+      def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        explode(ShingleJoin(col("toks"), 8, shortToUnigrams = false)).as("gram"))
+      val benchGrams = grams(docs.filter(col("source") === "src0"))
+        .select(col("gram")).distinct()
+      val candidates = docs.filter(col("source") =!= "src0")
+      grams(candidates)
+        .join(benchGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .join(candidates.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams").cast("double"))
+            .as("share"))
+        .orderBy(col("share").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // Distribution DRIFT per source — pipeline observability: L1
     // distance between each source's token distribution and the
     // corpus-wide one flags sources whose content shifted (scraper
@@ -1756,6 +1786,26 @@ object TextOps extends QueryPack {
         |WHERE source <> 'src0'
         |  AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+        |per AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(b.gram) AS n_hit
+        |  FROM grams g LEFT JOIN bench b USING (gram)
+        |  WHERE g.source <> 'src0'
+        |  GROUP BY g.doc_id)
+        |SELECT doc_id, c.source, n_grams, n_hit,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS share
+        |FROM per JOIN (SELECT doc_id, source FROM documents) c USING (doc_id)
+        |WHERE n_hit > 0
+        |ORDER BY share DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // same pipeline — the bloom phase only pre-filters; the exact join
     // absorbs false positives, so the answer is identical

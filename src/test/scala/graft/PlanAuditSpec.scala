@@ -22,7 +22,10 @@ class PlanAuditSpec extends SparkSuite {
       "q_text_tfidf", "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sketch_cms",
       "q_text_drift", "q_sample_temperature", "q_composite_q22",
       "q_composite_q11", "q_events_gapfill", "q_pareto_share",
-      "q_text_perplexity", "q_dedup_incremental")
+      "q_text_perplexity", "q_dedup_incremental",
+      // q_domain_mix: 1-row totals broadcast (corpus size + weight sum)
+      // under the per-source rate table, q_sample_temperature-style
+      "q_domain_mix")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
