@@ -97,12 +97,25 @@ object Bench {
         spark = GraftSession.local(cpus)
         warm()
         val lb = load1()
-        val t1 = run(name)
-        // one confirming re-run in the same fresh session for queries
-        // cheap enough that 2x cost stays bounded
-        val best = if (t1 >= 0 && t1 <= 15.0) {
-          val t2 = run(name); if (t2 < 0) t1 else math.min(t1, t2)
-        } else t1
+        // Discarded warm-up EXECUTION of the query itself (round 11):
+        // a fresh JVM pays whole-stage-codegen JIT on the first run of
+        // a long chained job — measured 10.4 s first vs 4.6 s steady
+        // for q_graph_pagerank on a quiet box, a 2x phantom that
+        // round-over-round diffs repeatedly chased (r9 10.2 s, r10
+        // 6.1 s, both JIT-shape artifacts). The isolated sample exists
+        // to measure the PLAN, so the JIT run is discarded; queries
+        // over 15 s skip the extra runs to bound bench wall-clock and
+        // report the cold number (flagged by its own magnitude).
+        val w = run(name)
+        val best = if (w >= 0 && w <= 15.0) {
+          val t1 = run(name)
+          // one confirming re-run for queries cheap enough that the
+          // extra cost stays bounded
+          if (t1 >= 0 && t1 <= 15.0) {
+            val t2 = run(name)
+            if (t2 < 0) t1 else math.min(t1, t2)
+          } else if (t1 >= 0) t1 else w
+        } else w
         name -> Iso(if (best < 0) t else best, lb, load1())
       }.toMap
     }

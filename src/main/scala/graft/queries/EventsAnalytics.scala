@@ -249,6 +249,42 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("channel"))
     }),
 
+    // Two-proportion A/B significance test — the experiment-readout
+    // query a product-analytics warehouse runs constantly: users split
+    // by a deterministic assignment (user_id parity stands in for the
+    // bucketing hash), converted = any purchase over 100 (every user
+    // in this fixture buys SOMETHING — the interesting metric is the
+    // big-ticket conversion), and the pooled two-proportion
+    // z-statistic decides the experiment. Shape: one user-keyed
+    // aggregate (map-side combinable) collapsing to a 1-row
+    // conditional aggregate; the closed form runs once on exact
+    // integer counts (each double op correctly rounded, identical
+    // trees both engines). A degenerate experiment (pooled rate 0 or
+    // 1) yields z = NULL by an exact integer guard instead of an ANSI
+    // divide-by-zero. Nothing here grows with the event count except
+    // the first aggregate's exchange.
+    "q_events_ab_test" -> ((spark, sfDir) => {
+      val users = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 100.0, 1L).otherwise(0L))
+          .as("conv"))
+        .select((col("user_id") % 2).as("variant"), col("conv"))
+      users.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          expr("cast(x_a as double) / n_a").as("rate_a"),
+          expr("cast(x_b as double) / n_b").as("rate_b"),
+          expr("""case when x_a + x_b = 0 or x_a + x_b = n_a + n_b then null
+            else (cast(x_b as double) / n_b - cast(x_a as double) / n_a) /
+              sqrt((cast(x_a + x_b as double) / (n_a + n_b))
+                * (1.0 - cast(x_a + x_b as double) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) end""").as("z"))
+    }),
+
     // Event-type transition matrix (first-order Markov estimate) — the
     // sequence-modeling prep a behavior model trains on: per-user
     // time-ordered lag pairs, counted per (prev → next), row-normalized
@@ -447,6 +483,30 @@ object EventsAnalytics extends QueryPack {
         |SELECT channel, COUNT(*) AS n_conversions,
         |  CAST(SUM(x) AS DOUBLE) AS revenue
         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_events_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 100
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM v)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(x_b AS DOUBLE) / n_b AS rate_b,
+        |  CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+        |    ELSE (CAST(x_b AS DOUBLE) / n_b - CAST(x_a AS DOUBLE) / n_a) /
+        |      SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)) END AS z
+        |FROM c""".stripMargin,
 
     "q_events_markov" ->
       """WITH pairs AS (

@@ -847,6 +847,36 @@ object TextOps extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Per-source duplication-rate rollup — the observability report a
+    // dedup pipeline publishes each run: how many near-dup pairs each
+    // source produced, how many were strong (jac ≥ 0.9), and how many
+    // distinct docs are entangled in ANY pair. Pairs (within-source by
+    // construction) are computed ONCE and exploded into their two
+    // members, so all three metrics ride a single aggregate over one
+    // pass (pair-level counts halve the doubled member rows — exact
+    // integer division); n_docs left-joins from a bounded per-source
+    // count. No branch re-reads the expensive pair subtree.
+    "q_dedup_rate_by_source" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val srcOf = docs.select(col("doc_id"), col("source"))
+      val members = jaccardPairs(docs, 0.8)
+        .join(srcOf, col("d1") === col("doc_id"))
+        .select(col("source"), col("jac"),
+          explode(array(col("d1"), col("d2"))).as("member"))
+      val stats = members.groupBy(col("source"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          (sum(when(col("jac") >= 0.9, 1L).otherwise(0L)) / 2).cast("long")
+            .as("n_strong"),
+          countDistinct(col("member")).as("n_dup_docs"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(stats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_strong"), lit(0L)).as("n_strong"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
     // 3-gram-shingle Jaccard: unigram sets saturate on this corpus's
     // ~30-word vocabulary (1500+ incidental pairs ≥ 0.8); trigram
     // shingles isolate genuinely copied passages (the fixture's
@@ -1431,6 +1461,81 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Token-budget selection — fill each source's token budget (5000
+    // tokens here) in priority order: docs rank by the deterministic
+    // Knuth-hash priority (a quality score in production), a per-source
+    // running cumsum of token counts ADMITS every doc that starts
+    // under budget, and the report shows what each source's budget
+    // bought. ONE source-keyed window shuffle (the cumsum), then a
+    // map-side filter + bounded per-source rollup — the corpus-level
+    // "select until 1T tokens" pass, shaped so no global sort or
+    // driver loop exists at any corpus size.
+    "q_text_token_budget" -> ((spark, sfDir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val h = ((col("doc_id").cast(d38) * lit(2654435761L)) % lit(4294967296L))
+        .cast("long")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hv"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), h.as("hv"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .filter(col("cum_before") < 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks_kept"),
+          max(col("cum_before") + col("n_toks")).as("budget_used"))
+        .orderBy(col("source"))
+    }),
+
+    // Boilerplate detection — the top-20 winnow fingerprints by
+    // document frequency: a fingerprint shared by many docs marks a
+    // template passage (navigation chrome, license headers, generated
+    // pages) that a curation pipeline strips before near-dup scoring
+    // can even see the real content. Rides the same codegen'd
+    // WinnowPrints features as q_text_winnow (distinct per doc, so
+    // count(1) IS document frequency); the only exchange carries
+    // map-side-combined fingerprint partials, and the top-20 is a
+    // TakeOrdered — at 100 TB the fingerprint stream is the winnowed
+    // 1/(window) sample of the corpus, never raw text.
+    "q_text_boilerplate" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(WinnowPrints(winnowFeatures(col("text")), 3, 4)).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("fp").asc)
+        .limit(20)
+    }),
+
+    // Length-curriculum bucketing — assign every doc its global length
+    // decile (curriculum learning orders training data easy→hard; doc
+    // length is the classic proxy) and report each decile's budget.
+    // The decile needs a TOTAL-order global rank: the SQL formulation
+    // (one unpartitioned window) funnels the corpus through a single
+    // task at scale, so the Spark side rides the two-pass GlobalRank
+    // operator instead — range-repartition + local rank + metadata-
+    // scale offsets — and closes with decile = (rn-1)*10 div n (exact
+    // integer arithmetic, NTILE-equivalent whenever 10 | n and
+    // engine-identical always, unlike NTILE's engine-specific remainder
+    // placement). The 1-row corpus count broadcasts.
+    "q_text_curriculum" -> ((spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+      val n = d.agg(count(lit(1)).as("n"))
+      graft.operators.GlobalRank
+        .withRowNumber(d, "rn", col("n_chars"), col("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_chars"),
+          expr("(rn - 1) * 10 div n").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("decile"))
+    }),
+
     // BPE merge TRAINING (q_text_tokens lexes with a fixed pattern;
     // this learns the merge table itself): corpus → word-frequency
     // table in one pass, then 16 distributed pair-count + greedy-merge
@@ -1989,6 +2094,93 @@ object TextOps extends QueryPack {
         |      list_min(hs[j:j+3]))) AS fps
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM w
-        |ORDER BY doc_id, fp""".stripMargin
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_dedup_rate_by_source" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT source, d1, d2,
+        |    CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
+        |  FROM rawpairs
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8),
+        |m AS (SELECT source, jac, unnest([d1, d2]) AS member FROM pairs),
+        |stats AS (
+        |  SELECT source, CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) / 2 AS BIGINT)
+        |      AS n_strong,
+        |    COUNT(DISTINCT member) AS n_dup_docs
+        |  FROM m GROUP BY source),
+        |d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_strong, 0) AS n_strong,
+        |  COALESCE(n_dup_docs, 0) AS n_dup_docs
+        |FROM d LEFT JOIN stats USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "q_text_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |      AS BIGINT) AS hv,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_toks,
+        |    COALESCE(CAST(SUM(n_toks) OVER (
+        |      PARTITION BY source ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_toks_kept,
+        |  CAST(MAX(cum_before + n_toks) AS BIGINT) AS budget_used
+        |FROM c WHERE cum_before < 5000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_boilerplate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(len(t) AS BIGINT) * 131 + ascii(substr(t, 1, 1)))
+        |      AS fs
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(fs) - 1), i ->
+        |      ((fs[i] * 31 + fs[i+1]) * 31 + fs[i+2]) % 1000000007) AS hs
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2), j ->
+        |      list_min(hs[j:j+3]))) AS fps
+        |  FROM h),
+        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+        |SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp
+        |ORDER BY df DESC, fp ASC LIMIT 20""".stripMargin,
+
+    "q_text_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n_chars, ((rn - 1) * 10) // n AS decile FROM r)
+        |SELECT decile, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
   )
 }

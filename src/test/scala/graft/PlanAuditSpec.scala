@@ -24,8 +24,10 @@ class PlanAuditSpec extends SparkSuite {
       "q_composite_q11", "q_events_gapfill", "q_pareto_share",
       "q_text_perplexity", "q_dedup_incremental",
       // q_domain_mix: 1-row totals broadcast (corpus size + weight sum)
-      // under the per-source rate table, q_sample_temperature-style
-      "q_domain_mix")
+      // under the per-source rate table, q_sample_temperature-style;
+      // q_text_curriculum: 1-row corpus-count broadcast under the
+      // decile arithmetic
+      "q_domain_mix", "q_text_curriculum")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
