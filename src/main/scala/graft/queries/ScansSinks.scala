@@ -226,6 +226,38 @@ object ScansSinks extends QueryPack {
           count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // DYNAMIC partition overwrite — the backfill shape: recompute ONE
+    // partition and overwrite only it, leaving every other partition's
+    // files untouched (static overwrite mode would clobber the whole
+    // table — the classic warehouse data-loss foot-gun this conf
+    // exists to prevent). At 100 TB a backfill rewrites exactly the
+    // partitions it produced rows for; the read-back aggregate proves
+    // the untouched partitions survived alongside the recomputed one.
+    "q_sink_partition_overwrite" -> ((spark, sfDir) => {
+      val dir = fixtureDir(sfDir, "events_dynpart")
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), dec(col("value")).as("v"), col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "dynamic")
+      try {
+        // the backfill: purchases re-derived under a stricter rule
+        ev.filter(col("event_type") === "purchase" && col("v") > 50)
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set(conf, p)
+          case None => spark.conf.unset(conf)
+        }
+      }
+      spark.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -267,6 +299,15 @@ object ScansSinks extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // read-back after the dynamic single-partition backfill: purchases
+    // re-derived under the stricter rule, every other partition intact
+    "q_sink_partition_overwrite" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type <> 'purchase' OR CAST(value AS DECIMAL(18,2)) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_scan_text" ->
       """SELECT doc_id,

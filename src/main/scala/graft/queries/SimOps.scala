@@ -300,6 +300,76 @@ object SimOps extends QueryPack {
     centroids
   }
 
+  /** Persist a complete IVF×PQ SERVING index: coarse centroids,
+    * inverted lists, PQ codebooks, PQ codes, and the full vectors for
+    * re-ranking — the five tables a production ANN service reads. The
+    * expensive parts (two quantizer trainings + corpus encode) run
+    * once at build time; serving never touches the source corpus.
+    * Float arrays round-trip parquet bit-exactly, so a search against
+    * the reloaded index equals the in-session search
+    * (SimilaritySpec). */
+  def saveAnnIndex(emb: DataFrame, dir: String, m: Int, k: Int,
+      dim: Int): Unit = {
+    val (centroids, assigned) = ivfAssign(emb, k)
+    val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
+    val codes = pqEncode(emb, codebooks, m, dim)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.select(col("vec_id"), col("cell_id"))
+      .write.mode("overwrite").parquet(s"$dir/invlists")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    emb.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Search a persisted [[saveAnnIndex]] index with a 1-row probe
+    * frame (column `probe`): IVF prunes to `nprobe` cells, ADC scores
+    * only those cells' PQ codes (broadcast m×k distance table; the
+    * corpus-sized inverted list applies as a SHUFFLED semi-join),
+    * exact re-rank reads full vectors for the `rerank` best. Same plan
+    * shape as q_sim_ann_ivfpq — the index tables just come from
+    * durable storage instead of the session. */
+  def searchAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probe: DataFrame, m: Int, dim: Int, nprobe: Int, rerank: Int,
+      topK: Int, excludeVecId: Long = -1L): DataFrame = {
+    val segLen = dim / m
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val invlists  = spark.read.parquet(s"$dir/invlists")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val codes     = spark.read.parquet(s"$dir/codes")
+    val vectors   = spark.read.parquet(s"$dir/vectors")
+    val probeCells = centroids.crossJoin(broadcast(probe))
+      .select(col("cell_id"), cosine(col("centroid"), col("probe")).as("sim"))
+      .orderBy(col("sim").desc, col("cell_id"))
+      .limit(nprobe)
+    val candIds = invlists
+      .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"))
+    val dtable = codebooks.crossJoin(broadcast(probe))
+      .select(col("seg"), col("cell_id"),
+        dot(slice(col("probe"), col("seg") * segLen + 1, lit(segLen)),
+          col("centroid")).as("pd"),
+        dot(col("centroid"), col("centroid")).as("cn"))
+    val approx = codes
+      .join(candIds.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), posexplode(col("codes")))
+      .join(broadcast(dtable),
+        col("pos") === col("seg") && col("col") === col("cell_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd")).as("num"), sum(col("cn")).as("den"))
+    val cand = approx.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        (col("num") / (sqrt(col("den")) * sqrt(dot(col("probe"), col("probe")))))
+          .as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank)
+    cand.join(vectors, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   override def queries: Map[String, Query] = Map(
     // Brute-force cosine top-k against a single probe vector (vec_id 0).
     "q_sim_topk" -> ((spark, sfDir) => {
@@ -534,6 +604,27 @@ object SimOps extends QueryPack {
         .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // PERSISTED ANN index — the deployment half of q_sim_ann_ivfpq
+    // (an ANN index is trained once, then served against forever;
+    // retraining inside every search query would misprice the
+    // operation, same rationale as q_text_perplexity_holdout): build
+    // and persist the five index tables, then answer the probe FROM
+    // THE RELOADED ARTIFACT. Float arrays round-trip parquet
+    // bit-exactly, so this equals the in-session search
+    // (SimilaritySpec parity case). No oracle — both quantizers are
+    // training-specific, as declared for the ivfpq row.
+    "q_sim_ann_index" -> ((spark, sfDir) => {
+      val m = 4; val k = 16; val dim = 64
+      val dir = fixtureDir(sfDir, "ann_index")
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      saveAnnIndex(emb, dir, m, k, dim)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      searchAnnIndex(spark, dir, probe, m, dim, nprobe = 4, rerank = 50,
+        topK = 10, excludeVecId = 0L)
     })
   )
 

@@ -203,6 +203,25 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.size == 10)
   }
 
+  test("persisted ANN index serves the same answer as the in-session search") {
+    // q_sim_ann_index trains, persists five parquet tables, reloads
+    // them frozen, and searches; q_sim_ann_ivfpq does the whole thing
+    // in-session. Deterministic training + bit-exact float round-trip
+    // ⇒ the two result sets must be IDENTICAL, row for row.
+    val fromIndex = SparkEntry.queries("q_sim_ann_index")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inSession = SparkEntry.queries("q_sim_ann_ivfpq")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex.nonEmpty, "index search returned nothing")
+    assert(fromIndex === inSession)
+    // and the artifact really is on disk — the serving tables exist
+    val dir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures")
+        + "/sf0.001/ann_index")
+    for (t <- Seq("centroids", "invlists", "codebooks", "codes", "vectors"))
+      assert(new java.io.File(dir, t).isDirectory, s"missing index table $t")
+  }
+
   test("q_sim_topk scores are a descending total order") {
     val rows = SparkEntry.queries("q_sim_topk")(spark, Sf).collect()
     assert(rows.length == 10)
