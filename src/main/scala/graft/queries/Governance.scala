@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse stewardship + customer-lifecycle readouts (SURVEY.md
+  * §2-B, added round 11): snapshot diff (the CDC derivation), FK
+  * integrity audit, GDPR erasure cascade, banded RFM segmentation,
+  * cohort retention matrix, and an exact weighted median.
+  *
+  * The common scale discipline: every one of these touches each fact
+  * table ONCE, reduces map-side as early as possible, and never
+  * window-sorts raw fact rows globally. Deletion/erasure sets and
+  * boundary tables stay unhinted so AQE broadcasts them while they
+  * fit and falls back to shuffle joins when they don't.
+  */
+object Governance extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // Snapshot diff / CDC derivation: given yesterday's snapshot and
+    // today's (today = deterministic deletes %37, price updates %11
+    // in exact decimal, inserts from %13 under shifted keys), classify
+    // every key added / removed / changed / unchanged and roll up the
+    // money drift per class. ONE full-outer key join — the minimal
+    // shape: each snapshot is scanned once, the rollup is map-side
+    // combinable, and nothing grows with history. Prices ride
+    // DECIMAL(22,4) end-to-end: the 1.1 factor multiply is exact at
+    // scale 4, so change detection never compares rounded floats and
+    // both engines agree bit-for-bit.
+    "q_table_diff" -> ((spark, sfDir) => {
+      val dec4 = "decimal(22,4)"
+      val base = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("key"),
+          Tables.dec(col("o_totalprice")).cast(dec4).as("price"))
+      val factor = lit("1.1").cast("decimal(2,1)")
+      val next = base.filter(col("key") % 37 =!= 0)
+        .withColumn("price",
+          when(col("key") % 11 === 0, (col("price") * factor).cast(dec4))
+            .otherwise(col("price")))
+        .unionAll(base.filter(col("key") % 13 === 0)
+          .select((col("key") + 10000000L).as("key"), col("price")))
+      val b = base.select(col("key").as("b_key"), col("price").as("b_price"))
+      val n = next.select(col("key").as("n_key"), col("price").as("n_price"))
+      b.join(n, col("b_key") === col("n_key"), "full_outer")
+        .select(
+          when(col("b_key").isNull, "added")
+            .when(col("n_key").isNull, "removed")
+            .when(col("b_price") =!= col("n_price"), "changed")
+            .otherwise("unchanged").as("status"),
+          col("b_price"), col("n_price"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("b_price")).cast("double").as("base_total"),
+          sum(col("n_price")).cast("double").as("next_total"))
+        .orderBy(col("status"))
+    }),
+
+    // Referential-integrity audit: orphan counts per FK relationship,
+    // including one against a deterministically "partially loaded"
+    // customer dim (%7 missing) so the check exercises nonzero
+    // violations. Each check is ONE anti join + count — facts are
+    // scanned once per relationship, dims stay unhinted (nation always
+    // broadcasts; customer/orders AQE-promote while they fit). At
+    // 100 TB the anti join is the cheapest complete answer; a
+    // sampling-based audit would miss exactly the rare orphans this
+    // gate exists to catch.
+    "q_fk_integrity" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val o  = Tables.orders(spark, sfDir)
+      val c  = Tables.customer(spark, sfDir)
+      val na = Tables.nation(spark, sfDir)
+      def check(nameTag: String, violations: org.apache.spark.sql.DataFrame) =
+        violations.agg(count(lit(1)).as("violations"))
+          .select(lit(nameTag).as("check_name"), col("violations"))
+      check("1_lineitem_orphan_order",
+          li.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionAll(check("2_order_orphan_customer",
+          o.join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionAll(check("3_order_orphan_after_partial_dim_load",
+          o.join(c.filter(col("c_custkey") % 7 =!= 0).select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionAll(check("4_customer_bad_nation",
+          c.join(na.select(col("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"), "left_anti")))
+        .orderBy(col("check_name"))
+    }),
+
+    // GDPR / right-to-erasure cascade audit: a deterministic erasure
+    // request set (customers %53) cascades customer → orders →
+    // lineitem; the report counts requests, removed rows, and
+    // survivors per table. Shape: the request set is a filtered dim
+    // (small relative to facts — AQE broadcasts it), each fact table
+    // is scanned ONCE per direction (semi for removed, anti for
+    // surviving) and the lineitem cascade keys off the REMOVED orders'
+    // keys, never off a re-joined three-way product. This is the
+    // delete-compliance readout a 100 TB lake runs before rewriting
+    // files.
+    "q_gdpr_delete" -> ((spark, sfDir) => {
+      val cust = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val li = Tables.lineitem(spark, sfDir)
+      val erase = cust.filter(col("c_custkey") % 53 === 0)
+        .select(col("c_custkey").as("e_key"))
+      val ordersRemoved = o.join(erase,
+        col("o_custkey") === col("e_key"), "left_semi")
+      val removedKeys = ordersRemoved.select(col("o_orderkey").as("r_ok"))
+      def row(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(tag).as("action"), col("n_rows"))
+      row("1_erase_requests", erase)
+        .unionAll(row("2_orders_removed", ordersRemoved))
+        .unionAll(row("3_lineitem_removed",
+          li.join(removedKeys, col("l_orderkey") === col("r_ok"), "left_semi")))
+        .unionAll(row("4_orders_surviving",
+          o.join(erase, col("o_custkey") === col("e_key"), "left_anti")))
+        .unionAll(row("5_lineitem_surviving",
+          li.join(removedKeys, col("l_orderkey") === col("r_ok"), "left_anti")))
+        .orderBy(col("action"))
+    }),
+
+    // Banded RFM segmentation: per-user recency / frequency / monetary
+    // from ONE purchase aggregate, then FIXED band thresholds (the
+    // production form at scale: a global NTILE quartile would either
+    // single-task the user table — the Window.orderBy() trap — or need
+    // a two-pass global rank per metric; see GlobalRank's nested-call
+    // caveat and q_text_curriculum for the rank-based pattern). Bands
+    // make the whole query one user-keyed shuffle + a map-side band
+    // CASE + a 64-cell rollup; thresholds are business constants, so
+    // the readout is also STABLE release-over-release, which quartiles
+    // are not.
+    "q_events_rfm" -> ((spark, sfDir) => {
+      val anchor = lit("2024-12-31").cast("date")
+      val perUser = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          datediff(anchor, max(col("ts")).cast("date")).as("rec_days"),
+          count(lit(1)).as("freq"),
+          coalesce(sum(Tables.dec(col("value"))), lit(0).cast(Tables.Money))
+            .as("mon"))
+      def band(c: org.apache.spark.sql.Column,
+          b1: org.apache.spark.sql.Column, b2: org.apache.spark.sql.Column,
+          b3: org.apache.spark.sql.Column) =
+        when(c <= b1, 1).when(c <= b2, 2).when(c <= b3, 3).otherwise(4)
+      perUser
+        .select(
+          band(col("rec_days"), lit(30), lit(90), lit(180)).as("r_band"),
+          band(col("freq"), lit(1), lit(3), lit(9)).as("f_band"),
+          band(col("mon"), lit(50), lit(200), lit(1000)).as("m_band"),
+          col("mon"))
+        .groupBy(col("r_band"), col("f_band"), col("m_band"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("mon")).cast("double").as("segment_value"))
+        .orderBy(col("r_band"), col("f_band"), col("m_band"))
+    }),
+
+    // Cohort retention matrix: cohort = a user's first-activity day,
+    // cell (cohort, week_offset) = distinct users from that cohort
+    // active in that week — the full-curve generalization of
+    // q_events_retention's single D7 point. Two aggregates and one
+    // user-keyed join: first-day table (map-side combinable min),
+    // distinct (user, day) activity, join on user_id, integer-exact
+    // week offset, distinct-count rollup. Nothing here sorts or
+    // windows raw events; the join key is the natural user shuffle.
+    "q_events_cohort" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("cohort"))
+      val active = ev
+        .select(col("user_id").as("a_uid"), col("ts").cast("date").as("d"))
+        .distinct()
+      first.join(active, col("user_id") === col("a_uid"))
+        .withColumn("week_offset",
+          floor(datediff(col("d"), col("cohort")) / 7).cast("int"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("a_uid")).as("n_active"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
+    // Exact weighted median (per-group), two-pass: first collapse the
+    // fact table to per-(group, value) weight sums — the shuffle
+    // reduces rows to DISTINCT VALUES per group, map-side combined —
+    // then run the cumulative window over that much smaller table and
+    // take the first value whose cumulative weight reaches half the
+    // total. The naive form (cumsum window directly over fact rows,
+    // 3 groups = 3 tasks sorting a third of the table each) is the
+    // per-group skew trap; pre-aggregation bounds the window input by
+    // value cardinality. Weights ride DECIMAL so cumulative sums are
+    // order-independent; cw*2 >= tw avoids ever dividing.
+    "q_agg_weighted_median" -> ((spark, sfDir) => {
+      val byPrice = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("f"), col("l_extendedprice").as("p"),
+          Tables.dec(col("l_quantity")).as("w"))
+        .groupBy(col("f"), col("p")).agg(sum(col("w")).as("w"))
+      val cum = byPrice
+        .withColumn("cw",
+          sum(col("w")).over(Window.partitionBy(col("f")).orderBy(col("p"))))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("f"))))
+      cum.filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("f")).agg(min(col("p")).as("wmedian"))
+        .select(col("f").as("l_returnflag"), col("wmedian"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4)) AS price
+        |  FROM orders),
+        |nxt AS (
+        |  SELECT key,
+        |    CASE WHEN key % 11 = 0
+        |      THEN CAST(price * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(22,4))
+        |      ELSE price END AS price
+        |  FROM base WHERE key % 37 <> 0
+        |  UNION ALL
+        |  SELECT key + 10000000 AS key, price FROM base WHERE key % 13 = 0)
+        |SELECT
+        |  CASE WHEN b.key IS NULL THEN 'added'
+        |       WHEN n.key IS NULL THEN 'removed'
+        |       WHEN b.price <> n.price THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(b.price) AS DOUBLE) AS base_total,
+        |  CAST(SUM(n.price) AS DOUBLE) AS next_total
+        |FROM base b FULL OUTER JOIN nxt n ON b.key = n.key
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_fk_integrity" ->
+      """SELECT '1_lineitem_orphan_order' AS check_name, COUNT(*) AS violations
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT '2_order_orphan_customer', COUNT(*)
+        |FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT '3_order_orphan_after_partial_dim_load', COUNT(*)
+        |FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey % 7 <> 0
+        |     AND c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT '4_customer_bad_nation', COUNT(*)
+        |FROM customer WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |ORDER BY check_name""".stripMargin,
+
+    "q_gdpr_delete" ->
+      """WITH erase AS (
+        |  SELECT c_custkey AS e_key FROM customer WHERE c_custkey % 53 = 0),
+        |orem AS (
+        |  SELECT * FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM erase WHERE e_key = o_custkey))
+        |SELECT '1_erase_requests' AS action, COUNT(*) AS n_rows FROM erase
+        |UNION ALL
+        |SELECT '2_orders_removed', COUNT(*) FROM orem
+        |UNION ALL
+        |SELECT '3_lineitem_removed', COUNT(*) FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orem WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT '4_orders_surviving', COUNT(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM erase WHERE e_key = o_custkey)
+        |UNION ALL
+        |SELECT '5_lineitem_surviving', COUNT(*) FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orem WHERE o_orderkey = l_orderkey)
+        |ORDER BY action""".stripMargin,
+
+    "q_events_rfm" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    DATEDIFF('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31')
+        |      AS rec_days,
+        |    COUNT(*) AS freq,
+        |    COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+        |      CAST(0 AS DECIMAL(18,2))) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |banded AS (
+        |  SELECT
+        |    CASE WHEN rec_days <= 30 THEN 1 WHEN rec_days <= 90 THEN 2
+        |         WHEN rec_days <= 180 THEN 3 ELSE 4 END AS r_band,
+        |    CASE WHEN freq <= 1 THEN 1 WHEN freq <= 3 THEN 2
+        |         WHEN freq <= 9 THEN 3 ELSE 4 END AS f_band,
+        |    CASE WHEN mon <= 50 THEN 1 WHEN mon <= 200 THEN 2
+        |         WHEN mon <= 1000 THEN 3 ELSE 4 END AS m_band,
+        |    mon
+        |  FROM per_user)
+        |SELECT r_band, f_band, m_band, COUNT(*) AS n_users,
+        |  CAST(SUM(mon) AS DOUBLE) AS segment_value
+        |FROM banded GROUP BY r_band, f_band, m_band
+        |ORDER BY r_band, f_band, m_band""".stripMargin,
+
+    "q_events_cohort" ->
+      """WITH first_day AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id AS a_uid, CAST(ts AS DATE) AS d
+        |  FROM events)
+        |SELECT cohort,
+        |  CAST(FLOOR(DATEDIFF('day', cohort, d) / 7.0) AS INT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT a_uid) AS n_active
+        |FROM first_day JOIN active ON user_id = a_uid
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_agg_weighted_median" ->
+      """WITH by_price AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS p,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT f, p,
+        |    SUM(w) OVER (PARTITION BY f ORDER BY p) AS cw,
+        |    SUM(w) OVER (PARTITION BY f) AS tw
+        |  FROM by_price)
+        |SELECT f AS l_returnflag, MIN(p) AS wmedian
+        |FROM cum WHERE cw * 2 >= tw
+        |GROUP BY f ORDER BY l_returnflag""".stripMargin
+  )
+}

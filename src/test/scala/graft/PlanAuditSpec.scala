@@ -27,7 +27,10 @@ class PlanAuditSpec extends SparkSuite {
       // under the per-source rate table, q_sample_temperature-style;
       // q_text_curriculum: 1-row corpus-count broadcast under the
       // decile arithmetic
-      "q_domain_mix", "q_text_curriculum")
+      "q_domain_mix", "q_text_curriculum",
+      // q_sim_ann_index: same 1-row broadcast-probe shape as
+      // q_sim_ann_ivfpq, with the index tables read back from parquet
+      "q_sim_ann_index")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
