@@ -370,6 +370,48 @@ object SimOps extends QueryPack {
       .limit(topK)
   }
 
+  /** Append new vectors to a persisted [[saveAnnIndex]] index WITHOUT
+    * retraining — the add-half of a serving index's lifecycle, which
+    * keeps it current between (rare, corpus-scale) retrains: new
+    * vectors are assigned to cells by the FROZEN coarse centroids and
+    * encoded with the FROZEN PQ codebooks, then appended to
+    * invlists / codes / vectors. The quantizer tables are never
+    * rewritten, so a search after N appends is BIT-IDENTICAL to a
+    * search against an index whose quantizers were trained on the
+    * original corpus but whose payload tables were built over the
+    * union (SimilaritySpec asserts exactly that parity). Retraining
+    * inside the append would silently re-bucket every historical code
+    * — recall drift is a retrain decision, not an ingest side effect.
+    *
+    * Same wired-in maintenance as the dedup index's refresh
+    * ([[graft.queries.TextOps.appendToDedupIndex]]): each appended
+    * batch adds files, and past `compactAboveFiles` a payload table is
+    * compacted in place (pipeline.Compaction), keeping probe task
+    * count flat across epochs. Safe under the sequential-refresh
+    * assumption; concurrent-reader deployments pass Int.MaxValue and
+    * schedule compaction in a maintenance window. The appended frames
+    * are fully written before compaction runs and the quantizer
+    * tables are untouched, so `newVecs` lineage is only at risk if it
+    * itself reads the PAYLOAD tables — checkpoint it first in that
+    * (unusual: payload-derived vectors) case. */
+  def appendToAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String, m: Int, dim: Int,
+      compactAboveFiles: Int = 64, targetBytes: Long = 512L << 20): Unit = {
+    import graft.models.ModelStore
+    import graft.pipeline.Compaction
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val vecs = newVecs.select(col("vec_id"), col("embedding"))
+    ModelStore.appendLargeTable(
+      assignCells(vecs, centroids).select(col("vec_id"), col("cell_id")),
+      s"$dir/invlists")
+    ModelStore.appendLargeTable(pqEncode(vecs, codebooks, m, dim), s"$dir/codes")
+    ModelStore.appendLargeTable(vecs, s"$dir/vectors")
+    Seq(s"$dir/invlists", s"$dir/codes", s"$dir/vectors")
+      .filter(d => Compaction.parquetFileCount(spark, d) > compactAboveFiles)
+      .foreach(d => Compaction.compact(spark, d, targetBytes): Unit)
+  }
+
   override def queries: Map[String, Query] = Map(
     // Brute-force cosine top-k against a single probe vector (vec_id 0).
     "q_sim_topk" -> ((spark, sfDir) => {

@@ -222,6 +222,84 @@ class SimilaritySpec extends SparkSuite {
       assert(new java.io.File(dir, t).isDirectory, s"missing index table $t")
   }
 
+  test("ANN index append: frozen quantizers, union payload, parity with " +
+      "a one-shot build over the union") {
+    import graft.queries.SimOps
+    val m = 4; val k = 16; val dim = 64
+    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001"
+    val dirA = s"$root/ann_append";  val dirB = s"$root/ann_append_ref"
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val old  = emb.filter(col("vec_id") < 250)
+    val add  = emb.filter(col("vec_id") >= 250)
+
+    SimOps.saveAnnIndex(old, dirA, m, k, dim)
+    def table(t: String) = spark.read.parquet(s"$dirA/$t")
+    val centsBefore = table("centroids").orderBy("cell_id").collect().toSeq
+    val booksBefore = table("codebooks").orderBy("seg", "cell_id").collect().toSeq
+
+    SimOps.appendToAnnIndex(spark, add, dirA, m, dim)
+
+    // 1. quantizers are bit-identical — append never retrains
+    assert(table("centroids").orderBy("cell_id").collect().toSeq === centsBefore)
+    assert(table("codebooks").orderBy("seg", "cell_id").collect().toSeq === booksBefore)
+    // 2. payload tables hold exactly the union
+    val total = emb.count()
+    assert(table("invlists").count() === total)
+    assert(table("codes").count() === total)
+    assert(table("vectors").count() === total)
+
+    // 3. search parity with a ONE-SHOT payload build over the union
+    //    using the same frozen quantizers (what the appended index
+    //    must be indistinguishable from)
+    graft.models.ModelStore.saveTable(table("centroids"), s"$dirB/centroids")
+    graft.models.ModelStore.saveTable(table("codebooks"), s"$dirB/codebooks")
+    val cents = spark.read.parquet(s"$dirB/centroids")
+    val books = spark.read.parquet(s"$dirB/codebooks")
+    SimOps.assignCells(emb, cents).select(col("vec_id"), col("cell_id"))
+      .write.mode("overwrite").parquet(s"$dirB/invlists")
+    SimOps.pqEncode(emb, books, m, dim)
+      .write.mode("overwrite").parquet(s"$dirB/codes")
+    emb.write.mode("overwrite").parquet(s"$dirB/vectors")
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    def hits(dir: String) =
+      SimOps.searchAnnIndex(spark, dir, probe, m, dim, nprobe = 4,
+        rerank = 50, topK = 10, excludeVecId = 0L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromAppended = hits(dirA)
+    assert(fromAppended.nonEmpty)
+    assert(fromAppended === hits(dirB))
+  }
+
+  test("ANN index append epochs stay compact: file count bounded, " +
+      "search unchanged") {
+    import graft.queries.SimOps
+    import graft.pipeline.Compaction
+    val m = 4; val k = 16; val dim = 64
+    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001"
+    val dir = s"$root/ann_epochs"
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    SimOps.saveAnnIndex(emb.filter(col("vec_id") < 100), dir, m, k, dim)
+    // six small append epochs under an aggressive compaction threshold
+    for (lo <- 100L until 500L by 80L) {
+      val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 80)
+      SimOps.appendToAnnIndex(spark, batch, dir, m, dim,
+        compactAboveFiles = 4, targetBytes = 512L << 20)
+    }
+    for (t <- Seq("invlists", "codes", "vectors")) {
+      val n = Compaction.parquetFileCount(spark, s"$dir/$t")
+      // bound = threshold + one epoch's files (epochs write few files
+      // at this scale); creep past it means compaction never engaged
+      assert(n <= 12, s"$t fragmented to $n files across epochs")
+    }
+    assert(spark.read.parquet(s"$dir/vectors").count() === emb.count())
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val res = SimOps.searchAnnIndex(spark, dir, probe, m, dim, nprobe = 4,
+      rerank = 50, topK = 10, excludeVecId = 0L).collect()
+    assert(res.length === 10)
+  }
+
   test("q_sim_topk scores are a descending total order") {
     val rows = SparkEntry.queries("q_sim_topk")(spark, Sf).collect()
     assert(rows.length == 10)
