@@ -44,6 +44,60 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("stage"))
     }),
 
+    // Time-BOUNDED ordered funnel: q_events_funnel with a conversion
+    // deadline — every later stage must land within 7 days of the
+    // user's FIRST SIGNUP, the form product analytics actually reports
+    // ("converted within a week"), and the one that changes answers:
+    // without the bound, a purchase a year later still counts. Same
+    // scale shape as the unbounded funnel (conditional-min chain on
+    // the user key, one row per stage, no window over raw events);
+    // the deadline rides each stage's filter, so late events drop
+    // BEFORE the aggregate, not after a join explosion.
+    "q_events_funnel_windowed" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val week = expr("INTERVAL 7 DAYS")
+      val s = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .join(s, "user_id")
+        .filter(col("ts") > col("s_ts") && col("ts") <= col("s_ts") + week)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("v_ts"), min(col("s_ts")).as("s_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") > col("v_ts") && col("ts") <= col("s_ts") + week)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_signup").as("stage"), col("n_users"))
+        .unionAll(v.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_view_in_7d").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_in_7d").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
+    // Top event-type PATHS (length 3): each user's consecutive
+    // event-type trigrams, counted corpus-wide, top 5 — the "what do
+    // users actually do" readout behind q_events_markov's one-step
+    // transition matrix. One user-keyed window (lead ×2 over the
+    // total order), a map-side-combinable trigram count, and a
+    // bounded top-k sort over the trigram table (|event_types|³ rows
+    // at most — metadata-scale however many events there are).
+    "q_events_path" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("p1"))
+        .withColumn("p2", lead(col("p1"), 1).over(w))
+        .withColumn("p3", lead(col("p1"), 2).over(w))
+        .filter(col("p2").isNotNull && col("p3").isNotNull)
+        .groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+        .limit(5)
+    }),
+
     // D7 cohort retention: cohort = a user's first-signup date;
     // retained = any activity exactly 7 days later. The activity set
     // is distinct (user, day), so the left join matches at most once.
@@ -330,6 +384,40 @@ object EventsAnalytics extends QueryPack {
         |  UNION ALL SELECT '2_view', COUNT(*) FROM v
         |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
         |ORDER BY stage""".stripMargin,
+
+    "q_events_funnel_windowed" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, MIN(e.ts) AS v_ts, MIN(s.s_ts) AS s_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s.s_ts
+        |    AND e.ts <= s.s_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |    AND e.ts <= v.s_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s
+        |  UNION ALL SELECT '2_view_in_7d', COUNT(*) FROM v
+        |  UNION ALL SELECT '3_purchase_in_7d', COUNT(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+
+    "q_events_path" ->
+      """WITH seq AS (
+        |  SELECT event_type AS p1,
+        |    LEAD(event_type, 1) OVER w AS p2,
+        |    LEAD(event_type, 2) OVER w AS p3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p1, p2, p3, COUNT(*) AS n
+        |FROM seq WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+        |GROUP BY p1, p2, p3
+        |ORDER BY n DESC, p1, p2, p3 LIMIT 5""".stripMargin,
 
     "q_events_retention" ->
       """WITH c AS (

@@ -127,6 +127,38 @@ object SimOps extends QueryPack {
     emb.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** SemDeDup-style SEMANTIC dedup: k-means clusters block the
+    * corpus, cosine pairs form only WITHIN a cluster, and each
+    * ≥-threshold component keeps its min-id member. Differs from
+    * [[embedDedupSurvivors]] only in the blocking structure — learned
+    * clusters instead of sign-bit LSH buckets — which is the published
+    * trade: clusters follow the data's density (no hyperplane
+    * splitting a dense dup region across buckets), at the cost of a
+    * training pass. Scale shape: `k` grows with the corpus so cluster
+    * SIZE stays bounded (pair volume ≈ n · avg_cluster_size, never
+    * n²); the cluster-id join key has k distinct values, so
+    * parallelism is cluster-count-bound — fine at production k
+    * (10⁴–10⁶), deliberately NOT a fixture-tuned small k. Centroid
+    * training is [[kmeansRefine]] (decimal-deterministic means), so
+    * the whole operator is bit-reproducible. */
+  def semanticDedupSurvivors(emb: DataFrame, k: Int, threshold: Double,
+      ckpt: CkptMode = CkptMode.Local): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val (seed, _) = ivfAssign(e, k)
+    val cents = kmeansRefine(e, seed, iters = 2, ckpt)
+    val assigned = assignCells(e, cents)
+    val verified = assigned.as("x").join(assigned.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val losers = TextOps.connectedComponents(verified.select(col("d1"), col("d2")))
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("vec_id"))
+    emb.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** Product-quantization codebooks: split the vector into `m`
     * segments and run GROUPED Lloyd's k-means — all segments train in
     * the SAME distributed pass (`seg` rides the keys: assignment joins
@@ -522,6 +554,22 @@ object SimOps extends QueryPack {
     // → components → keep-min.
     "q_dedup_embed_e2e" -> ((spark, sfDir) => {
       embedDedupSurvivors(Tables.embeddings(spark, sfDir), 0.4)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("label"))
+    }),
+
+    // SemDeDup-style semantic dedup: k-means clusters block the
+    // corpus, cosine verify within clusters only, min-id survives per
+    // component — the learned-blocking member of the dedup family
+    // (vs. q_dedup_embed's label blocks and q_dedup_embed_e2e's LSH
+    // buckets). No oracle (centroid training is impl-specific);
+    // SimilaritySpec asserts determinism, the min-id invariant, the
+    // no-pairs boundary, and blocking monotonicity vs a single-cluster
+    // (exact all-pairs) run.
+    "q_dedup_semantic" -> ((spark, sfDir) => {
+      semanticDedupSurvivors(Tables.embeddings(spark, sfDir),
+          k = 16, threshold = 0.4)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_survivors"))
         .orderBy(col("label"))

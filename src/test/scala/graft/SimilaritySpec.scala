@@ -222,6 +222,29 @@ class SimilaritySpec extends SparkSuite {
       assert(new java.io.File(dir, t).isDirectory, s"missing index table $t")
   }
 
+  test("semantic dedup: deterministic, min-id invariant, boundary and " +
+      "blocking monotonicity") {
+    import graft.queries.SimOps
+    val emb = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val n = emb.count()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val surv = ids(SimOps.semanticDedupSurvivors(emb, k = 16, threshold = 0.4))
+    assert(surv.nonEmpty && surv.size <= n)
+    // bit-reproducible end to end (decimal k-means + deterministic plans)
+    assert(ids(SimOps.semanticDedupSurvivors(emb, k = 16, threshold = 0.4)) === surv)
+    // the corpus-min id can never be a component loser
+    assert(surv.contains(0L))
+    // threshold above max cosine → no pairs → nobody drops
+    assert(ids(SimOps.semanticDedupSurvivors(emb, k = 16, threshold = 1.01)).size === n)
+    // single cluster = exact all-pairs blocking: a superset of every
+    // within-cluster pair set, so it can only drop MORE than k=16
+    val exactSurv = ids(SimOps.semanticDedupSurvivors(emb, k = 1, threshold = 0.4))
+    assert(exactSurv.subsetOf(surv),
+      "clustered run dropped a vector the exact all-pairs run kept")
+  }
+
   test("ANN index append: frozen quantizers, union payload, parity with " +
       "a one-shot build over the union") {
     import graft.queries.SimOps
