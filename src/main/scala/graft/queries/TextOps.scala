@@ -97,6 +97,36 @@ object TextOps extends QueryPack {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOver(distinctTokens(docs), threshold)
 
+  /** DIRECTED containment ≥ threshold pairs over (doc_id, source, tok)
+    * rows: share = |A ∩ B| / |A| — Broder's containment, the
+    * asymmetric complement of Jaccard resemblance. A quote, excerpt,
+    * or wrapper page scores ~1 against its source while the symmetric
+    * Jaccard stays low (the size difference sits in the denominator),
+    * so this is the metric that catches subset-duplication. The
+    * intersection is computed ONCE per unordered pair (the same
+    * blocked equi-join as [[jaccardOver]]) and fanned into both
+    * directions before the per-contained-doc size join; sizes keep
+    * the shuffle_hash discipline (doc-level table, never broadcast). */
+  private def containmentOver(toks: DataFrame, threshold: Double): DataFrame = {
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter
+      .select(col("x").as("contained"), col("y").as("container"), col("inter"))
+      .unionAll(inter
+        .select(col("y").as("contained"), col("x").as("container"), col("inter")))
+    directed
+      .join(sizes.as("s1").hint("shuffle_hash"),
+        col("contained") === col("s1.doc_id"))
+      .select(col("contained"), col("container"),
+        (col("inter").cast("double") / col("s1.sz")).as("share"))
+      .filter(col("share") >= threshold)
+  }
+
   /** Rounds cap for [[connectedComponents]]. Pointer doubling makes
     * rounds O(log₂ diameter), so 40 covers any graph a 64-bit id space
     * can hold (diameter ≤ 2⁴⁰ after accounting for the neighbor-min
@@ -886,6 +916,16 @@ object TextOps extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // Shingle CONTAINMENT near-dup pairs (directed): share =
+    // |A ∩ B| / |A| over 3-gram shingles — catches a doc that is a
+    // quote/excerpt/wrapper of a larger one, which symmetric Jaccard
+    // misses (the size gap sits in its denominator). Intersections
+    // computed once per unordered pair, fanned into both directions.
+    "q_dedup_containment" -> ((spark, sfDir) => {
+      containmentOver(distinctShingles(Tables.documents(spark, sfDir)), 0.8)
+        .orderBy(col("contained"), col("container"))
+    }),
+
     // LINE-level exact dedup across the corpus — the repeated-passage
     // removal stage (boilerplate headers, licence blocks, templated
     // spans) that document-level dedup can't see. Production newline
@@ -1642,6 +1682,26 @@ object TextOps extends QueryPack {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |directed AS (
+        |  SELECT x AS contained, y AS container, inter FROM pairs
+        |  UNION ALL
+        |  SELECT y AS contained, x AS container, inter FROM pairs)
+        |SELECT contained, container, CAST(inter AS DOUBLE) / s.sz AS share
+        |FROM directed JOIN sizes s ON contained = s.doc_id
+        |WHERE CAST(inter AS DOUBLE) / s.sz >= 0.8
+        |ORDER BY contained, container""".stripMargin,
 
     "q_dedup_lines" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
