@@ -258,6 +258,31 @@ object Multimodal {
     }
   }
 
+  /** Deterministic NEAR-duplicate of each decodable image: `n` pixels
+    * on the 8×8 sampling grid (even coordinates — the cells
+    * [[imageHash]] actually reads through its nearest resample) are
+    * forced to black, then the image re-encodes as PNG under
+    * `media_id + idOffset`. The variant's aHash agrees with the
+    * original on most bits (≤ n direct flips plus mean-threshold
+    * wobble on borderline cells) — the planted ground truth for
+    * hamming-tolerant image dedup. Non-decodable rows pass through
+    * with only the id shift. */
+  def perturbPixels(media: Dataset[MediaRecord], n: Int,
+      idOffset: Long): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      ImageCodec.decode(r.payload) match {
+        case Some(img) if r.kind == "image" =>
+          var i = 0
+          while (i < n) { img.setRGB(2 * i, 0, 0xff000000); i += 1 }
+          r.copy(media_id = r.media_id + idOffset,
+            meta = r.meta.copy(format = "png"),
+            payload = ImageCodec.encode(img))
+        case _ => r.copy(media_id = r.media_id + idOffset)
+      }
+    }
+  }
+
   case class MediaHash(media_id: Long, phash: Long)
 
   /** 64-bit perceptual average-hash (aHash) over DECODED pixels: the

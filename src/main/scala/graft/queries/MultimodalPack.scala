@@ -59,6 +59,49 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("keeper"))
     }),
 
+    // Hamming-TOLERANT image near-dup dedup — the multimodal member of
+    // the dedup family: aHash over decoded pixels, the 64-bit hash
+    // banded into 8 bytes (≤ 7 flipped bits cannot break all 8 bands,
+    // the simhash pigeonhole guarantee, now on pixels), banded
+    // equi-join candidates, exact popcount verify ≤ 7, components,
+    // min-id keeper per cluster. Planted ground truth: 2 exact
+    // re-ingests (re-crawl) + 3 pixel-perturbed variants (recompress/
+    // light-edit analog). Candidates only form inside a (band, byte)
+    // bucket — never an all-pairs scan; payloads never move after the
+    // map-side decode+hash (the shuffle carries 16-byte hash rows). A
+    // viral identical image at corpus scale is a hot bucket — cap it
+    // with BandGuard exactly like the text LSH paths if ingest can
+    // contain one.
+    "q_multimodal_phash_dedup" -> ((spark, _) => {
+      import spark.implicits._
+      val media = Multimodal.synthesizePng(spark, 100)
+      val exact = media.filter(_.media_id < 2)
+        .map(r => r.copy(media_id = r.media_id + 10000))
+      val near = Multimodal.perturbPixels(
+        media.filter(r => r.media_id >= 2 && r.media_id < 5),
+        n = 2, idOffset = 20000)
+      val hashes = Multimodal.imageHash(media.union(exact).union(near)).toDF()
+      val bands = hashes.select(col("media_id"), col("phash"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("bh",
+          expr("shiftrightunsigned(phash, cast(band * 8 as int)) & 255"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+        .agg(count(lit(1)).as("nb"))
+        .select(col("d1"), col("d2"))
+      val pairs = cands
+        .join(hashes.select(col("media_id").as("d1"), col("phash").as("p1")), "d1")
+        .join(hashes.select(col("media_id").as("d2"), col("phash").as("p2")), "d2")
+        .filter(expr("bit_count(p1 ^ p2) <= 7"))
+        .select(col("d1"), col("d2"))
+      TextOps.connectedComponents(pairs)
+        .groupBy(col("comp").as("keeper"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("keeper"))
+    }),
+
     "q_multimodal_resize" -> ((spark, _) => {
       Multimodal.resizeImage(Multimodal.synthesize(spark, 300), newW = 8, newH = 8)
         .toDF()

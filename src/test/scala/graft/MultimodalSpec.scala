@@ -294,6 +294,21 @@ class MultimodalSpec extends SparkSuite {
     assert(dups.forall(_.getLong(2) == 2L))
   }
 
+  test("phash dedup: exact re-ingests and perturbed variants cluster " +
+      "with their source, distinct images never merge") {
+    val out = SparkEntry.queries("q_multimodal_phash_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    val clusters = out.map(r => (r.getLong(0), r.getLong(1))).toMap
+    // planted: ids 0,1 re-ingested exactly (+10000), ids 2,3,4
+    // pixel-perturbed (+20000) — exactly five 2-member clusters keyed
+    // by their min (source) id; 95 distinct noise images stay solo
+    // (random aHash pairs sit ~32 bits apart, far above the 7 bound)
+    assert(clusters.keySet === Set(0L, 1L, 2L, 3L, 4L),
+      s"unexpected cluster keepers: $clusters")
+    assert(clusters.values.forall(_ == 2L),
+      s"unexpected cluster sizes: $clusters")
+  }
+
   test("synthesized audio is real WAV; corrupt audio degrades, not throws") {
     val audio = media.filter(_.kind == "audio")
     val n = audio.count()
