@@ -69,11 +69,13 @@ object MultimodalPack extends QueryPack {
     // light-edit analog). Candidates only form inside a (band, byte)
     // bucket — never an all-pairs scan; payloads never move after the
     // map-side decode+hash (the shuffle carries 16-byte hash rows). A
-    // viral identical image at corpus scale is a hot bucket — cap it
-    // with BandGuard exactly like the text LSH paths if ingest can
-    // contain one.
+    // viral identical image at corpus scale is a hot (band, byte)
+    // bucket emitting m²/2 pairs — BandGuard caps it to the hub star
+    // (linear output, component connectivity preserved), the same
+    // guard every text LSH self-join in this repo carries.
     "q_multimodal_phash_dedup" -> ((spark, _) => {
       import spark.implicits._
+      import graft.operators.BandGuard
       val media = Multimodal.synthesizePng(spark, 100)
       val exact = media.filter(_.media_id < 2)
         .map(r => r.copy(media_id = r.media_id + 10000))
@@ -81,13 +83,16 @@ object MultimodalPack extends QueryPack {
         media.filter(r => r.media_id >= 2 && r.media_id < 5),
         n = 2, idOffset = 20000)
       val hashes = Multimodal.imageHash(media.union(exact).union(near)).toDF()
-      val bands = hashes.select(col("media_id"), col("phash"),
-          explode(sequence(lit(0), lit(7))).as("band"))
-        .withColumn("bh",
-          expr("shiftrightunsigned(phash, cast(band * 8 as int)) & 255"))
+      val bands = BandGuard.withBucketStats(
+        hashes.select(col("media_id"), col("phash"),
+            explode(sequence(lit(0), lit(7))).as("band"))
+          .withColumn("bh",
+            expr("shiftrightunsigned(phash, cast(band * 8 as int)) & 255")),
+        "band", "bh", "media_id")
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.media_id") < col("b.media_id"))
+          col("a.media_id") < col("b.media_id") &&
+          BandGuard.pairCondition("a", "media_id", BandGuard.DefaultCap))
         .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
         .agg(count(lit(1)).as("nb"))
         .select(col("d1"), col("d2"))

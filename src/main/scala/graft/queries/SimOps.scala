@@ -425,7 +425,13 @@ object SimOps extends QueryPack {
     * are fully written before compaction runs and the quantizer
     * tables are untouched, so `newVecs` lineage is only at risk if it
     * itself reads the PAYLOAD tables — checkpoint it first in that
-    * (unusual: payload-derived vectors) case. */
+    * (unusual: payload-derived vectors) case.
+    *
+    * Idempotent under micro-batch REPLAY: already-indexed ids are
+    * dropped before any write (see the in-method comment), so the
+    * foreachBatch ingest loop gets exactly-once payload semantics
+    * from an at-least-once sink contract — the ANN analog of the
+    * dedup index's keep-latest story (StreamingIngestSpec). */
   def appendToAnnIndex(spark: org.apache.spark.sql.SparkSession,
       newVecs: DataFrame, dir: String, m: Int, dim: Int,
       compactAboveFiles: Int = 64, targetBytes: Long = 512L << 20): Unit = {
@@ -433,7 +439,23 @@ object SimOps extends QueryPack {
     import graft.pipeline.Compaction
     val centroids = spark.read.parquet(s"$dir/centroids")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
+    // IDEMPOTENT under replay: ids already in the index anti-join away
+    // before anything is written, so a foreachBatch loop that replays
+    // an uncommitted micro-batch after a crash (Structured Streaming's
+    // at-least-once contract for foreachBatch side effects) re-offers
+    // the same vec_ids and appends nothing — exactly-once payload
+    // without a transactional sink. The id probe reads ONE column of
+    // the inverted list (corpus-sublinear, the dedup-index refresh's
+    // cost class). The filtered batch is PINNED (localCheckpoint)
+    // because its lineage reads the very table the first append below
+    // writes: lazily re-evaluating it per payload table would see its
+    // own first append and silently drop the batch from the remaining
+    // two tables (the self-read hazard, in-method).
+    val existing = spark.read.parquet(s"$dir/invlists")
+      .select(col("vec_id").as("__existing"))
     val vecs = newVecs.select(col("vec_id"), col("embedding"))
+      .join(existing, col("vec_id") === col("__existing"), "left_anti")
+      .localCheckpoint()
     ModelStore.appendLargeTable(
       assignCells(vecs, centroids).select(col("vec_id"), col("cell_id")),
       s"$dir/invlists")

@@ -12,6 +12,9 @@ case class Up(k: Long, ver: Long, v: String)
 /** Arriving document for the foreachBatch incremental-dedup test. */
 case class ArrDoc(doc_id: Long, text: String, source: String, lang: String)
 
+/** Arriving vector for the foreachBatch ANN-ingest test. */
+case class ArrVec(vec_id: Long, embedding: Seq[Float])
+
 /** End-to-end streaming ingest: the file-source checkpoint must provide
   * the reference's continueFrom semantics natively — a restarted query
   * with the same checkpoint dir picks up only files that arrived after
@@ -325,5 +328,57 @@ class StreamingIngestSpec extends SparkSuite {
     val safe = TextOps.appendToDedupIndex(surv, idxDir,
       compactAboveFiles = 1, targetBytes = 1L << 30)
     assert(safe.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
+  }
+
+  test("foreachBatch ANN ingest: micro-batches of vectors enter the " +
+      "serving index; a replayed batch appends nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.queries.SimOps
+    val m = 4; val k = 16; val dim = 64
+    val idxDir = s"$root/ann_stream_index"
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    SimOps.saveAnnIndex(emb.filter(col("vec_id") < 300), idxDir, m, k, dim)
+    def arrivals(lo: Long, hi: Long): Seq[ArrVec] =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi).collect()
+        .map(r => ArrVec(r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[ArrVec](spark)
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ann_stream_ck")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        SimOps.appendToAnnIndex(spark, batch.toDF(), idxDir, m, dim)
+      }
+      .start()
+    try {
+      mem.addData(arrivals(300, 400): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals(400, 500): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def vecCount() = spark.read.parquet(s"$idxDir/vectors").count()
+    assert(vecCount() === emb.count())
+    // at-least-once sink contract: a crash between the append and the
+    // checkpoint commit REPLAYS the batch — the idempotent append must
+    // drop every already-indexed id and leave all three payload tables
+    // untouched
+    SimOps.appendToAnnIndex(spark,
+      arrivals(400, 500).toDF("vec_id", "embedding"), idxDir, m, dim)
+    assert(vecCount() === emb.count(), "replayed batch duplicated payload")
+    assert(spark.read.parquet(s"$idxDir/invlists").count() === emb.count())
+    assert(spark.read.parquet(s"$idxDir/codes").count() === emb.count())
+    // the streamed index must serve the same answer as a one-shot
+    // frozen-quantizer append of the same vectors (batch-stream parity)
+    val refDir = s"$root/ann_stream_ref"
+    SimOps.saveAnnIndex(emb.filter(col("vec_id") < 300), refDir, m, k, dim)
+    SimOps.appendToAnnIndex(spark,
+      emb.filter(col("vec_id") >= 300), refDir, m, dim)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    def hits(dir: String) =
+      SimOps.searchAnnIndex(spark, dir, probe, m, dim, nprobe = 4,
+        rerank = 50, topK = 10, excludeVecId = 0L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(idxDir) === hits(refDir))
   }
 }
