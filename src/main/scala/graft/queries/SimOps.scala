@@ -127,6 +127,75 @@ object SimOps extends QueryPack {
     emb.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** Batched ANN kNN-JOIN: approximate top-`topK` neighbors for EVERY
+    * probe in one pass — the bulk-serving shape (offline retrieval,
+    * dedup candidate generation, embedding-join enrichment), where
+    * [[searchAnnIndex]]'s one-probe plan would mean one job per probe.
+    * Same IVF×PQ structure, but every intermediate is keyed by
+    * `probe_id` so the whole batch rides each stage together:
+    * cell scoring is probes × k (centroids broadcast, never the probe
+    * side), the ADC table is probes × m × k rows and joins by
+    * (probe_id, seg, cell) as a SHUFFLE join — at bulk scale it is
+    * probe-count-sized and must not be broadcast — and the top-nprobe
+    * / top-rerank / top-k cuts are windows PARTITIONED BY probe_id
+    * (bounded per-partition work; parallelism grows with the batch,
+    * the opposite of the single-global-window trap). Inverted-list
+    * fan-out is the scale hazard: a hot cell contributes its list to
+    * every probe that selects it — nprobe bounds the per-probe read
+    * to nprobe/k of the codes, the IVF contract. */
+  def knnJoin(emb: DataFrame, probes: DataFrame, m: Int, k: Int, dim: Int,
+      nprobe: Int, rerank: Int, topK: Int): DataFrame = {
+    val segLen = dim / m
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val (centroids, assigned) = ivfAssign(e, k)
+    val codebooks = pqTrain(e, m, k, iters = 2, dim = dim)
+    val codes = pqEncode(e, codebooks, m, dim)
+    val p = probes.select(col("probe_id"), col("probe"))
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probeCells = p.join(broadcast(centroids))
+      .select(col("probe_id"), col("cell_id"),
+        cosine(col("centroid"), col("probe")).as("sim"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("cell_id"))
+    val cand = assigned.select(col("vec_id"), col("cell_id"))
+      .join(probeCells, "cell_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val dtable = p.join(broadcast(codebooks))
+      .select(col("probe_id").as("d_pid"), col("seg"), col("cell_id"),
+        dot(slice(col("probe"), col("seg") * segLen + 1, lit(segLen)),
+          col("centroid")).as("pd"),
+        dot(col("centroid"), col("centroid")).as("cn"))
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val approx = codes.join(cand.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"), posexplode(col("codes")))
+      .join(dtable,
+        col("probe_id") === col("d_pid") &&
+        col("pos") === col("seg") && col("col") === col("cell_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("num"), sum(col("cn")).as("den"))
+    approx
+      .join(p, "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        (col("num") / (sqrt(col("den")) * sqrt(dot(col("probe"), col("probe")))))
+          .as("approx_cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= rerank)
+      .join(e, "vec_id")
+      .join(p.select(col("probe_id").as("p2"), col("probe")),
+        col("probe_id") === col("p2"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("probe_id"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup: k-means clusters block the
     * corpus, cosine pairs form only WITHIN a cluster, and each
     * ≥-threshold component keeps its min-id member. Differs from
@@ -579,6 +648,22 @@ object SimOps extends QueryPack {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_survivors"))
         .orderBy(col("label"))
+    }),
+
+    // Batched ANN kNN-join: approximate top-5 neighbors for EVERY
+    // 50th vector as a probe batch, one pass — the bulk-serving /
+    // offline-retrieval shape (see knnJoin's scaladoc for why each
+    // stage is probe_id-keyed and why the per-probe cuts are
+    // partitioned windows, not global sorts). No oracle (quantizers
+    // training-specific); SimilaritySpec measures per-probe recall
+    // against the exact brute-force top-5.
+    "q_sim_knn_join" -> ((spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      knnJoin(emb, probes, m = 4, k = 16, dim = 64,
+        nprobe = 4, rerank = 50, topK = 5)
     }),
 
     // SemDeDup-style semantic dedup: k-means clusters block the

@@ -29,8 +29,11 @@ class PlanAuditSpec extends SparkSuite {
       // decile arithmetic
       "q_domain_mix", "q_text_curriculum",
       // q_sim_ann_index: same 1-row broadcast-probe shape as
-      // q_sim_ann_ivfpq, with the index tables read back from parquet
-      "q_sim_ann_index")
+      // q_sim_ann_ivfpq, with the index tables read back from parquet;
+      // q_sim_knn_join: probes × broadcast(k centroids / m×k codebooks)
+      // cell scoring — the broadcast side is quantizer-sized (bounded
+      // by hyperparameters), never the probe batch
+      "q_sim_ann_index", "q_sim_knn_join")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -222,6 +222,39 @@ class SimilaritySpec extends SparkSuite {
       assert(new java.io.File(dir, t).isDirectory, s"missing index table $t")
   }
 
+  test("ANN kNN-join: every probe gets exactly topK non-self hits; " +
+      "per-probe recall tracks exact brute force") {
+    import graft.queries.SimOps
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val res = SparkEntry.queries("q_sim_knn_join")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byProbe = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probeIds = emb.filter(col("vec_id") % 50 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(byProbe.keySet === probeIds, "a probe got zero hits")
+    byProbe.foreach { case (pid, hits) =>
+      assert(hits.size === 5, s"probe $pid returned ${hits.size} hits")
+      assert(!hits.contains(pid), s"probe $pid returned itself")
+    }
+    // exact brute-force top-5 per probe (label-blind, whole corpus)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("probe")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = probeIds.toSeq.map { pid =>
+      byProbe(pid).intersect(exact(pid)).size.toDouble / 5.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.3, s"kNN-join avg recall@5 $avg < 0.3 (nprobe=4 of 16)")
+  }
+
   test("semantic dedup: deterministic, min-id invariant, boundary and " +
       "blocking monotonicity") {
     import graft.queries.SimOps
