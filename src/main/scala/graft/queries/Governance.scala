@@ -191,6 +191,77 @@ object Governance extends QueryPack {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    // Cohort LTV (lifetime-value) curve: cohort = a user's first
+    // purchase day; point (cohort, week_offset) = CUMULATIVE cohort
+    // revenue through that week divided by cohort size — the revenue
+    // complement of q_events_cohort's activity matrix and the readout
+    // growth teams actually plot. Everything reduces before any
+    // window: per-(cohort, week) revenue is a map-side-combinable
+    // decimal aggregate, the running sum is a window over that
+    // aggregated table (weeks-per-cohort rows — metadata-scale, not
+    // events), and the single division to double happens last through
+    // an identical expression chain on both engines.
+    "q_events_ltv" -> ((spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("cohort"))
+      val sizes = cohorts.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort").as("s_cohort"), col("n_users"))
+      val weekly = ev.join(cohorts, "user_id")
+        .withColumn("week_offset",
+          floor(datediff(col("ts").cast("date"), col("cohort")) / 7).cast("int"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(sum(Tables.dec(col("value"))).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort")).orderBy(col("week_offset"))
+        .rowsBetween(Long.MinValue, 0)
+      weekly
+        .withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(sizes, col("cohort") === col("s_cohort"))
+        .select(col("cohort"), col("week_offset"),
+          (col("cum_rev").cast("double") / col("n_users")).as("ltv_per_user"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
+    // Per-group GINI coefficient of order value — the inequality /
+    // concentration audit (is 1% of orders 90% of revenue?), exact:
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over ranks from
+    // GlobalRank.withRowNumberAndCountPerGroup — the scale-safe
+    // per-group ranking (a 5-task Window.partitionBy(priority) would
+    // cap parallelism at the group count however large the table).
+    // Rank·value products and both sums stay DECIMAL until one final
+    // double division chain, so the statistic is bit-identical on any
+    // partitioning; ties are harmless (tied values share x, so any
+    // within-tie rank permutation leaves Σ rank·x unchanged), but the
+    // orderkey tiebreak makes ranks deterministic anyway.
+    "q_agg_gini" -> ((spark, sfDir) => {
+      // INTEGER-CENTS formulation: money → exact BIGINT cents, every
+      // sum/product/subtraction stays 64-bit integer, and each side of
+      // the one division is a SINGLE int→double cast — measured: the
+      // decimal(38,2)→double cast diverges between engines in the last
+      // ulp at sf0.1 magnitudes (DuckDB converts unscaled-then-divides,
+      // Java rounds once), exactly the §7.4 identical-double-path
+      // rule. Headroom: Σ rank·cents here is ~5e16 of the 9.2e18
+      // int64 range — a 100× corpus still fits; beyond that, bucket
+      // the values (a Gini over 10⁴ value buckets is exact enough for
+      // an audit and keeps every operand small).
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority").as("prio"),
+          (Tables.dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      val ranked = graft.operators.GlobalRank.withRowNumberAndCountPerGroup(
+        o, "rn", "n", Seq("prio"), col("cents"), col("o_orderkey"))
+      ranked.groupBy(col("prio"), col("n"))
+        .agg(sum(col("rn") * col("cents")).as("rx"),
+          sum(col("cents")).as("sx"))
+        .select(col("prio"), col("n"),
+          ((lit(2L) * col("rx") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double")).as("gini"))
+        .orderBy(col("prio"))
+    }),
+
     // Exact weighted median (per-group): smallest value whose
     // cumulative weight reaches half the group total. Three scale
     // moves: (1) facts collapse to per-(group, value) weight sums
@@ -324,6 +395,52 @@ object Governance extends QueryPack {
         |  COUNT(DISTINCT a_uid) AS n_active
         |FROM first_day JOIN active ON user_id = a_uid
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_events_ltv" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |cohorts AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+        |  FROM p GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort, COUNT(*) AS n_users FROM cohorts GROUP BY cohort),
+        |weekly AS (
+        |  SELECT c.cohort,
+        |    CAST(FLOOR(DATEDIFF('day', c.cohort, CAST(p.ts AS DATE)) / 7.0)
+        |      AS INT) AS week_offset,
+        |    SUM(CAST(p.value AS DECIMAL(18,2))) AS rev
+        |  FROM p JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, week_offset,
+        |    SUM(rev) OVER (PARTITION BY cohort ORDER BY week_offset
+        |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+        |  FROM weekly)
+        |SELECT cohort, week_offset,
+        |  CAST(cum_rev AS DOUBLE) / n_users AS ltv_per_user
+        |FROM cum JOIN sizes USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_agg_gini" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT), o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |sums AS (
+        |  SELECT prio, n,
+        |    CAST(SUM(rn * cents) AS BIGINT) AS rx,
+        |    CAST(SUM(cents) AS BIGINT) AS sx
+        |  FROM ranked GROUP BY prio, n)
+        |SELECT prio, n,
+        |  CAST(2 * rx - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) AS gini
+        |FROM sums ORDER BY prio""".stripMargin,
 
     "q_agg_weighted_median" ->
       """WITH by_price AS (
