@@ -12,6 +12,43 @@ import graft.multimodal.Multimodal
   */
 object MultimodalPack extends QueryPack {
 
+  /** Hamming-tolerant dedup CLUSTERS over (media_id, phash) rows:
+    * band the 64-bit hash into 8 bytes, candidates from the banded
+    * self-join under a BandGuard bucket cap (a viral identical image
+    * is a hot (band, byte) bucket emitting m²/2 pairs — above `cap`
+    * only the hub star survives, linear output with connectivity
+    * preserved), exact popcount verify ≤ `maxHamming`, connected
+    * components, min-id keeper. Returns (keeper, n_members) per
+    * multi-member cluster. Shared by q_multimodal_phash_dedup and the
+    * viral-bucket spec so the guard's contract is tested on the same
+    * code the query runs. */
+  def phashClusters(hashes: org.apache.spark.sql.DataFrame,
+      maxHamming: Int, cap: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.BandGuard
+    val bands = BandGuard.withBucketStats(
+      hashes.select(col("media_id"), col("phash"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("bh",
+          expr("shiftrightunsigned(phash, cast(band * 8 as int)) & 255")),
+      "band", "bh", "media_id")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.media_id") < col("b.media_id") &&
+        BandGuard.pairCondition("a", "media_id", cap))
+      .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+      .agg(count(lit(1)).as("nb"))
+      .select(col("d1"), col("d2"))
+    val pairs = cands
+      .join(hashes.select(col("media_id").as("d1"), col("phash").as("p1")), "d1")
+      .join(hashes.select(col("media_id").as("d2"), col("phash").as("p2")), "d2")
+      .filter(expr(s"bit_count(p1 ^ p2) <= $maxHamming"))
+      .select(col("d1"), col("d2"))
+    graft.queries.TextOps.connectedComponents(pairs)
+      .groupBy(col("comp").as("keeper"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("keeper"))
+  }
+
   override def queries: Map[String, Query] = Map(
     "q_multimodal_features" -> ((spark, _) => {
       Multimodal.decodeFeatures(Multimodal.synthesize(spark, 300), bins = 16)
@@ -83,28 +120,8 @@ object MultimodalPack extends QueryPack {
         media.filter(r => r.media_id >= 2 && r.media_id < 5),
         n = 2, idOffset = 20000)
       val hashes = Multimodal.imageHash(media.union(exact).union(near)).toDF()
-      val bands = BandGuard.withBucketStats(
-        hashes.select(col("media_id"), col("phash"),
-            explode(sequence(lit(0), lit(7))).as("band"))
-          .withColumn("bh",
-            expr("shiftrightunsigned(phash, cast(band * 8 as int)) & 255")),
-        "band", "bh", "media_id")
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.media_id") < col("b.media_id") &&
-          BandGuard.pairCondition("a", "media_id", BandGuard.DefaultCap))
-        .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
-        .agg(count(lit(1)).as("nb"))
-        .select(col("d1"), col("d2"))
-      val pairs = cands
-        .join(hashes.select(col("media_id").as("d1"), col("phash").as("p1")), "d1")
-        .join(hashes.select(col("media_id").as("d2"), col("phash").as("p2")), "d2")
-        .filter(expr("bit_count(p1 ^ p2) <= 7"))
-        .select(col("d1"), col("d2"))
-      TextOps.connectedComponents(pairs)
-        .groupBy(col("comp").as("keeper"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy(col("keeper"))
+      phashClusters(hashes, maxHamming = 7,
+        cap = graft.operators.BandGuard.DefaultCap)
     }),
 
     "q_multimodal_resize" -> ((spark, _) => {

@@ -309,6 +309,30 @@ class MultimodalSpec extends SparkSuite {
       s"unexpected cluster sizes: $clusters")
   }
 
+  test("viral identical image: BandGuard caps the hot bucket but the " +
+      "dedup cluster survives through the hub star") {
+    import spark.implicits._
+    import graft.queries.MultimodalPack
+    val base = Multimodal.synthesizePng(spark, 20)
+    val original = base.filter(_.media_id == 0L).collect().head
+    // 40 exact re-ingests of one image — every copy lands in the SAME
+    // (band, byte) bucket in all 8 bands, the m²/2 pair bomb the cap
+    // exists for
+    val viral = spark.createDataset(
+      (0 until 40).map(i => original.copy(media_id = 30000L + i)))
+    val hashes = Multimodal.imageHash(base.union(viral)).toDF()
+    // cap = 8 << 41 bucket members: all-pairs would need 820 pairs per
+    // band; the star keeps it at 40 — and the component must STILL
+    // contain every copy (connectivity through the hub, BandGuard's
+    // contract at the cluster level)
+    val clusters = MultimodalPack.phashClusters(hashes, maxHamming = 7, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters.get(0L).contains(41L),
+      s"viral cluster broken under the cap: $clusters")
+    assert(clusters.keySet === Set(0L),
+      s"distinct noise images merged: $clusters")
+  }
+
   test("synthesized audio is real WAV; corrupt audio degrades, not throws") {
     val audio = media.filter(_.kind == "audio")
     val n = audio.count()

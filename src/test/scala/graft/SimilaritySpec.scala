@@ -255,6 +255,29 @@ class SimilaritySpec extends SparkSuite {
     assert(avg >= 0.3, s"kNN-join avg recall@5 $avg < 0.3 (nprobe=4 of 16)")
   }
 
+  test("kNN-join degenerate skew: 100 identical probes all select the " +
+      "same hot cells and every probe still gets the same full answer") {
+    import spark.implicits._
+    import graft.queries.SimOps
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val v0 = emb.filter(col("vec_id") === 0)
+      .collect().head.getSeq[Float](1)
+    // probe ids disjoint from vec ids — the self-exclusion filter never
+    // fires, so each answer is the unfiltered top-5 for this vector
+    val probes = (0 until 100).map(i => (1000000L + i, v0))
+      .toDF("probe_id", "probe")
+    val res = SimOps.knnJoin(emb, probes, m = 4, k = 16, dim = 64,
+        nprobe = 4, rerank = 50, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byProbe = res.groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byProbe.keySet.size === 100, "a probe got zero hits under skew")
+    val answers = byProbe.values.toSet
+    assert(answers.size === 1,
+      "identical probes returned different answers — per-probe stages leaked")
+    assert(answers.head.size === 5)
+  }
+
   test("semantic dedup: deterministic, min-id invariant, boundary and " +
       "blocking monotonicity") {
     import graft.queries.SimOps
