@@ -274,7 +274,12 @@ object Multimodal {
       ImageCodec.decode(r.payload) match {
         case Some(img) if r.kind == "image" =>
           var i = 0
-          while (i < n) { img.setRGB(2 * i, 0, 0xff000000); i += 1 }
+          // clamp to the sampled row: 2*i must stay inside the image,
+          // or arbitrary n would index past the width inside the
+          // executor map
+          while (i < n && 2 * i < img.getWidth) {
+            img.setRGB(2 * i, 0, 0xff000000); i += 1
+          }
           r.copy(media_id = r.media_id + idOffset,
             meta = r.meta.copy(format = "png"),
             payload = ImageCodec.encode(img))

@@ -40,6 +40,17 @@ object BandGuard {
       .withColumn("__bmin", min(col(id)).over(w))
   }
 
+  /** Single-key variant for self-joins bucketed by ONE column (a
+    * k-means cell id, a length band) rather than an LSH (band, hash)
+    * pair — same stats, same reused shuffle partitioning. */
+  def withBucketStats(bucketed: DataFrame, bucket: String,
+      id: String): DataFrame = {
+    val w = Window.partitionBy(col(bucket))
+    bucketed
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(id)).over(w))
+  }
+
   /** Extra join conjunct: all pairs for buckets ≤ cap, hub-star pairs
     * only above it. `a` must be the join alias of the LOWER-id side
     * (the `id < id` convention makes the hub, the bucket minimum,

@@ -55,3 +55,45 @@ object IncrementalRollup {
       .groupBy(col(key))
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
 }
+
+/** Type-2 MERGE: apply a change batch TO an existing SCD2 dimension —
+  * the maintenance operator a warehouse runs nightly (complements
+  * q_scd2, which DERIVES history from events, and Upsert, which is
+  * type-1 keep-latest). For each delta row: if the key's current
+  * (open, `to` IS NULL) version already carries the same value the
+  * row is a NO-OP; otherwise the open interval closes at the delta's
+  * effective timestamp and a new open version inserts. Keys absent
+  * from the base insert an open version directly.
+  *
+  * Scale shape: two key-joins of base against the (typically
+  * batch-sized, broadcastable) delta plus one union — history rows
+  * are never window-sorted or rewritten beyond the one closed
+  * interval per changed key, and existing interval bounds are
+  * PRESERVED verbatim (no lead() recompute), so gapped or irregular
+  * histories survive untouched. Assumes at most one delta row per
+  * key per batch (pre-collapse a multi-change batch with Upsert
+  * keep-latest first); idempotent under replay — re-applying a batch
+  * finds every changed key's current value already equal and no-ops
+  * (spec asserts apply∘apply = apply).
+  */
+object ScdApply {
+
+  def apply(base: DataFrame, delta: DataFrame, key: String,
+      value: String, from: String, to: String): DataFrame = {
+    val open = base.filter(col(to).isNull)
+      .select(col(key).as("__k"), col(value).as("__cur"))
+    // effective delta rows: new keys, or keys whose current value
+    // actually changes (value-equal rows are no-ops)
+    val eff = delta.join(open, col(key) === col("__k"), "left")
+      .filter(col("__k").isNull || col(value) =!= col("__cur"))
+      .drop("__k", "__cur")
+      .withColumn(to, lit(null).cast(base.schema(to).dataType))
+    val changed = eff.select(col(key).as("__ck"), col(from).as("__nf"))
+    base.join(changed, col(key) === col("__ck"), "left")
+      .withColumn(to,
+        when(col(to).isNull && col("__ck").isNotNull, col("__nf"))
+          .otherwise(col(to)))
+      .drop("__ck", "__nf")
+      .unionByName(eff)
+  }
+}

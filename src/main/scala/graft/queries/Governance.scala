@@ -39,7 +39,12 @@ object Governance extends QueryPack {
           when(col("key") % 11 === 0, (col("price") * factor).cast(dec4))
             .otherwise(col("price")))
         .unionAll(base.filter(col("key") % 13 === 0)
-          .select((col("key") + 10000000L).as("key"), col("price")))
+          // insert keys shifted past any realistic o_orderkey space:
+          // TPC-H keys reach 6e6 * SF, so a 1e7 offset collides with
+          // surviving base keys for SF >~ 1.7 and degenerates the CDC
+          // classes via full-outer fan-out; 1e13 stays disjoint at any
+          // SF a single table could hold
+          .select((col("key") + 10000000000000L).as("key"), col("price")))
       val b = base.select(col("key").as("b_key"), col("price").as("b_price"))
       val n = next.select(col("key").as("n_key"), col("price").as("n_price"))
       b.join(n, col("b_key") === col("n_key"), "full_outer")
@@ -307,7 +312,7 @@ object Governance extends QueryPack {
         |      ELSE price END AS price
         |  FROM base WHERE key % 37 <> 0
         |  UNION ALL
-        |  SELECT key + 10000000 AS key, price FROM base WHERE key % 13 = 0)
+        |  SELECT key + 10000000000000 AS key, price FROM base WHERE key % 13 = 0)
         |SELECT
         |  CASE WHEN b.key IS NULL THEN 'added'
         |       WHEN n.key IS NULL THEN 'removed'

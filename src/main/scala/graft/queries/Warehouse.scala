@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{IncrementalRollup, Upsert}
+import graft.operators.{IncrementalRollup, ScdApply, Upsert}
 
 /** Warehouse-maintenance transforms (SURVEY.md §2-B, added round 4):
   * SCD2 history derivation, keep-latest upsert (MERGE without a table
@@ -33,6 +33,44 @@ object Warehouse extends QueryPack {
         .select(col("user_id"), col("event_id"), col("value"),
           col("ts").as("eff_from"), col("eff_to"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // SCD2 APPLY / type-2 MERGE (round-11 VERDICT gap 2): apply a
+    // change batch TO the existing SCD2 dimension — close each changed
+    // key's open interval at the batch timestamp, insert the new open
+    // version, no-op keys whose current value is unchanged, insert
+    // brand-new keys directly. The batch here is deterministic: every
+    // user_id % 3 == 0 changes to 999.5 (except % 6 == 0, which
+    // re-submits its current value — the exercised no-op path) at
+    // max(ts) + 1 hour, plus one never-seen key (-42). Delta rows take
+    // event_id -1 so (user_id, eff_from, event_id) stays a total
+    // order. See operators.ScdApply for the scale shape (two
+    // key-joins against the broadcastable batch; history intervals
+    // preserved verbatim, never window-recomputed).
+    "q_scd2_apply" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_v").isNull || col("value") =!= col("prev_v"))
+        .withColumn("eff_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").as("eff_from"), col("eff_to"))
+      val maxTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("__max_ts"))
+      val open = base.filter(col("eff_to").isNull)
+        .select(col("user_id"), col("value"))
+      val delta = open.filter(col("user_id") % 3 === 0)
+        .select(col("user_id"),
+          when(col("user_id") % 6 === 0, col("value"))
+            .otherwise(lit(999.5)).as("value"))
+        .unionAll(spark.range(1)
+          .select(lit(-42L).as("user_id"), lit(7.25).as("value")))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"), lit(-1L).as("event_id"), col("value"),
+          (col("__max_ts") + expr("INTERVAL 1 HOUR")).as("eff_from"))
+      ScdApply(base, delta, "user_id", "value", "eff_from", "eff_to")
+        .orderBy(col("user_id"), col("eff_from"), col("event_id"))
     }),
 
     // Keep-latest upsert: an update batch (every 10th order, doubled
@@ -139,6 +177,41 @@ object Warehouse extends QueryPack {
         |SELECT user_id, event_id, value, ts AS eff_from,
         |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
         |FROM changes ORDER BY user_id, event_id""".stripMargin,
+
+    "q_scd2_apply" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    LAG(value, 1) OVER w AS prev_v
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |base AS (
+        |  SELECT user_id, event_id, value, ts AS eff_from,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS eff_to
+        |  FROM ordered WHERE prev_v IS NULL OR value <> prev_v),
+        |open_v AS (SELECT user_id, value FROM base WHERE eff_to IS NULL),
+        |delta AS (
+        |  SELECT user_id, CAST(-1 AS BIGINT) AS event_id,
+        |    CASE WHEN user_id % 6 = 0 THEN value ELSE 999.5 END AS value,
+        |    (SELECT MAX(ts) FROM events) + INTERVAL 1 HOUR AS eff_from
+        |  FROM open_v WHERE user_id % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(-42 AS BIGINT), CAST(-1 AS BIGINT), 7.25,
+        |    (SELECT MAX(ts) FROM events) + INTERVAL 1 HOUR),
+        |eff AS (
+        |  SELECT d.user_id, d.event_id, d.value, d.eff_from
+        |  FROM delta d LEFT JOIN open_v o ON d.user_id = o.user_id
+        |  WHERE o.user_id IS NULL OR d.value <> o.value),
+        |closed AS (
+        |  SELECT b.user_id, b.event_id, b.value, b.eff_from,
+        |    CASE WHEN b.eff_to IS NULL AND e.user_id IS NOT NULL
+        |      THEN e.eff_from ELSE b.eff_to END AS eff_to
+        |  FROM base b LEFT JOIN eff e ON b.user_id = e.user_id)
+        |SELECT user_id, event_id, value, eff_from, eff_to FROM closed
+        |UNION ALL
+        |SELECT user_id, event_id, value, eff_from,
+        |  CAST(NULL AS TIMESTAMP) AS eff_to FROM eff
+        |ORDER BY user_id, eff_from, event_id""".stripMargin,
 
     "q_upsert" ->
       """WITH unioned AS (

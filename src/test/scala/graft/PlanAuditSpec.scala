@@ -33,7 +33,11 @@ class PlanAuditSpec extends SparkSuite {
       // q_sim_knn_join: probes × broadcast(k centroids / m×k codebooks)
       // cell scoring — the broadcast side is quantizer-sized (bounded
       // by hyperparameters), never the probe batch
-      "q_sim_ann_index", "q_sim_knn_join")
+      "q_sim_ann_index", "q_sim_knn_join",
+      // q_sim_knn_index: q_sim_knn_join's exact stages served from the
+      // reloaded index — same quantizer-sized broadcast sides;
+      // q_scd2_apply: 1-row max(ts) broadcast under the change batch
+      "q_sim_knn_index", "q_scd2_apply")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

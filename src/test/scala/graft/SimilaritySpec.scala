@@ -278,6 +278,96 @@ class SimilaritySpec extends SparkSuite {
     assert(answers.head.size === 5)
   }
 
+  test("batched kNN serving from the persisted index equals per-probe " +
+      "single searches of the same index") {
+    import graft.queries.SimOps
+    val m = 4; val k = 16; val dim = 64
+    val dir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001/ann_knn_serve"
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    SimOps.saveAnnIndex(emb, dir, m, k, dim)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val batch = SimOps.knnJoinIndex(spark, dir, probes, m, dim,
+        nprobe = 4, rerank = 50, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val probeIds = probes.select("probe_id").collect().map(_.getLong(0)).toSet
+    assert(batch.keySet === probeIds, "a probe got zero hits from the index")
+    for (pid <- probeIds) {
+      val probe = emb.filter(col("vec_id") === pid)
+        .select(col("embedding").as("probe"))
+      val single = SimOps.searchAnnIndex(spark, dir, probe, m, dim,
+          nprobe = 4, rerank = 50, topK = 5, excludeVecId = pid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(pid) === single,
+        s"probe $pid: batch ${batch(pid)} != single $single")
+    }
+  }
+
+  test("ANN exactness bound: nprobe = k with corpus-size rerank reduces " +
+      "the persisted-index search to exact brute force") {
+    import graft.queries.SimOps
+    val m = 4; val k = 16; val dim = 64
+    val dir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001/ann_exactness"
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val n = emb.count().toInt
+    SimOps.saveAnnIndex(emb, dir, m, k, dim)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), SimOps.cosine(col("embedding"), col("probe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // un-approximated: every cell probed, every candidate re-ranked
+    // with the TRUE cosine — any deviation from brute force is an
+    // implementation bug, not ANN difficulty (the bound the loose
+    // recall floors above cannot provide)
+    val full = SimOps.searchAnnIndex(spark, dir, probe, m, dim,
+        nprobe = k, rerank = n, topK = 10, excludeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact,
+      s"exactness bound violated: got ${full.take(3)} vs ${exact.take(3)}")
+    // quantizer QUALITY with the production cut: all cells probed but
+    // only 50 of ~500 re-ranked — the ADC approx scores must rank the
+    // true global winner into the rerank set (a degenerate codebook,
+    // e.g. iters=0 collapse, fails this where the recall floors pass)
+    val prod = SimOps.searchAnnIndex(spark, dir, probe, m, dim,
+        nprobe = k, rerank = 50, topK = 10, excludeVecId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(prod.contains(exact.head._1),
+      s"ADC scores failed to rank the true winner ${exact.head._1} into " +
+        s"the rerank set — degenerate codebooks?")
+  }
+
+  test("kNN-join exactness bound: nprobe = k with corpus-size rerank " +
+      "equals per-probe brute force for every probe") {
+    import graft.queries.SimOps
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val n = emb.count().toInt
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val got = SimOps.knnJoin(emb, probes, m = 4, k = 16, dim = 64,
+        nprobe = 16, rerank = n, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        SimOps.cosine(col("embedding"), col("probe")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    assert(got.keySet === exact.keySet)
+    for (pid <- got.keySet)
+      assert(got(pid) === exact(pid),
+        s"probe $pid: un-approximated kNN-join ${got(pid)} != brute ${exact(pid)}")
+  }
+
   test("semantic dedup: deterministic, min-id invariant, boundary and " +
       "blocking monotonicity") {
     import graft.queries.SimOps
@@ -299,6 +389,47 @@ class SimilaritySpec extends SparkSuite {
     val exactSurv = ids(SimOps.semanticDedupSurvivors(emb, k = 1, threshold = 0.4))
     assert(exactSurv.subsetOf(surv),
       "clustered run dropped a vector the exact all-pairs run kept")
+  }
+
+  test("semantic dedup viral cluster of EXACT copies: lossless " +
+      "pre-collapse, even when lower-id non-dups share the cell") {
+    import spark.implicits._
+    import graft.queries.SimOps
+    // Identical vectors share a nearest centroid at ANY k, so a viral
+    // embedding cluster lands entirely in ONE k-means cell (mirrors
+    // MultimodalSpec's 41-copy phash case). The copies carry HIGHER
+    // ids than the fillers on purpose: a star-cap alone would pick a
+    // lower-id filler cell-mate as hub and lose the cluster — the
+    // exact failure the pre-collapse guard exists to make impossible.
+    val dim = 32
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def noise(i: Int): Seq[Float] = Seq.tabulate(dim)(j =>
+      ((mix(i * 1024L + j) & 0x3ff).toFloat / 1024f) - 0.5f)
+    val fillers = (0 until 60).map(i => (100L + i, noise(i)))
+    val viralVec = noise(999)
+    val viral = (0 until 41).map(i => (10000L + i, viralVec))
+    val emb = (fillers ++ viral).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    def surv(cap: Int): Set[Long] =
+      SimOps.semanticDedupSurvivors(emb, k = 8, threshold = 0.95,
+          cellCap = cap)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val guarded = surv(8)
+    val unguarded = surv(Int.MaxValue)
+    // the cap changes WORK (pair volume), never answers
+    assert(guarded === unguarded,
+      s"cap changed survivors: only-guarded=${(guarded -- unguarded).take(5)} " +
+        s"only-unguarded=${(unguarded -- guarded).take(5)}")
+    // the 41 copies collapse to their min id via the exact pre-collapse
+    assert(guarded.filter(_ >= 10000L) === Set(10000L),
+      s"viral cluster not collapsed: ${guarded.filter(_ >= 10000L)}")
+    // pseudo-random fillers stay solo (no near-parallel pair at 0.95)
+    assert(guarded.size === 60 + 1, s"filler dropped: ${guarded.size}")
   }
 
   test("ANN index append: frozen quantizers, union payload, parity with " +

@@ -102,4 +102,72 @@ class SkewSoakSpec extends SparkSuite {
       s"guarded straggler not bounded: worst task wrote ${guardedL.maxPerTask} " +
         s"records (> $linearBound) — BandGuard not engaging at corpus level")
   }
+
+  test("semantic dedup with a viral embedding cluster: guarded straggler " +
+      "output is linear, survivors match the unguarded run") {
+    import spark.implicits._
+    import graft.queries.SimOps
+    // Same adversarial shape, embedding edition — but DISTINCT
+    // near-copies (one coordinate nudged per copy), so the lossless
+    // exact pre-collapse cannot absorb them: near-identical vectors
+    // still share a nearest centroid at any k, land in ONE k-means
+    // cell, and the within-cell self-join is the hot spot only the
+    // cellCap backstop can bound. Viral ids are the corpus minimum so
+    // the star hub is a cluster member and connectivity survives.
+    val dim = 32
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def noise(i: Int): Seq[Float] = Seq.tabulate(dim)(j =>
+      ((mix(i * 1024L + j) & 0x3ff).toFloat / 1024f) - 0.5f)
+    val viralVec = noise(999)
+    val viral = (0 until ViralN).map { i =>
+      val v = viralVec.zipWithIndex.map { case (x, j) =>
+        if (j == i % dim) x + 1e-3f * (1 + i / dim) else x
+      }
+      (i.toLong, v)
+    }
+    val fill = (0 until FillN).map(i => (20000L + i, noise(i)))
+    val emb = (viral ++ fill).toDF("vec_id", "embedding").localCheckpoint()
+
+    def survWith(cap: Int, listener: Option[TaskShuffleListener]): Set[Long] = {
+      listener.foreach(spark.sparkContext.addSparkListener)
+      try {
+        val ids = SimOps.semanticDedupSurvivors(emb, k = 16,
+            threshold = 0.95, cellCap = cap)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        listener.foreach(_ => Thread.sleep(1500))
+        ids
+      } finally listener.foreach(spark.sparkContext.removeSparkListener)
+    }
+    val cap = 8
+    val guardedL = new TaskShuffleListener
+    val guarded = survWith(cap, Some(guardedL))
+    val unguardedL = new TaskShuffleListener
+    val unguarded = survWith(Int.MaxValue, Some(unguardedL))
+
+    assert(guarded == unguarded,
+      s"guarded run changed survivors: only-guarded=${(guarded -- unguarded).take(5)} " +
+        s"only-unguarded=${(unguarded -- guarded).take(5)}")
+    assert(guarded.count(_ < 20000L) == 1, "viral cluster not collapsed")
+    assert(guarded.contains(0L), "hub (corpus-min id) must survive")
+    assert(guarded.size == 1 + FillN)
+
+    // The verified-pair filter (cos >= threshold) runs inside the join
+    // stage, so shuffle records ~ verified pairs: unguarded, the task
+    // owning the viral cell writes the full C(ViralN, 2) clique;
+    // guarded, it writes the (ViralN - 1)-pair hub star plus row-level
+    // traffic.
+    val quadratic = ViralN.toLong * (ViralN - 1) / 2
+    val linearBound = ViralN.toLong + 4096
+    assert(unguardedL.maxPerTask >= quadratic,
+      s"soak lost its teeth: unguarded worst task wrote ${unguardedL.maxPerTask} " +
+        s"< expected quadratic $quadratic — viral cell no longer degenerate?")
+    assert(guardedL.maxPerTask <= linearBound,
+      s"guarded straggler not bounded: worst task wrote ${guardedL.maxPerTask} " +
+        s"records (> $linearBound) — cellCap not engaging at corpus level")
+  }
 }

@@ -381,4 +381,57 @@ class StreamingIngestSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hits(idxDir) === hits(refDir))
   }
+
+  test("ANN ingest replay self-heals a PARTIAL append (crash between " +
+      "the invlists write and the codes/vectors writes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.models.ModelStore
+    import graft.queries.SimOps
+    val m = 4; val k = 16; val dim = 64
+    val idxDir = s"$root/ann_partial_index"
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    SimOps.saveAnnIndex(emb.filter(col("vec_id") < 300), idxDir, m, k, dim)
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .localCheckpoint()
+    // Simulate the exact crash window the at-least-once contract
+    // exposes: the sequential append dies AFTER the invlists write but
+    // BEFORE codes/vectors — reproduce by performing only the first of
+    // the three table writes appendToAnnIndex would have done.
+    val centroids = spark.read.parquet(s"$idxDir/centroids")
+    ModelStore.appendLargeTable(
+      SimOps.assignCells(batch, centroids).select(col("vec_id"), col("cell_id")),
+      s"$idxDir/invlists")
+    def counts() = Seq("invlists", "codes", "vectors")
+      .map(t => t -> spark.read.parquet(s"$idxDir/$t").count()).toMap
+    val torn = counts()
+    assert(torn("invlists") === 400L && torn("codes") === 300L &&
+      torn("vectors") === 300L, s"fixture did not tear the index: $torn")
+    // The streaming runtime now REPLAYS the batch. A global
+    // already-indexed probe would see every id in invlists and append
+    // nothing, permanently omitting the batch from codes/vectors; the
+    // per-table probe must repair exactly the missing rows.
+    SimOps.appendToAnnIndex(spark, batch, idxDir, m, dim)
+    val healed = counts()
+    assert(healed.values.toSet === Set(400L),
+      s"partial append not healed: $healed")
+    // no duplicates anywhere
+    for (t <- Seq("invlists", "codes", "vectors"))
+      assert(spark.read.parquet(s"$idxDir/$t").select("vec_id")
+        .distinct().count() === 400L, s"$t holds duplicate vec_ids")
+    // and a second full replay is still a no-op
+    SimOps.appendToAnnIndex(spark, batch, idxDir, m, dim)
+    assert(counts().values.toSet === Set(400L), "healed replay duplicated")
+    // the healed index answers exactly like a never-crashed one
+    val refDir = s"$root/ann_partial_ref"
+    SimOps.saveAnnIndex(emb.filter(col("vec_id") < 300), refDir, m, k, dim)
+    SimOps.appendToAnnIndex(spark, batch, refDir, m, dim)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    def hits(dir: String) =
+      SimOps.searchAnnIndex(spark, dir, probe, m, dim, nprobe = 4,
+        rerank = 50, topK = 10, excludeVecId = 0L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(idxDir) === hits(refDir))
+  }
 }
