@@ -28,6 +28,24 @@ object Bench {
       Tables.lineitem(spark, sfDir).limit(1).collect()
     }
     warm()
+    // CALIBRATION probe (round-12, VERDICT r11 item 6): a fixed
+    // CPU-bound aggregate over generated data — no I/O, no registry
+    // code — whose runtime tracks the BOX's effective speed. The host
+    // slows ~2x through the day invisibly to loadavg (BASELINE.md
+    // drift series), which made round-over-round isolated diffs flag
+    // phantom regressions; benchguard divides each isolated diff by
+    // the calib ratio before applying the +30% gate, so only genuine
+    // plan changes flag. One discarded JIT run, then min of two.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 400000000L, 1, 32)
+          .selectExpr("sum(id * 2654435761 % 1000)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once())
+    }
+    val calibSec = calibrate()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try { selected(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -88,7 +106,15 @@ object Bench {
       // artifact should carry the full 20 isolated samples the grader
       // diffs round-over-round. Below 0.5 s the fresh-session restart
       // cost dwarfs the measure and steady times are already stable.
-      val top = steady.toSeq.filter(_._2 >= 0.5).sortBy(-_._2).take(IsolatedTop)
+      // top-20 by steady cost PLUS every query steadier than 2 s
+      // (round-12, VERDICT r11 item 7): new heavy queries outside the
+      // top-20 used to carry only a steady time their first round,
+      // leaving drift-vs-plan undecidable until a judge re-measure
+      // (q_multimodal_phash_dedup read 11.9 s steady vs 2.8 s quiet in
+      // round 11); now every >2 s query self-reports an isolated
+      // sample in its first artifact.
+      val byCost = steady.toSeq.filter(_._2 >= 0.5).sortBy(-_._2)
+      val top = (byCost.take(IsolatedTop) ++ byCost.filter(_._2 >= 2.0)).distinct
       top.map { case (name, t) =>
         spark.stop()
         SparkSession.clearActiveSession()
@@ -130,7 +156,7 @@ object Bench {
     val isoDetail = isolated.map { case (k, v) =>
       s"\"$k\":{\"sec\":${v.sec},\"load_before\":${v.loadBefore},\"load_after\":${v.loadAfter},\"contended\":${v.contended}}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isoSec)},"isolated_detail":$isoDetail,"best_total":$bestTotal,"nproc":$nproc,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isoSec)},"isolated_detail":$isoDetail,"best_total":$bestTotal,"calib_sec":$calibSec,"nproc":$nproc,"sf":"$sfDir"}"""
     // The driver's artifact keeps only a stdout tail, which has truncated
     // the per-query map three rounds running — the file twin is the
     // durable copy a grader can always read in full.

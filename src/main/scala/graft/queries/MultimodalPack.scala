@@ -68,7 +68,13 @@ object MultimodalPack extends QueryPack {
     }),
 
     "q_multimodal_frames" -> ((spark, _) => {
-      Multimodal.frameSample(Multimodal.synthesize(spark, 300), everyN = 2)
+      // raw byte-block payloads AND real animated GIFs in one table:
+      // frameSampleDecoded parses the GIF container to actual frames
+      // (re-encoded PNG) and falls back to fixed-size blocks for the
+      // codec-less synthetic "rawvid" payloads (round 12)
+      val media = Multimodal.synthesize(spark, 300)
+        .union(Multimodal.synthesizeGif(spark, 50, nFrames = 6))
+      Multimodal.frameSampleDecoded(media, everyN = 2)
         .toDF()
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).as("frame_bytes"))

@@ -46,6 +46,49 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("multi-frame GIF container parses to EXACT per-frame pixels; " +
+      "codec-less payloads keep the byte-block fallback") {
+    val nFrames = 6
+    val gifs = Multimodal.synthesizeGif(spark, 10, nFrames)
+    // every synthesized payload is a real GIF (signature + real writer)
+    gifs.collect().foreach { r =>
+      assert(r.payload.take(3).map(_.toChar).mkString === "GIF",
+        s"media ${r.media_id} is not a GIF container")
+    }
+    val frames = Multimodal.frameSampleDecoded(gifs, everyN = 2).collect()
+    // 6 frames sampled every 2nd → indices 0, 2, 4 per item
+    assert(frames.length === 10 * 3)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    // decoded frames round-trip to the ground-truth pixel function —
+    // the indexed-gray GIF write is lossless, so equality is EXACT
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      assert(img.getWidth === 8 && img.getHeight === 8)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val gray = img.getRGB(x, y) & 0xff
+        val want = Multimodal.gifPixel(f.media_id, f.frame_idx, x, y)
+        assert(gray === want,
+          s"media ${f.media_id} frame ${f.frame_idx} pixel ($x,$y): " +
+            s"decoded $gray != synthesized $want")
+      }
+    }
+    // mixed table: rawvid payloads still take the byte-block fallback
+    val mixed = Multimodal.frameSampleDecoded(
+      media.union(gifs), everyN = 2).collect()
+    val rawFrames = mixed.filter(_.media_id < 500000L)
+    assert(rawFrames.nonEmpty)
+    assert(rawFrames.forall(_.frame.length == Multimodal.FrameBytes),
+      "byte-block fallback lost its fixed frame size")
+    // a corrupt GIF degrades to the fallback, never throws
+    import spark.implicits._
+    val corrupt = Seq(Multimodal.MediaRecord(999999L, "video",
+      Multimodal.MediaMeta("gif", 8, 8, 0, 2),
+      "GIF89a".getBytes ++ Array.tabulate[Byte](64)(_.toByte))).toDS()
+    val degraded = Multimodal.frameSampleDecoded(corrupt, everyN = 1).collect()
+    assert(degraded.nonEmpty, "corrupt GIF should fall back, not vanish")
+  }
+
   test("resizeMeta rewrites metadata without touching payloads") {
     val resized = Multimodal.resizeMeta(media.toDF(), 32, 32)
     assert(resized.select("meta.width").distinct().collect()

@@ -35,10 +35,11 @@ import sys
 ISO_RE = re.compile(
     r'"(\w+)":\{"sec":([0-9.eE+-]+),"load_before":[0-9.eE+-]+,'
     r'"load_after":[0-9.eE+-]+,"contended":(true|false)\}')
+CALIB_RE = re.compile(r'"calib_sec":([0-9.eE+-]+)')
 
 
 def load_isolated(path):
-    """-> {query: (sec, contended)} from a bench line or driver wrapper."""
+    """-> ({query: (sec, contended)}, calib_sec|None)."""
     with open(path) as f:
         raw = f.read()
     try:
@@ -46,12 +47,15 @@ def load_isolated(path):
     except json.JSONDecodeError:
         doc = None
     if isinstance(doc, dict) and "isolated_detail" in doc:
-        return {q: (v["sec"], v["contended"])
-                for q, v in doc["isolated_detail"].items()}
+        return ({q: (v["sec"], v["contended"])
+                 for q, v in doc["isolated_detail"].items()},
+                doc.get("calib_sec"))
     # driver wrapper: regex-recover from the (possibly truncated) tail
     text = doc.get("tail", raw) if isinstance(doc, dict) else raw
-    return {q: (float(sec), flag == "true")
-            for q, sec, flag in ISO_RE.findall(text)}
+    calib = CALIB_RE.search(text)
+    return ({q: (float(sec), flag == "true")
+             for q, sec, flag in ISO_RE.findall(text)},
+            float(calib.group(1)) if calib else None)
 
 
 def waivers(baseline_md):
@@ -70,12 +74,24 @@ def main():
                     default=os.path.join(os.path.dirname(__file__), "..", "BASELINE.md"))
     args = ap.parse_args()
 
-    cur = load_isolated(args.current)
-    prev = load_isolated(args.prior)
+    cur, cur_calib = load_isolated(args.current)
+    prev, prev_calib = load_isolated(args.prior)
     if not cur or not prev:
         print(f"benchguard: no isolated samples parsed "
               f"(current={len(cur)}, prior={len(prev)}) — cannot gate", file=sys.stderr)
         return 1
+    # Drift normalization (round 12): both artifacts carry a fixed
+    # CPU-bound calibration probe; dividing current times by the calib
+    # ratio cancels box-speed drift (the host slows ~2x intra-day,
+    # invisible to loadavg) so the gate flags PLAN changes, not the
+    # box. Applied in both directions — a faster box must not hide a
+    # genuine regression either. Falls back to raw comparison when
+    # either side predates the probe.
+    scale = 1.0
+    if cur_calib and prev_calib and prev_calib > 0:
+        scale = cur_calib / prev_calib
+        print(f"benchguard: calib {prev_calib:.3f}s -> {cur_calib:.3f}s "
+              f"(box-speed ratio {scale:.2f}; isolated diffs normalized)")
     waived = waivers(args.baseline_md)
 
     regressions, skipped = [], []
@@ -85,18 +101,20 @@ def main():
         if c_cont or p_cont:
             skipped.append(q)
             continue
-        if p_sec > 0 and c_sec > p_sec * (1 + args.threshold):
-            regressions.append((q, p_sec, c_sec))
+        c_norm = c_sec / scale
+        if p_sec > 0 and c_norm > p_sec * (1 + args.threshold):
+            regressions.append((q, p_sec, c_norm))
 
     for q in skipped:
         print(f"benchguard: SKIP {q} (contended sample)")
     ok = True
+    norm = " (normalized)" if scale != 1.0 else ""
     for q, p, c in regressions:
         if q in waived:
-            print(f"benchguard: WAIVED {q}: {p:.2f}s -> {c:.2f}s "
+            print(f"benchguard: WAIVED {q}: {p:.2f}s -> {c:.2f}s{norm} "
                   f"(+{(c / p - 1) * 100:.0f}%, benchguard-ok note in BASELINE.md)")
         else:
-            print(f"benchguard: REGRESSION {q}: {p:.2f}s -> {c:.2f}s "
+            print(f"benchguard: REGRESSION {q}: {p:.2f}s -> {c:.2f}s{norm} "
                   f"(+{(c / p - 1) * 100:.0f}% > +{args.threshold * 100:.0f}%) — "
                   f"add a 'benchguard-ok: {q}' note to BASELINE.md explaining the "
                   f"cost, or fix the plan", file=sys.stderr)
