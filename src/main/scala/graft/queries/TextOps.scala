@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
 import graft.operators.{BandGuard, Ckpt, CkptMode}
-import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, ShingleJoin, SimHash64, WinnowPrints}
+import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, NormalizeNfc, ShingleJoin, SimHash64, WinnowPrints}
 
 /** Text-pipeline operators over the `documents` corpus: deduplication
   * (exact, Jaccard, MinHash-LSH), corpus analytics, term frequency,
@@ -1376,6 +1376,31 @@ object TextOps extends QueryPack {
     // synthetic email is injected into every 7th doc IN-QUERY and the
     // operator must find exactly those. Embarrassingly parallel
     // per-row regexp_replace; counts/char-deltas are exact integers.
+    // Unicode NFC canonicalization (round 12): the pass every
+    // hash-based operator upstream depends on — precomposed U+00E9 and
+    // decomposed e+U+0301 are the SAME visible text but different
+    // bytes, so unnormalized corpora leak exact-dup/minhash/winnow
+    // misses. The fixture text is ASCII (already NFC), so the query
+    // PLANTS decomposed sequences on doc_id % 7 and the output proves
+    // both directions: planted rows change under NFC, everything else
+    // passes through byte-identical. Runs the codegen'd NormalizeNfc
+    // expression (JDK java.text.Normalizer; DuckDB's nfc_normalize is
+    // the same Unicode algorithm, which makes this custom Expression
+    // hash-matchable — rare for the expressions pack).
+    "q_text_normalize" -> ((spark, sfDir) => {
+      val planted = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" caf"), lit("e\u0301")))
+            .otherwise(col("text")).as("txt"))
+      planted
+        .select(col("doc_id"), col("source"),
+          NormalizeNfc(col("txt")).as("norm"),
+          (NormalizeNfc(col("txt")) =!= col("txt")).as("changed"),
+          (length(col("txt")) - length(NormalizeNfc(col("txt"))))
+            .cast("long").as("cp_removed"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_redact" -> ((spark, sfDir) => {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val docs = Tables.documents(spark, sfDir)
@@ -2063,6 +2088,18 @@ object TextOps extends QueryPack {
         |  COUNT(*) FILTER (WHERE rep_frac > 0.2) AS n_repetitive,
         |  ROUND(MAX(rep_frac), 6) AS max_rep
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || 'e' || chr(769)
+        |      ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id, source, nfc_normalize(txt) AS norm,
+        |  nfc_normalize(txt) <> txt AS changed,
+        |  CAST(length(txt) - length(nfc_normalize(txt)) AS BIGINT)
+        |    AS cp_removed
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """WITH d AS (

@@ -252,4 +252,36 @@ class ExpressionSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("array<float>"), e.getMessage)
   }
+
+  test("NormalizeNfc: composes decomposed sequences, identity on NFC " +
+      "text, null-safe, codegen/interpreted parity") {
+    import spark.implicits._
+    import graft.expressions.NormalizeNfc
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // e + combining acute -> precomposed
+      ("caf\u00e9", "caf\u00e9"),    // already NFC: byte-identical
+      ("A\u030aa", "\u00c5a"),       // A + combining ring -> precomposed
+      ("plain ascii", "plain ascii"),
+      ("", ""))
+      .toDF("s", "want")
+    def run(codegen: Boolean): Seq[(String, String)] = {
+      var out = Seq.empty[(String, String)]
+      withSQLConf("spark.sql.codegen.wholeStage" -> codegen.toString) {
+        out = rows.select(col("want"), NormalizeNfc(col("s")).as("got"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      }
+      out
+    }
+    for (mode <- Seq(true, false); (want, got) <- run(mode))
+      assert(got === want, s"codegen=$mode")
+    // null-in → null-out
+    val n = Seq(Tuple1(null: String)).toDF("s")
+      .select(NormalizeNfc(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+    // non-string input rejected at analysis
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(1)).toDF("i").select(NormalizeNfc(col("i"))).collect()
+    }
+    assert(e2.getMessage.contains("string"), e2.getMessage)
+  }
 }
