@@ -150,6 +150,60 @@ object EventsAnalytics extends QueryPack {
     // unusable under a hash gate, same rationale as q_agg_corr). The
     // stats side is one row per event type (domain-bounded) but carries
     // no broadcast hint: AQE sees its runtime size and promotes it.
+    // Exponentially-weighted moving average per user (round 12): the
+    // time-series smoothing a metrics/feature pipeline applies to
+    // per-entity event streams. EWMA is inherently sequential
+    // (s_t = 0.9 s_{t-1} + 0.1 x_t), so it runs as a per-user
+    // collect_list + explicit left fold — first element as the
+    // initial accumulator, exactly DuckDB's list_reduce contract, so
+    // the double fold is bit-identical across engines (the
+    // q_text_fingerprint idiom, float edition). Per-key state is one
+    // user's history (the sessionize caveat: bounded by per-entity
+    // activity, not corpus size); everything before the fold is one
+    // user_id shuffle.
+    "q_events_ewma" -> ((spark, sfDir) => {
+      val ordered = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("value")))),
+            s => s.getField("value")).as("vals"))
+      ordered
+        .select(col("user_id"), col("n_events"),
+          aggregate(
+            slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+            element_at(col("vals"), 1),
+            (acc, x) => acc * 0.9 + x * 0.1).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Winsorized feature clipping per group (round 12): clip value to
+    // the [p10, p90] band of its event_type — the outlier-robust
+    // feature prep every tabular pipeline runs before
+    // normalization/training. Percentiles via the exact interpolated
+    // percentile() (quantile_cont twin, q_agg_percentile_cont seam);
+    // the per-type band is domain-bounded and joins back AQE-promoted;
+    // clipping is map-side; the closing aggregate sums in decimal and
+    // closes with single double divisions.
+    "q_feature_winsorize" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val band = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.1)").as("lo"),
+          expr("percentile(value, 0.9)").as("hi"))
+      e.join(band, "event_type")
+        .withColumn("w", greatest(least(col("value"), col("hi")), col("lo")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("w") =!= col("value"), 1L).otherwise(0L)).as("n_clipped"),
+          (sum(col("value").cast("decimal(28,6)")).cast("double")
+            / count(lit(1))).as("mean_raw"),
+          (sum(col("w").cast("decimal(28,6)")).cast("double")
+            / count(lit(1))).as("mean_winsor"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_events_anomaly" -> ((spark, sfDir) => {
       val e = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), dec(col("value")).as("x"))
@@ -440,6 +494,30 @@ object EventsAnalytics extends QueryPack {
         |wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY d)
         |SELECT days.d, dau, wau, CAST(dau AS DOUBLE)/wau AS stickiness
         |FROM days JOIN wau USING (d) ORDER BY d""".stripMargin,
+
+    "q_events_ewma" ->
+      """WITH o AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY ts, event_id, value) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
+        |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_feature_winsorize" ->
+      """WITH band AS (
+        |  SELECT event_type, quantile_cont(value, 0.1) AS lo,
+        |    quantile_cont(value, 0.9) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN GREATEST(LEAST(e.value, hi), lo) <> e.value
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |    AS mean_raw,
+        |  CAST(SUM(CAST(GREATEST(LEAST(e.value, hi), lo) AS DECIMAL(28,6)))
+        |    AS DOUBLE) / COUNT(*) AS mean_winsor
+        |FROM events e JOIN band USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH e AS (
