@@ -62,6 +62,37 @@ class SimilaritySpec extends SparkSuite {
       "a doc outside the near-dup graph was dropped")
   }
 
+  test("prefix-filtered Jaccard join equals the token-join plan " +
+      "pair-for-pair; rare-prefix candidates behave on a sparse corpus") {
+    val docs = Tables.documents(spark, Sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-plan equivalence: the lossless prefix filter must return
+    // EXACTLY the all-shared-token join's pairs (the oracle asserts
+    // this against DuckDB; this asserts it between the two Spark plans)
+    val full = key(TextOps.jaccardPairs(docs, 0.8))
+    val pref = key(TextOps.prefixJaccardPairs(docs, 4, 5))
+    assert(full.nonEmpty, "fixture produced no Jaccard pairs — vacuous")
+    assert(pref === full,
+      s"prefix filter diverged: missing=${(full -- pref).take(5)} " +
+        s"extra=${(pref -- full).take(5)}")
+    // sparse corpus: only the true near-dup pair survives; a pair
+    // sharing 4 of 6 tokens (J=0.67) must be excluded by the verify
+    import spark.implicits._
+    val sparse = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s"),
+      (2L, "alpha beta gamma delta zeta", "s"),
+      (3L, "alpha beta gamma delta epsilon", "s"),
+      (4L, "completely different tokens here now", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(key(TextOps.prefixJaccardPairs(sparse, 4, 5)) === Set((1L, 3L)))
+    // single-token docs exercise the plen floor (sz=1 -> prefix=1)
+    val tiny = Seq((1L, "solo", "s"), (2L, "solo", "s"), (3L, "other", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(key(TextOps.prefixJaccardPairs(tiny, 4, 5)) === Set((1L, 2L)))
+  }
+
   test("PQ ANN: re-ranked top-10 quality vs exact brute force") {
     val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
     val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
