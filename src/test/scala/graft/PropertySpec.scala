@@ -180,4 +180,67 @@ class PropertySpec extends SparkSuite {
       assert(l1 <= 2 * lev(a, b), s"bound violated for '$a' vs '$b'")
     }
   }
+
+  /** The q_dedup_prefix length formula, extracted (integer-exact
+    * ceil: (sz·tNum + tDen − 1) div tDen). */
+  private def prefixLen(sz: Int, tNum: Int, tDen: Int): Int =
+    sz - (sz * tNum + tDen - 1) / tDen + 1
+
+  test("prefix-filter theorem holds on random set corpora: every " +
+      "over-threshold pair shares a token within both prefixes") {
+    // random families of token sets over a small alphabet (forces
+    // collisions); canonical order = (global frequency asc, token asc),
+    // exactly prefixJaccardPairs' sort key
+    val corpus = Gen.choose(2, 14).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 12).flatMap(sz =>
+        Gen.listOfN(sz, Gen.choose(0, 19)).map(_.toSet))))
+    val cases = samples(corpus, 300)
+    assert(cases.size > 200)
+    for (ts <- Seq((4, 5), (1, 2), (9, 10)); sets <- cases) {
+      val (tNum, tDen) = ts
+      val t = tNum.toDouble / tDen
+      val freq = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def canon(s: Set[Int]): Seq[Int] =
+        s.toSeq.sortBy(x => (freq(x), x))
+      def prefix(s: Set[Int]): Set[Int] =
+        canon(s).take(prefixLen(s.size, tNum, tDen)).toSet
+      for {
+        i <- sets.indices; j <- sets.indices if i < j
+        a = sets(i); b = sets(j)
+        inter = (a & b).size
+        jac = inter.toDouble / (a.size + b.size - inter)
+        if jac >= t
+      } assert((prefix(a) & prefix(b)).nonEmpty,
+        s"t=$tNum/$tDen: J=$jac pair escaped the prefixes: $a vs $b " +
+          s"(prefixes ${prefix(a)} / ${prefix(b)})")
+    }
+  }
+
+  test("NFC normalization is idempotent and its output is normalized, " +
+      "on random strings with combining marks") {
+    import java.text.Normalizer
+    val char = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('e', 'a', 'o', 'A', 'n'),
+      // combining acute/grave/ring/tilde/cedilla — the decomposed parts
+      Gen.oneOf('\u0301', '\u0300', '\u030a', '\u0303', '\u0327'),
+      Gen.oneOf('\u00e9', '\u00c5', '\u00df', '\u65e5', '\u00fc'))
+    val str = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, char).map(_.mkString))
+    val cases = samples(str, 400)
+    assert(cases.size > 300)
+    val expr = graft.expressions.NormalizeNfc(
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        org.apache.spark.sql.functions.col("s")))
+    cases.foreach { s =>
+      val once = expr.nullSafeEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      assert(Normalizer.isNormalized(once, Normalizer.Form.NFC),
+        s"output not NFC for input '$s'")
+      assert(once == Normalizer.normalize(s, Normalizer.Form.NFC),
+        s"expression diverges from java.text.Normalizer on '$s'")
+      val twice = expr.nullSafeEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString
+      assert(twice == once, s"not idempotent on '$s'")
+    }
+  }
 }

@@ -16,6 +16,8 @@ import graft.operators.ScdApply
   * visible. */
 class ScdApplySpec extends SparkSuite {
 
+  private type Row4 = (Long, Double, Timestamp, Option[Timestamp])
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   /** Base SCD2 table with a deliberate GAP for key 1 (history rows
@@ -79,5 +81,68 @@ class ScdApplySpec extends SparkSuite {
     val twice = ScdApply(once, delta(), "k", "v", "eff_from", "eff_to")
     assert(rows(twice) === rows(once),
       "replaying the same batch changed the dimension")
+  }
+
+  test("random change batches match an in-memory reference model") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // reference semantics, straight from the scaladoc: value-equal
+    // against the open version => no-op; else close the open version
+    // at the delta ts and insert a new open one; absent keys insert
+    def reference(b: Seq[Row4], d: Seq[(Long, Double, Timestamp)]): Set[Row4] = {
+      val open = b.collect { case (k, v, _, None) => k -> v }.toMap
+      val eff = d.filter { case (k, v, _) => !open.get(k).contains(v) }
+      val effKeys = eff.map(_._1).toSet
+      val closed = b.map {
+        case (k, v, f, None) if effKeys.contains(k) =>
+          (k, v, f, Some(eff.find(_._1 == k).get._3))
+        case r => r
+      }
+      (closed ++ eff.map { case (k, v, f) => (k, v, f, None) }).toSet
+    }
+    val hourMs = 3600L * 1000
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    // per key: 0-3 closed versions then possibly one open version,
+    // at strictly increasing hours
+    val histGen = Gen.sequence[Seq[Option[(Int, Boolean)]], Option[(Int, Boolean)]](
+      (1 to 6).map(_ => Gen.option(Gen.zip(Gen.choose(1, 3), Gen.oneOf(true, false)))))
+    val deltaGen = Gen.someOf(1 to 8).flatMap(ks =>
+      Gen.sequence[Seq[(Int, Int)], (Int, Int)](
+        ks.map(k => Gen.choose(0, 4).map(v => (k, v)))))
+    val cases = (1 to 8).flatMap(i =>
+      Gen.zip(histGen, deltaGen).apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size >= 6)
+    cases.foreach { case (hists, deltas) =>
+      val baseRows: Seq[Row4] = hists.zipWithIndex.flatMap {
+        case (None, _) => Seq.empty
+        case (Some((nVers, hasOpen)), i) =>
+          val k = (i + 1).toLong
+          val versions = (0 until nVers).map { j =>
+            (k, (j * 10 + i).toDouble, new Timestamp(t0 + j * hourMs),
+              Some(new Timestamp(t0 + (j + 1) * hourMs)))
+          }
+          if (hasOpen)
+            versions :+ ((k, 99.0 + i, new Timestamp(t0 + nVers * hourMs),
+              None: Option[Timestamp]))
+          else versions
+      }
+      val deltaTs = new Timestamp(t0 + 100 * hourMs)
+      val deltaRows = deltas.map { case (k, v) =>
+        // v == 0 re-submits the open value when one exists (no-op path)
+        val openV = baseRows.collectFirst {
+          case (kk, vv, _, None) if kk == k.toLong => vv }
+        (k.toLong, if (v == 0) openV.getOrElse(7.5) else v * 100.0, deltaTs)
+      }
+      val got = rows(ScdApply(
+        spark.createDataFrame(baseRows)
+          .toDF("k", "v", "eff_from", "eff_to"),
+        spark.createDataFrame(deltaRows).toDF("k", "v", "eff_from"),
+        "k", "v", "eff_from", "eff_to"))
+      val want = reference(baseRows, deltaRows)
+      assert(got === want,
+        s"model mismatch: only-got=${(got -- want).take(3)} " +
+          s"only-want=${(want -- got).take(3)} base=$baseRows delta=$deltaRows")
+    }
   }
 }
