@@ -118,10 +118,16 @@ object TextOps extends QueryPack {
     * single PREFIX token is the one residual hot spot BandGuard would
     * cap at the cost of the lossless guarantee — this operator keeps
     * exactness and documents the trade. */
-  def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    prefixJaccardOver(distinctTokens(docs), tNum, tDen)
+
+  /** [[prefixJaccardPairs]]' core over arbitrary (doc_id, source, tok)
+    * rows — shared with the shingle form, where near-unique shingles
+    * make rare-first prefixes even more selective. */
+  private def prefixJaccardOver(toks: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
     val threshold = tNum.toDouble / tDen
-    val toks = distinctTokens(docs)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     val byDoc = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"), col("source"))
