@@ -50,6 +50,7 @@ object LogReg {
     val n = frame.count().toDouble
     require(n > 0, "empty training frame")
     var w = Array.fill(dim)(0.0)
+    try {
     var i = 0
     while (i < iters) {
       val grad = frame
@@ -64,7 +65,7 @@ object LogReg {
       w = Array.tabulate(dim)(j => w(j) - lr * grad.getOrElse(j, 0.0) / n)
       i += 1
     }
-    Ckpt.release(frame, ckpt)
+    } finally Ckpt.release(frame, ckpt) // release even on a failed round
     w
   }
 

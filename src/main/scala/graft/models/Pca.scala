@@ -39,8 +39,12 @@ object Pca {
     require(k >= 1 && k <= dim)
     val sampled =
       if (sampleOneIn <= 1) emb
-      // range-form hash sample — same mixer discipline as pqTrain
-      else emb.filter((col(idCol) * 2654435761L) % 100 < lit(100 / sampleOneIn))
+      // xxhash64 residue sample: exact 1-in-sampleOneIn for ANY rate
+      // (the pqTrain-style `(id * C) % 100 < 100/oneIn` form
+      // integer-divides to zero past oneIn = 100 and overflows the
+      // multiply under ANSI at ids > 2^31), still a pure reproducible
+      // row predicate
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn.toLong)) === 0)
     val rows = sampled.select(col(embCol).cast("array<double>").as("x"))
     val n = rows.count().toDouble
     require(n > 1, "PCA needs at least two rows")

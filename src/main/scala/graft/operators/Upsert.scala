@@ -80,12 +80,24 @@ object ScdApply {
 
   def apply(base: DataFrame, delta: DataFrame, key: String,
       value: String, from: String, to: String): DataFrame = {
+    // the documented precondition, ENFORCED: a batch with two rows for
+    // one key would fan the close-join out and insert two open
+    // versions — silent dimension corruption; fail loudly instead
+    // (pre-collapse multi-change batches with Upsert keep-latest
+    // first). Batch-sized action, one tiny aggregate.
+    require(delta.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      s"ScdApply: delta carries multiple rows for one '$key' — " +
+        "pre-collapse the batch (keep-latest) before applying")
     val open = base.filter(col(to).isNull)
       .select(col(key).as("__k"), col(value).as("__cur"))
     // effective delta rows: new keys, or keys whose current value
-    // actually changes (value-equal rows are no-ops)
+    // actually changes (value-equal rows are no-ops). Null-SAFE
+    // comparison: a NULL delta value (nulling an attribute out) and a
+    // NULL current value must compare as values, not propagate NULL
+    // through =!= and silently drop the change.
     val eff = delta.join(open, col(key) === col("__k"), "left")
-      .filter(col("__k").isNull || col(value) =!= col("__cur"))
+      .filter(col("__k").isNull || !(col(value) <=> col("__cur")))
       .drop("__k", "__cur")
       .withColumn(to, lit(null).cast(base.schema(to).dataType))
     val changed = eff.select(col(key).as("__ck"), col(from).as("__nf"))

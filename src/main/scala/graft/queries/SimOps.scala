@@ -322,7 +322,10 @@ object SimOps extends QueryPack {
     // range-form hash sample: multiply-then-compare-range actually
     // mixes residues (an ==0 residue test is blind to the multiplier
     // and degenerates to plain modulo — correlated id blocks would
-    // bias the sample)
+    // bias the sample). Valid domain: sampleOneIn a divisor of 100
+    // (the integer 100/sampleOneIn is the kept-residue count) and ids
+    // below 2^31 (the multiply stays inside Long); Pca.fit carries the
+    // xxhash64-residue form that lifts both limits
     // the seed pass and every Lloyd iteration re-read this — slice once
     val segRows = Ckpt.materialize(emb
       .filter((col("vec_id") * 2654435761L) % 100 < lit(100 / sampleOneIn))

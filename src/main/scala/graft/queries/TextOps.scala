@@ -136,8 +136,7 @@ object TextOps extends QueryPack {
         s => s.getField("tok")).as("stoks"))
       .withColumn("sz", size(col("stoks")))
       .withColumn("plen",
-        (col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1)
-          .cast("int"))
+        expr(s"CAST(sz - (sz * $tNum + ${tDen - 1}) DIV $tDen + 1 AS INT)"))
     val pref = byDoc.select(col("doc_id"), col("source"),
       explode(slice(col("stoks"), lit(1), col("plen"))).as("tok"))
     val cand = pref.as("a").join(pref.as("b"),

@@ -58,13 +58,7 @@ class PcaSpec extends SparkSuite {
     import spark.implicits._
     // x = a*e0 + b*e1 + c*e2 + tiny noise: variance concentrates in a
     // known 3-d subspace; PCA must put ~all mass in its top 3
-    def mix(x0: Long): Long = {
-      var z = x0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    def u(x: Long): Double = ((mix(x) & 0x3ff).toDouble / 1024.0) - 0.5
+    def u(x: Long): Double = ((mix64(x) & 0x3ff).toDouble / 1024.0) - 0.5
     val rows = (0 until 800).map { i =>
       val (a, b, c) = (u(i * 7L + 1) * 3, u(i * 7L + 2) * 2, u(i * 7L + 3))
       val v = Array.tabulate(Dim) { d =>

@@ -83,6 +83,41 @@ class ScdApplySpec extends SparkSuite {
       "replaying the same batch changed the dimension")
   }
 
+  test("NULL value transitions apply (null-safe no-op comparison) and " +
+      "multi-row-per-key batches fail loudly") {
+    import spark.implicits._
+    val b = Seq(
+      (1L, Some(10.0), ts("2024-01-01 00:00:00"), None: Option[Timestamp]),
+      (2L, None: Option[Double], ts("2024-01-01 00:00:00"), None: Option[Timestamp]))
+      .toDF("k", "v", "eff_from", "eff_to")
+    val d = Seq(
+      (1L, None: Option[Double], ts("2024-06-01 00:00:00")), // value -> NULL
+      (2L, Some(5.0), ts("2024-06-01 00:00:00")))            // NULL -> value
+      .toDF("k", "v", "eff_from")
+    val out = ScdApply(b, d, "k", "v", "eff_from", "eff_to")
+      .select("k", "v", "eff_from", "eff_to").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getTimestamp(2),
+        Option(r.getTimestamp(3)))).toSet
+    val t6 = ts("2024-06-01 00:00:00")
+    assert(out === Set(
+      (1L, Some(10.0), ts("2024-01-01 00:00:00"), Some(t6)),
+      (1L, None, t6, None),
+      (2L, None, ts("2024-01-01 00:00:00"), Some(t6)),
+      (2L, Some(5.0), t6, None)),
+      s"NULL transitions mishandled: $out")
+    // and a NULL -> NULL resubmission is a no-op, not a new version
+    val noop = ScdApply(b, Seq((2L, None: Option[Double], t6))
+        .toDF("k", "v", "eff_from"), "k", "v", "eff_from", "eff_to")
+    assert(noop.count() === b.count(), "NULL==NULL resubmit must no-op")
+    // documented precondition now enforced: two delta rows for one key
+    val dup = Seq((1L, Some(5.0), t6), (1L, Some(6.0), t6))
+      .toDF("k", "v", "eff_from")
+    val e = intercept[IllegalArgumentException] {
+      ScdApply(b, dup, "k", "v", "eff_from", "eff_to")
+    }
+    assert(e.getMessage.contains("pre-collapse"), e.getMessage)
+  }
+
   test("random change batches match an in-memory reference model") {
     import spark.implicits._
     import org.scalacheck.Gen

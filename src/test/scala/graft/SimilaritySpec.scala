@@ -433,14 +433,7 @@ class SimilaritySpec extends SparkSuite {
     // lower-id filler cell-mate as hub and lose the cluster — the
     // exact failure the pre-collapse guard exists to make impossible.
     val dim = 32
-    def mix(x0: Long): Long = {
-      var z = x0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    def noise(i: Int): Seq[Float] = Seq.tabulate(dim)(j =>
-      ((mix(i * 1024L + j) & 0x3ff).toFloat / 1024f) - 0.5f)
+    def noise(i: Int): Seq[Float] = noiseVec(i.toLong, dim)
     val fillers = (0 until 60).map(i => (100L + i, noise(i)))
     val viralVec = noise(999)
     val viral = (0 until 41).map(i => (10000L + i, viralVec))

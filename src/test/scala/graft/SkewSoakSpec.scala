@@ -115,14 +115,7 @@ class SkewSoakSpec extends SparkSuite {
     // cellCap backstop can bound. Viral ids are the corpus minimum so
     // the star hub is a cluster member and connectivity survives.
     val dim = 32
-    def mix(x0: Long): Long = {
-      var z = x0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    def noise(i: Int): Seq[Float] = Seq.tabulate(dim)(j =>
-      ((mix(i * 1024L + j) & 0x3ff).toFloat / 1024f) - 0.5f)
+    def noise(i: Int): Seq[Float] = noiseVec(i.toLong, dim)
     val viralVec = noise(999)
     val viral = (0 until ViralN).map { i =>
       val v = viralVec.zipWithIndex.map { case (x, j) =>

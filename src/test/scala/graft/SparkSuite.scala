@@ -13,6 +13,22 @@ trait SparkSuite extends AnyFunSuite {
 
   val Sf = "/root/testdata/sf0.001"
 
+
+  /** splitmix64-style mixer + derived uniform noise — the shared
+    * fixture randomness for viral-cluster / soak / PCA suites (a raw
+    * `(x * C) % m` is linear mod m and produces arithmetic
+    * progressions, not noise). */
+  protected def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Pseudo-random float vector in [-0.5, 0.5)^dim, seeded by `i`. */
+  protected def noiseVec(i: Long, dim: Int): Seq[Float] =
+    Seq.tabulate(dim)(j => ((mix64(i * 1024L + j) & 0x3ff).toFloat / 1024f) - 0.5f)
+
   /** Excludes the cosine rewrite for HOF-vs-native parity tests. */
   val NoCosineRewrite =
     "spark.sql.optimizer.excludedRules" -> "graft.plans.AccelerateCosine"
