@@ -98,6 +98,40 @@ object StreamOps {
         ()
       }
 
+
+  /** foreachBatch SCD2 (type-2) dimension MAINTENANCE: the streaming
+    * form of q_scd2_apply — each micro-batch of (key, value, eff_from)
+    * changes is keep-latest PRE-COLLAPSED per key (ScdApply's enforced
+    * one-row-per-key precondition; latest eff_from wins, value as the
+    * deterministic tiebreak) and applied to the current dimension:
+    * close the changed keys' open intervals, insert new open versions,
+    * no-op value-equal rows. Same durability discipline as
+    * [[upsertSink]]: the result pins (localCheckpoint) BEFORE the
+    * overwrite of the table it read. At-least-once replay is absorbed
+    * by ScdApply's value-equal no-op — a re-delivered batch finds every
+    * change already current and leaves the dimension untouched
+    * (StreamingIngestSpec). */
+  def scd2Sink(changes: DataFrame, tableDir: String, key: String,
+      value: String, from: String, to: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val emptyDelta = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        val collapsed = graft.operators.Upsert(
+          emptyDelta, batch.toDF(), Seq(key), from,
+          tiebreak = Seq(col(value).desc))
+        val base =
+          if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
+          else emptyDelta
+            .withColumn(to, lit(null).cast("timestamp"))
+        graft.operators.ScdApply(base, collapsed, key, value, from, to)
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+
   /** Stream-stream INTERVAL join: purchases matched to same-user
     * signups within the preceding hour. One equi key (user_id) plus a
     * bounded time-range residual — the equi key keeps it a shuffled

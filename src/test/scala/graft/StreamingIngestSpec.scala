@@ -15,6 +15,9 @@ case class ArrDoc(doc_id: Long, text: String, source: String, lang: String)
 /** Arriving vector for the foreachBatch ANN-ingest test. */
 case class ArrVec(vec_id: Long, embedding: Seq[Float])
 
+/** Arriving SCD2 change for the foreachBatch dimension-maintenance test. */
+case class Ch(k: Long, v: Double, eff_from: java.sql.Timestamp)
+
 /** End-to-end streaming ingest: the file-source checkpoint must provide
   * the reference's continueFrom semantics natively — a restarted query
   * with the same checkpoint dir picks up only files that arrived after
@@ -328,6 +331,46 @@ class StreamingIngestSpec extends SparkSuite {
     val safe = TextOps.appendToDedupIndex(surv, idxDir,
       compactAboveFiles = 1, targetBytes = 1L << 30)
     assert(safe.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
+  }
+
+  test("foreachBatch SCD2 maintenance: micro-batches of changes keep " +
+      "the dimension type-2 correct; a replayed batch no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"$root/stream_scd2_dim"
+    val mem = MemoryStream[Ch](spark)
+    val q = StreamOps.scd2Sink(mem.toDF(), dir, "k", "v", "eff_from", "eff_to")
+      .option("checkpointLocation", s"$root/stream_scd2_ck")
+      .start()
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def dim() = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[java.sql.Timestamp]("eff_from"),
+        Option(r.getAs[java.sql.Timestamp]("eff_to")))).toSet
+    try {
+      // seed: three new keys, plus an intra-batch double-change for k=1
+      // (the keep-latest pre-collapse path: latest eff_from wins)
+      mem.addData(Ch(1L, 10.0, t(1)), Ch(1L, 11.0, t(2)),
+        Ch(2L, 20.0, t(1)), Ch(3L, 30.0, t(1)))
+      q.processAllAvailable()
+      assert(dim() === Set(
+        (1L, 11.0, t(2), None), (2L, 20.0, t(1), None),
+        (3L, 30.0, t(1), None)))
+      // change k=1, value-equal no-op for k=2, brand-new k=4
+      mem.addData(Ch(1L, 99.0, t(5)), Ch(2L, 20.0, t(5)), Ch(4L, 40.0, t(5)))
+      q.processAllAvailable()
+      val afterBatch2 = Set(
+        (1L, 11.0, t(2), Some(t(5))), (1L, 99.0, t(5), None),
+        (2L, 20.0, t(1), None), (3L, 30.0, t(1), None),
+        (4L, 40.0, t(5), None))
+      assert(dim() === afterBatch2)
+      // at-least-once: the SAME batch re-delivered (crash between the
+      // table overwrite and the checkpoint commit) — every change is
+      // already current, so the dimension must come out untouched
+      mem.addData(Ch(1L, 99.0, t(5)), Ch(2L, 20.0, t(5)), Ch(4L, 40.0, t(5)))
+      q.processAllAvailable()
+      assert(dim() === afterBatch2, "replayed change batch mutated the dim")
+    } finally q.stop()
   }
 
   test("foreachBatch ANN ingest: micro-batches of vectors enter the " +
