@@ -16,7 +16,8 @@ object SparkEntry {
     Aggregations, Filters, Joins, SortsSets, Scalars, Windows,
     ArraysJson, TextOps, SimOps, ScansSinks, Streaming, Udfs,
     MultimodalPack, Subqueries, Reshape, Warehouse, Composites,
-    CompositesB, EventsAnalytics, Curation, Governance, Learned
+    CompositesB, EventsAnalytics, Curation, Governance, Learned,
+    Matching
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -377,6 +377,53 @@ object Multimodal {
     }
   }
 
+  case class Spectro(media_id: Long, sample_rate: Int, n_samples: Int,
+      dominant_bin: Int, dominant_hz: Double, total_energy: Double,
+      band_energy: Array[Double])
+
+  /** Frequency-domain audio features over DECODED samples: an `nFft`-
+    * point power spectrum ([[Fft]], pure-JVM radix-2) collapsed into
+    * `nBands` equal-width band energies, plus the dominant bin and its
+    * frequency in Hz — the spectral signature an audio-curation pass
+    * filters on (tone vs noise vs silence; bandwidth checks; codec-
+    * artifact screens). DC (bin 0) is excluded so a constant offset
+    * never claims dominance; the one-sided spectrum covers bins
+    * 1..nFft/2 with Nyquist in the last band. Samples are normalized
+    * to [-1, 1) before the transform so energies are comparable across
+    * bit depths. Embarrassingly parallel map — the FFT is per-row CPU
+    * on already-local payload bytes, nothing shuffles but the
+    * fixed-width feature rows. Non-decodable audio rows are dropped
+    * (the audioStats quarantine convention). */
+  def spectrogram(media: Dataset[MediaRecord], nFft: Int = 256,
+      nBands: Int = 8): Dataset[Spectro] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      WavCodec.decode(r.payload).map { wav =>
+        val re = new Array[Double](nFft)
+        val im = new Array[Double](nFft)
+        val n = math.min(wav.samples.length, nFft)
+        var i = 0
+        while (i < n) { re(i) = wav.samples(i) / 32768.0; i += 1 }
+        Fft.transform(re, im)
+        val half = nFft / 2
+        val bands = new Array[Double](nBands)
+        var dom = 1
+        var domP = -1.0
+        var tot = 0.0
+        var k = 1
+        while (k <= half) {
+          val p = re(k) * re(k) + im(k) * im(k)
+          tot += p
+          bands(math.min((k - 1) * nBands / half, nBands - 1)) += p
+          if (p > domP) { domP = p; dom = k }
+          k += 1
+        }
+        Spectro(r.media_id, wav.sampleRate, wav.samples.length, dom,
+          dom.toDouble * wav.sampleRate / nFft, tot, bands)
+      }
+    }
+  }
+
   /** 63-bit FNV-1a over UTF-8 bytes (sign bit cleared so ids sort with
     * human-assigned non-negative ones). */
   private[multimodal] def fnv63(s: String): Long = {
@@ -467,6 +514,62 @@ private[graft] object WavCodec {
     try AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     finally ais.close()
     out.toByteArray
+  }
+}
+
+/** In-place iterative radix-2 Cooley-Tukey FFT — pure JVM, no
+  * dependencies, executor-side per-row compute for
+  * [[Multimodal.spectrogram]]. Deterministic: fixed iteration order,
+  * twiddles advanced by complex multiplication from cos/sin of the
+  * stage angle (error O(n·ε), far inside the spec tolerances —
+  * FftSpec pins the impulse, Parseval, and planted-tone identities).
+  */
+object Fft {
+
+  /** Transforms `(re, im)` in place; length must be a power of two. */
+  def transform(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+      s"FFT size must be a power of 2, got $n")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val hi = blk + k + len / 2
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(hi) * cr - im(hi) * ci
+          val vi = re(hi) * ci + im(hi) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(hi) = ur - vr; im(hi) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
   }
 }
 

@@ -118,6 +118,40 @@ object Curation extends QueryPack {
     // happens; the single exchange carries partial bigram counts
     // (heavy hitters pre-combined per partition). The trailing
     // (last_token, null) zip element is the row to drop.
+    // Collocation extraction (round 12): statistically-associated
+    // adjacent token pairs — the phrase-mining upgrade of
+    // q_text_bigrams' raw counts. Association is LIFT
+    // p(xy)/(p(x)·p(y)) = nxy·N / (nx·ny), the log-free monotone twin
+    // of PMI: every operand is an exact int64 count, so the score is
+    // ONE double division of exact integers and hash-matches across
+    // engines (a log() would ride libm, which the §7.4 rules forbid in
+    // oracle-checked outputs). A support floor (nxy ≥ 20) kills the
+    // rare-pair lift explosion, then global top-15. Scale: pairs form
+    // map-side (token array zipped against its tail, the bigrams
+    // plan); the three count tables are vocabulary-sized; the final
+    // joins are count-table joins, never token-stream joins; N is a
+    // 1-row broadcast.
+    "q_text_collocations" -> ((spark, sfDir) => {
+      val pairs = Tables.documents(spark, sfDir)
+        .select(split(col("text"), " ").as("ws"))
+        .select(col("ws"), slice(col("ws"), lit(2), size(col("ws"))).as("tl"))
+        .select(explode(arrays_zip(col("ws"), col("tl"))).as("p"))
+        .filter(col("p.tl").isNotNull)
+        .select(col("p.ws").as("x"), col("p.tl").as("y"))
+      val tot = pairs.agg(count(lit(1)).as("n"))
+      val xc = pairs.groupBy(col("x")).agg(count(lit(1)).as("nx"))
+      val yc = pairs.groupBy(col("y")).agg(count(lit(1)).as("ny"))
+      val xy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+        .filter(col("nxy") >= 20)
+      xy.join(xc, "x").join(yc, "y")
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("nxy"),
+          ((col("nxy") * col("n")).cast("double") /
+            (col("nx") * col("ny")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("x"), col("y"))
+        .limit(15)
+    }),
+
     "q_text_bigrams" -> ((spark, sfDir) => {
       Tables.documents(spark, sfDir)
         .select(split(col("text"), " ").as("ws"))
@@ -346,6 +380,22 @@ object Curation extends QueryPack {
         |SELECT source, n_s, n_kept, rate
         |FROM kept JOIN rates USING (source)
         |ORDER BY source""".stripMargin,
+
+    "q_text_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |pairs AS (
+        |  SELECT ws[i] AS x, ws[i + 1] AS y
+        |  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |tot AS (SELECT COUNT(*) AS n FROM pairs),
+        |xc AS (SELECT x, COUNT(*) AS nx FROM pairs GROUP BY x),
+        |yc AS (SELECT y, COUNT(*) AS ny FROM pairs GROUP BY y),
+        |xy AS (
+        |  SELECT x, y, COUNT(*) AS nxy FROM pairs GROUP BY x, y
+        |  HAVING COUNT(*) >= 20)
+        |SELECT xy.x, xy.y, nxy,
+        |  CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE) AS lift
+        |FROM xy JOIN xc USING (x) JOIN yc USING (y) CROSS JOIN tot
+        |ORDER BY lift DESC, xy.x, xy.y LIMIT 15""".stripMargin,
 
     "q_text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

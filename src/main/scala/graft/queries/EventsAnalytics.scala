@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,6 +176,43 @@ object EventsAnalytics extends QueryPack {
             slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
             element_at(col("vals"), 1),
             (acc, x) => acc * 0.9 + x * 0.1).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Holt double-exponential (level + trend) smoothing per user
+    // (round 12): the forecasting upgrade of q_events_ewma — state is
+    // the PAIR (level, trend), folded over each user's ordered value
+    // stream with l' = α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t, and a
+    // one-step forecast l+t emitted alongside. Same scale shape as
+    // ewma (one user_id shuffle, per-key state is one user's history)
+    // and the same cross-engine determinism contract: the fold runs
+    // with FIRST-ELEMENT init ([x₁, 0] — exactly DuckDB list_reduce's
+    // contract, here with a 2-element array as the accumulator) and
+    // the lambda recomputes l' inline on both engines, so every IEEE
+    // double op executes in the same order and the doubles hash-match.
+    "q_events_holt" -> ((spark, sfDir) => {
+      val ordered = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("value")))),
+            s => s.getField("value")).as("vals"))
+      val lvl: (Column, Column) => Column = (acc, x) =>
+        lit(0.2) * x + lit(0.8) * (element_at(acc, 1) + element_at(acc, 2))
+      ordered
+        .select(col("user_id"), col("n_events"),
+          aggregate(
+            slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+            array(element_at(col("vals"), 1), lit(0.0)),
+            (acc, x) => array(
+              lvl(acc, x),
+              lit(0.3) * (lvl(acc, x) - element_at(acc, 1)) +
+                lit(0.7) * element_at(acc, 2))).as("st"))
+        .select(col("user_id"), col("n_events"),
+          element_at(col("st"), 1).as("level"),
+          element_at(col("st"), 2).as("trend"),
+          (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast"))
         .orderBy(col("user_id"))
     }),
 
@@ -503,6 +541,22 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_holt" ->
+      """WITH o AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY ts, event_id, value) AS vals
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_transform(vals, x -> [x, 0.0]),
+        |      (acc, x) -> [0.2 * x[1] + 0.8 * (acc[1] + acc[2]),
+        |        0.3 * (0.2 * x[1] + 0.8 * (acc[1] + acc[2]) - acc[1])
+        |          + 0.7 * acc[2]]) AS st
+        |  FROM o)
+        |SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+        |  st[1] + st[2] AS forecast
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "q_feature_winsorize" ->
       """WITH band AS (

@@ -28,6 +28,67 @@ object Governance extends QueryPack {
     // DECIMAL(22,4) end-to-end: the 1.1 factor multiply is exact at
     // scale 4, so change detection never compares rounded floats and
     // both engines agree bit-for-bit.
+    // Column profiling (round 12): per-column row/null/distinct/bounds
+    // stats — the ANALYZE-style data-quality summary a warehouse
+    // publishes per table. ONE scan: every stat is an aggregate of the
+    // same pass (multi-distinct via Catalyst's Expand, the
+    // q_agg_multidistinct plan), then a stack pivots the single stats
+    // row into one row per column. Bounds are strings so mixed types
+    // share a schema; the double column's bounds are ROUNDED to
+    // integers before casting — round is half-away-from-zero in both
+    // engines, while a raw double→long cast truncates in Spark and
+    // rounds in DuckDB (§7.4-grade seam, measured).
+    "q_profile_summary" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      o.agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("nn1"),
+          countDistinct(col("o_orderstatus")).as("nd1"),
+          min(col("o_orderstatus")).as("mn1"),
+          max(col("o_orderstatus")).as("mx1"),
+          count(col("o_orderpriority")).as("nn2"),
+          countDistinct(col("o_orderpriority")).as("nd2"),
+          min(col("o_orderpriority")).as("mn2"),
+          max(col("o_orderpriority")).as("mx2"),
+          count(col("o_custkey")).as("nn3"),
+          countDistinct(col("o_custkey")).as("nd3"),
+          min(col("o_custkey")).cast("string").as("mn3"),
+          max(col("o_custkey")).cast("string").as("mx3"),
+          count(col("o_totalprice")).as("nn4"),
+          countDistinct(col("o_totalprice")).as("nd4"),
+          round(min(col("o_totalprice"))).cast("long").cast("string").as("mn4"),
+          round(max(col("o_totalprice"))).cast("long").cast("string").as("mx4"))
+        .select(expr(
+          """stack(4,
+            |  'o_orderstatus',   n, nn1, nd1, mn1, mx1,
+            |  'o_orderpriority', n, nn2, nd2, mn2, mx2,
+            |  'o_custkey',       n, nn3, nd3, mn3, mx3,
+            |  'o_totalprice',    n, nn4, nd4, mn4, mx4)
+            |AS (col_name, n, n_nonnull, n_distinct, min_v, max_v)""".stripMargin))
+        .orderBy(col("col_name"))
+    }),
+
+    // k-anonymity audit (round 12): group rows by a quasi-identifier
+    // tuple (event_type, day, value band) and report, per event_type,
+    // how many QI groups fall below k=5 and how many rows they expose —
+    // the re-identification risk scan a privacy review runs before a
+    // data release (complements q_gdpr_delete's erasure and
+    // q_text_redact's masking). Two cheap aggregations: the QI group-by
+    // shuffles once on the full tuple, the rollup is group-count-sized.
+    "q_anon_kanon" -> ((spark, sfDir) => {
+      val q = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts").cast("date").as("d"),
+          floor(col("value") / 100).cast("long").as("vb"))
+      q.groupBy(col("event_type"), col("d"), col("vb"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_at_risk"),
+          min(col("k")).as("min_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_table_diff" -> ((spark, sfDir) => {
       val dec4 = "decimal(22,4)"
       val base = Tables.orders(spark, sfDir)
@@ -300,6 +361,41 @@ object Governance extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_profile_summary" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(o_orderstatus) AS nn1, COUNT(DISTINCT o_orderstatus) AS nd1,
+        |    MIN(o_orderstatus) AS mn1, MAX(o_orderstatus) AS mx1,
+        |    COUNT(o_orderpriority) AS nn2, COUNT(DISTINCT o_orderpriority) AS nd2,
+        |    MIN(o_orderpriority) AS mn2, MAX(o_orderpriority) AS mx2,
+        |    COUNT(o_custkey) AS nn3, COUNT(DISTINCT o_custkey) AS nd3,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn3,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS mx3,
+        |    COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+        |    CAST(CAST(ROUND(MIN(o_totalprice)) AS BIGINT) AS VARCHAR) AS mn4,
+        |    CAST(CAST(ROUND(MAX(o_totalprice)) AS BIGINT) AS VARCHAR) AS mx4
+        |  FROM orders)
+        |SELECT 'o_orderstatus' AS col_name, n, nn1 AS n_nonnull,
+        |  nd1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM s
+        |UNION ALL SELECT 'o_orderpriority', n, nn2, nd2, mn2, mx2 FROM s
+        |UNION ALL SELECT 'o_custkey', n, nn3, nd3, mn3, mx3 FROM s
+        |UNION ALL SELECT 'o_totalprice', n, nn4, nd4, mn4, mx4 FROM s
+        |ORDER BY col_name""".stripMargin,
+
+    "q_anon_kanon" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(FLOOR(value / 100) AS BIGINT) AS vb
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, d, vb, COUNT(*) AS k
+        |  FROM q GROUP BY event_type, d, vb)
+        |SELECT event_type, COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  MIN(k) AS min_k
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_table_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,

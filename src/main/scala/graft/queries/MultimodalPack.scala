@@ -59,6 +59,23 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Frequency-domain audio features (round 12): per-clip FFT power
+    // spectrum collapsed into 8 band energies + dominant frequency —
+    // REAL spectral analysis (pure-JVM radix-2 FFT over decoded PCM),
+    // the time-domain complement of q_multimodal_audio's RMS/peak.
+    // FftSpec pins the transform's analytic identities and a planted
+    // pure tone's exact dominant bin.
+    "q_multimodal_spectrogram" -> ((spark, _) => {
+      Multimodal.spectrogram(Multimodal.synthesize(spark, 300))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("dominant_bin"),
+          round(col("dominant_hz"), 3).as("dominant_hz"),
+          round(col("total_energy"), 6).as("total_energy"),
+          round(element_at(col("band_energy"), 1), 6).as("band_1"),
+          round(element_at(col("band_energy"), 8), 6).as("band_8"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_multimodal_audio" -> ((spark, _) => {
       Multimodal.audioStats(Multimodal.synthesize(spark, 300))
         .toDF()

@@ -901,7 +901,50 @@ object TextOps extends QueryPack {
       "a" -> "t", "e" -> "n", "n" -> "d", "e" -> "s", "o" -> "r",
       "t" -> "e", "e" -> "d")
 
+  /** Exact-substring dedup at k-token window granularity — the
+    * distributed approximation of suffix-array substring dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * window hashing replaces the suffix array, trading span-boundary
+    * precision for a two-aggregation Spark plan. Every doc emits its
+    * len−k+1 sliding k-token windows; a window occurring in MORE THAN
+    * ONE distinct doc marks those spans as cross-doc repeats (internal
+    * repetition within one doc does NOT count — that is
+    * q_text_repetition's signal). Returns per doc (doc_id, n_windows,
+    * n_repeated, repeat_ratio). Scale: windows shuffle once to count
+    * distinct docs per window, once more to roll up per doc; the
+    * group key here is the window STRING so the DuckDB oracle runs the
+    * identical plan — a production corpus keys on xxhash64(window)
+    * (one-line swap) to shuffle 8-byte keys instead of ~50-byte
+    * strings. Docs shorter than k tokens have no windows and are
+    * absent by definition. */
+  def repeatedWindows(docs: DataFrame, k: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => array_join(slice(col("ws"), i, lit(k)), " "))).as("win"))
+    val rep = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("win"), lit(1L).as("hit"))
+    wins.join(rep, Seq("win"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_repeated"))
+      .withColumn("repeat_ratio",
+        col("n_repeated").cast("double") / col("n_windows").cast("double"))
+  }
+
   override def queries: Map[String, Query] = Map(
+    // Exact-substring dedup at 8-token window granularity (round 12):
+    // which spans of each doc also appear verbatim elsewhere in the
+    // corpus — see [[repeatedWindows]].
+    "q_dedup_substring" -> ((spark, sfDir) => {
+      repeatedWindows(Tables.documents(spark, sfDir), 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup on a normalized key (first 8 tokens — the fixture has
     // no full-text duplicates); deterministic survivor = min doc_id.
     // Survivor selection is a min(struct) HASH aggregate, not a window
@@ -1730,6 +1773,24 @@ object TextOps extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wins AS (
+        |  SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS win
+        |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |rep AS (
+        |  SELECT win FROM wins GROUP BY win
+        |  HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN r.win IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repeated,
+        |  CAST(SUM(CASE WHEN r.win IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS repeat_ratio
+        |FROM wins w LEFT JOIN rep r ON w.win = r.win
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_survivors FROM (
         |  SELECT lang, ROW_NUMBER() OVER (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{IncrementalRollup, ScdApply, Upsert}
+import graft.operators.{CdcApply, IncrementalRollup, ScdApply, Upsert}
 
 /** Warehouse-maintenance transforms (SURVEY.md §2-B, added round 4):
   * SCD2 history derivation, keep-latest upsert (MERGE without a table
@@ -71,6 +71,41 @@ object Warehouse extends QueryPack {
           (col("__max_ts") + expr("INTERVAL 1 HOUR")).as("eff_from"))
       ScdApply(base, delta, "user_id", "value", "eff_from", "eff_to")
         .orderBy(col("user_id"), col("eff_from"), col("event_id"))
+    }),
+
+    // Ordered CDC op-log apply (round 12): final table STATE from a
+    // base snapshot plus an insert/update/delete change log with
+    // per-key sequence numbers — the Debezium-style merge that
+    // generalizes q_upsert (keep-latest, no deletes) and complements
+    // q_scd2_apply (history; this keeps state). One union + one key
+    // shuffle; the last-op-wins cut is a row_number window over
+    // per-key op chains (change-log depth, never table size).
+    // Synthetic insert keys ride 10^13 past the base key space (the
+    // q_table_diff rule — TPC-H orderkeys reach 6e6·SF, so no SF
+    // collides). Sum in DECIMAL, one double cast at the end (§7.4).
+    "q_cdc_apply" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val base = o.select(col("o_orderkey").as("k"), lit(0L).as("seq"),
+        lit("I").as("op"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"))
+      val ins = o.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + lit(10000000000000L)).as("k"),
+          lit(1L).as("seq"), lit("I").as("op"),
+          lit(100.0).as("price"), lit("6-NEW").as("prio"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+          lit("U").as("op"), (col("o_totalprice") * 2).as("price"),
+          col("o_orderpriority").as("prio"))
+      val del = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+          lit("D").as("op"), lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("prio"))
+      CdcApply(base.unionAll(ins).unionAll(upd).unionAll(del),
+          "k", "seq", "op")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec(col("price"))).cast("double").as("sum_price"))
+        .orderBy(col("prio"))
     }),
 
     // Keep-latest upsert: an update batch (every 10th order, doubled
@@ -212,6 +247,28 @@ object Warehouse extends QueryPack {
         |SELECT user_id, event_id, value, eff_from,
         |  CAST(NULL AS TIMESTAMP) AS eff_to FROM eff
         |ORDER BY user_id, eff_from, event_id""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH oplog AS (
+        |  SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+        |    o_totalprice AS price, o_orderpriority AS prio FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000000000, 1, 'I', 100.0,
+        |    '6-NEW' FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice * 2,
+        |    o_orderpriority FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |last AS (
+        |  SELECT k, op, price, prio,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op ASC) AS rn
+        |  FROM oplog)
+        |SELECT prio, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM last WHERE rn = 1 AND op <> 'D'
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q_upsert" ->
       """WITH unioned AS (

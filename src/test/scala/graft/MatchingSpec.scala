@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Matching
+
+/** [[Matching.bestMatch]] on a planted sparse fixture where every
+  * dirty record's true source is the UNIQUE nearest candidate — the
+  * property the adversarially dense customer fixture can't promise
+  * (its names are mutual Hamming-1 neighbors; there the oracle gate
+  * proves cross-engine agreement instead). */
+class MatchingSpec extends SparkSuite {
+
+  // 26 masters, names "AAAAAAAAAA".."ZZZZZZZZZZ" — pairwise edit
+  // distance 10, all in one block (nation 1, length 10)
+  private def masters() = {
+    import spark.implicits._
+    (0 until 26).map { i =>
+      val ch = ('A' + i).toChar.toString
+      (i.toLong, ch * 10, 1)
+    }.toDF("m_id", "m_name", "m_nk")
+  }
+
+  test("a 2-char corruption matches its unique source, with the exact distance") {
+    import spark.implicits._
+    val dirty = (0 until 26).map { i =>
+      val ch = ('A' + i).toChar.toString
+      (1000L + i, "xx" + ch * 8, 1, 10)
+    }.toDF("in_id", "in_name", "nk", "ln")
+    val out = Matching.bestMatch(dirty, masters())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 26)
+    out.foreach { case (inId, mId, dist) =>
+      assert(mId === inId - 1000L, s"wrong source for $inId")
+      assert(dist === 2L)
+    }
+  }
+
+  test("blocking completeness: candidates outside the block never score") {
+    import spark.implicits._
+    // the nearest NAME is in nation 2, but the block restricts to
+    // nation 1 — the match must come from inside the block
+    val master = Seq(
+      (1L, "AAAAAAAAAA", 1), (2L, "BBBBBBBBBB", 2)).toDF("m_id", "m_name", "m_nk")
+    val dirty = Seq((9L, "BBBBBBBBBx", 1, 10)).toDF("in_id", "in_name", "nk", "ln")
+    val out = Matching.bestMatch(dirty, master).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L) // nation-1 candidate, not the closer name
+  }
+
+  test("empty block yields no row (explicit no-match, not a null match)") {
+    import spark.implicits._
+    val dirty = Seq((9L, "AAAAAAAAAA", 99, 10)).toDF("in_id", "in_name", "nk", "ln")
+    assert(Matching.bestMatch(dirty, masters()).count() === 0)
+  }
+
+  test("registry query: every dirty record matches, and most recover their source") {
+    val out = SparkEntry.queries("q_er_match")(spark, Sf)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_id") === col("m_id"), 1L).otherwise(0L)).as("n_self"))
+      .collect().head
+    val n = out.getLong(0)
+    assert(n > 0)
+    // dense digit-only name space: ties go to min id, so not all
+    // records recover their exact source — but the majority must
+    assert(out.getLong(1) * 2 > n,
+      s"fewer than half of $n dirty records recovered their source")
+  }
+}

@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSuite {
       // q_sim_knn_index: q_sim_knn_join's exact stages served from the
       // reloaded index — same quantizer-sized broadcast sides;
       // q_scd2_apply: 1-row max(ts) broadcast under the change batch
-      "q_sim_knn_index", "q_scd2_apply")
+      "q_sim_knn_index", "q_scd2_apply",
+      // q_text_collocations: 1-row total-pair-count broadcast under
+      // the lift division (q_pareto_share / q_domain_mix shape)
+      "q_text_collocations")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
