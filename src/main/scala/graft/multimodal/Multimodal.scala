@@ -424,6 +424,51 @@ object Multimodal {
     }
   }
 
+  case class VadSegment(media_id: Long, seg_idx: Int, start_frame: Int,
+      n_frames: Int, peak_rms: Double)
+
+  /** Energy-based voice/tone-activity segmentation over decoded PCM:
+    * frame the clip into `frameLen`-sample windows, mark frames whose
+    * RMS (normalized to [0, 1]) exceeds `threshold`, and merge
+    * consecutive active frames into segments — the silence-trimming /
+    * utterance-splitting pass an audio curation pipeline runs before
+    * transcription. Pure per-row map (payloads stay local; only the
+    * fixed-width segment rows move); clips with no active frames yield
+    * no rows, and a trailing partial frame is ignored. */
+  def vadSegments(media: Dataset[MediaRecord], frameLen: Int = 64,
+      threshold: Double = 0.1): Dataset[VadSegment] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      WavCodec.decode(r.payload).toSeq.flatMap { wav =>
+        val nFrames = wav.samples.length / frameLen
+        val rms = Array.tabulate(nFrames) { f =>
+          var s2 = 0.0
+          var i = f * frameLen
+          val end = i + frameLen
+          while (i < end) {
+            val x = wav.samples(i) / 32768.0
+            s2 += x * x
+            i += 1
+          }
+          math.sqrt(s2 / frameLen)
+        }
+        val segs = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var f = 0
+        while (f < nFrames) {
+          if (rms(f) > threshold) {
+            val start = f
+            var peak = 0.0
+            while (f < nFrames && rms(f) > threshold) {
+              peak = math.max(peak, rms(f)); f += 1
+            }
+            segs += VadSegment(r.media_id, segs.length, start, f - start, peak)
+          } else f += 1
+        }
+        segs.toSeq
+      }
+    }
+  }
+
   /** 63-bit FNV-1a over UTF-8 bytes (sign bit cleared so ids sort with
     * human-assigned non-negative ones). */
   private[multimodal] def fnv63(s: String): Long = {

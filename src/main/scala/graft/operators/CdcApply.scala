@@ -27,17 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object CdcApply {
 
+  /** The winning (highest-seq) op row per key, INCLUDING delete
+    * winners — the tombstone-preserving form
+    * [[graft.streaming.StreamOps.cdcSink]] persists so that replayed
+    * or out-of-order batches cannot resurrect a deleted key. */
+  def winners(oplog: DataFrame, keyCol: String, seqCol: String,
+      opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol).asc)
+    oplog.withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1)
+      .drop("__cdc_rn")
+  }
+
   /** @param oplog base rows (as 'I' ops at the lowest seq) unioned
     *              with the change log; must carry `keyCol`, `seqCol`,
     *              `opCol` ('I' | 'U' | 'D') plus payload columns
     * @return one row per surviving key: the payload of its
     *         highest-seq op, dropped entirely if that op is a delete */
   def apply(oplog: DataFrame, keyCol: String, seqCol: String,
-      opCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(seqCol).desc, col(opCol).asc)
-    oplog.withColumn("__cdc_rn", row_number().over(w))
-      .filter(col("__cdc_rn") === 1 && col(opCol) =!= "D")
-      .drop("__cdc_rn")
-  }
+      opCol: String): DataFrame =
+    winners(oplog, keyCol, seqCol, opCol).filter(col(opCol) =!= "D")
 }

@@ -118,6 +118,34 @@ object Curation extends QueryPack {
     // happens; the single exchange carries partial bigram counts
     // (heavy hitters pre-combined per partition). The trailing
     // (last_token, null) zip element is the row to drop.
+    // Class-balanced sampling (round 12): a deterministic cap of 50
+    // docs per language — the rebalancing a multilingual training mix
+    // applies when head languages would otherwise drown the tail.
+    // Selection order is the Knuth-hash shuffle (the q_split_train_test
+    // idiom — reproducible on any engine/partitioning where rand() is
+    // neither). SCALE: the per-class cut is the mergeable bounded-heap
+    // aggregator (operators.TopKAgg, negated hash = bottom-k), NOT a
+    // row_number window partitioned by class — a class-count window
+    // ceiling is the q_agg_weighted_median lesson; here shuffle volume
+    // is classes × 50 regardless of corpus size. The tiny picked set
+    // joins back (AQE-broadcast) for its payload stats.
+    "q_sample_balanced" -> ((spark, sfDir) => {
+      import graft.operators.TopKAgg
+      val docs = Tables.documents(spark, sfDir)
+      val hash = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val picked = docs
+        .groupBy(col("lang"))
+        .agg(TopKAgg.udafColumn(50, -hash.cast("double"), col("doc_id"))
+          .as("top"))
+        .select(col("lang"), explode(col("top")).as("r"))
+        .select(col("lang"), col("r.key").as("doc_id"))
+      picked.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Collocation extraction (round 12): statistically-associated
     // adjacent token pairs — the phrase-mining upgrade of
     // q_text_bigrams' raw counts. Association is LIFT
@@ -380,6 +408,16 @@ object Curation extends QueryPack {
         |SELECT source, n_s, n_kept, rate
         |FROM kept JOIN rates USING (source)
         |ORDER BY source""".stripMargin,
+
+    "q_sample_balanced" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM ranked WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_collocations" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -216,6 +216,73 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Time-weighted average value per user (round 12): each event's
+    // value weighted by how long it remained current (lead(ts) closes
+    // the interval; the open last interval is excluded) — the
+    // TWAP/sensor-mean every metering or pricing pipeline computes.
+    // One user_id shuffle for the lead window + the rollup.
+    // Determinism: INTEGER-CENTS formulation (the q_agg_gini rule —
+    // a computed DECIMAL(38,2)→DOUBLE cast diverges between engines
+    // in the last ulp, measured here too): value is 2-decimal by
+    // fixture contract, so cents·µs products are exact int64 (num ≤
+    // max_cents · total-window-µs ≈ 3e18 < 2^63 at ANY event count —
+    // the window is bounded, not the stream), and the close is two
+    // exact-operand double divisions through identical chains.
+    "q_events_twa" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val iv = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          (dec(col("value")) * 100).cast("long").as("cents"),
+          col("ts").as("f"), lead(col("ts"), 1).over(w).as("t"))
+        .filter(col("t").isNotNull)
+        .select(col("user_id"), col("cents"),
+          (unix_micros(col("t").cast("timestamp")) -
+            unix_micros(col("f").cast("timestamp"))).as("dur"))
+      iv.groupBy(col("user_id"))
+        .agg(
+          (sum(col("cents") * col("dur")).cast("double") /
+            sum(col("dur")).cast("double") / lit(100.0)).as("twa"),
+          sum(col("dur")).as("total_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // One-sided CUSUM drift detector per user (round 12): s ←
+    // max(0, s + (x − target − slack)) folded over the ordered value
+    // stream, counting threshold crossings — Page's sequential change
+    // detector, per entity. Target/slack/threshold are FIXED process
+    // parameters (50/5/50): CUSUM monitors against a nominal target,
+    // which also keeps the fold free of an order-sensitive double
+    // mean. State is the PAIR (s, n_alarms) with a ZERO state as the
+    // explicit init so every observation runs through the same lambda
+    // (the uniform-init edition of the q_events_holt contract —
+    // DuckDB side prepends the zero state to keep list_reduce's
+    // first-element-init semantics aligned). One user_id shuffle;
+    // per-key state is one user's history.
+    "q_events_cusum" -> ((spark, sfDir) => {
+      val ordered = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("value")))),
+            s => s.getField("value")).as("vals"))
+      val step: (Column, Column) => Column = (acc, x) =>
+        greatest(lit(0.0), element_at(acc, 1) + (x - lit(50.0) - lit(5.0)))
+      ordered
+        .select(col("user_id"), col("n_events"),
+          aggregate(col("vals"), array(lit(0.0), lit(0.0)),
+            (acc, x) => array(
+              step(acc, x),
+              element_at(acc, 2) +
+                when(step(acc, x) > 50.0, lit(1.0)).otherwise(lit(0.0))))
+            .as("st"))
+        .select(col("user_id"), col("n_events"),
+          element_at(col("st"), 1).as("cusum_final"),
+          element_at(col("st"), 2).cast("long").as("n_alarm"))
+        .orderBy(col("user_id"))
+    }),
+
     // Winsorized feature clipping per group (round 12): clip value to
     // the [p10, p90] band of its event_type — the outlier-robust
     // feature prep every tabular pipeline runs before
@@ -541,6 +608,42 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_twa" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    ts AS f,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, cents,
+        |    CAST(epoch_us(t) - epoch_us(f) AS BIGINT) AS dur
+        |  FROM iv WHERE t IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(CAST(SUM(cents * dur) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) / 100.0 AS twa,
+        |  CAST(SUM(dur) AS BIGINT) AS total_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_cusum" ->
+      """WITH o AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY ts, event_id, value) AS vals
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(
+        |      list_prepend([0.0::DOUBLE, 0.0],
+        |        list_transform(vals, x -> [x, 0.0])),
+        |      (acc, x) -> [GREATEST(0.0, acc[1] + (x[1] - 50.0 - 5.0)),
+        |        acc[2] + (CASE WHEN
+        |          GREATEST(0.0, acc[1] + (x[1] - 50.0 - 5.0)) > 50.0
+        |          THEN 1.0 ELSE 0.0 END)]) AS st
+        |  FROM o)
+        |SELECT user_id, n_events, st[1] AS cusum_final,
+        |  CAST(st[2] AS BIGINT) AS n_alarm
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "q_events_holt" ->
       """WITH o AS (

@@ -76,6 +76,18 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Voice-activity segmentation (round 12): RMS-framed active
+    // segments per clip — the silence-trimmer an audio pipeline runs
+    // before transcription; VadSpec plants tone|silence|tone clips
+    // with exact segment boundaries.
+    "q_multimodal_vad" -> ((spark, _) => {
+      Multimodal.vadSegments(Multimodal.synthesize(spark, 300))
+        .toDF()
+        .select(col("media_id"), col("seg_idx"), col("start_frame"),
+          col("n_frames"), round(col("peak_rms"), 6).as("peak_rms"))
+        .orderBy(col("media_id"), col("seg_idx"))
+    }),
+
     "q_multimodal_audio" -> ((spark, _) => {
       Multimodal.audioStats(Multimodal.synthesize(spark, 300))
         .toDF()

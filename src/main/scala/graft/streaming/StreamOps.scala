@@ -132,6 +132,43 @@ object StreamOps {
         ()
       }
 
+  /** Streaming CDC apply — the foreachBatch form of q_cdc_apply: each
+    * micro-batch of (key, seq, 'I'|'U'|'D', payload) ops merges into a
+    * materialized op-state table via
+    * [[graft.operators.CdcApply.winners]]. The stored table keeps each
+    * key's WINNING op row (including its seq) and retains delete
+    * winners as TOMBSTONES, so cross-batch ordering is decided by the
+    * ops' own sequence numbers, not arrival order: a re-delivered
+    * (at-least-once) batch re-derives the same winners — value-equal
+    * overwrite, state unchanged — an out-of-order older batch loses
+    * every per-key contest, and a tombstone keeps a replayed older
+    * insert from resurrecting a deleted key. Readers filter tombstones
+    * ([[readCdcTable]]); tombstone retention is a compaction policy,
+    * not a correctness input. Result pinned (localCheckpoint) BEFORE
+    * overwriting the table it read — the [[upsertSink]] durability
+    * discipline. */
+  def cdcSink(ops: DataFrame, tableDir: String, key: String, seq: String,
+      op: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ops.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val base =
+          if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        graft.operators.CdcApply
+          .winners(base.unionByName(batch.toDF()), key, seq, op)
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+
+  /** Live (non-tombstone) rows of a [[cdcSink]]-maintained table. */
+  def readCdcTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, op: String): DataFrame =
+    spark.read.parquet(tableDir).filter(col(op) =!= "D")
+
   /** Stream-stream INTERVAL join: purchases matched to same-user
     * signups within the preceding hour. One equi key (user_id) plus a
     * bounded time-range residual — the equi key keeps it a shuffled

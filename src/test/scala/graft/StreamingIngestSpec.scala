@@ -18,6 +18,9 @@ case class ArrVec(vec_id: Long, embedding: Seq[Float])
 /** Arriving SCD2 change for the foreachBatch dimension-maintenance test. */
 case class Ch(k: Long, v: Double, eff_from: java.sql.Timestamp)
 
+/** Arriving CDC op for the foreachBatch cdcSink test. */
+case class CdcOp(k: Long, seq: Long, op: String, v: Double)
+
 /** End-to-end streaming ingest: the file-source checkpoint must provide
   * the reference's continueFrom semantics natively — a restarted query
   * with the same checkpoint dir picks up only files that arrived after
@@ -370,6 +373,42 @@ class StreamingIngestSpec extends SparkSuite {
       mem.addData(Ch(1L, 99.0, t(5)), Ch(2L, 20.0, t(5)), Ch(4L, 40.0, t(5)))
       q.processAllAvailable()
       assert(dim() === afterBatch2, "replayed change batch mutated the dim")
+    } finally q.stop()
+  }
+
+  test("foreachBatch CDC apply: op-log batches materialize state; " +
+      "replayed and late batches no-op, tombstones stick") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"$root/stream_cdc_state"
+    val mem = MemoryStream[CdcOp](spark)
+    val q = StreamOps.cdcSink(mem.toDF(), dir, "k", "seq", "op")
+      .option("checkpointLocation", s"$root/stream_cdc_ck")
+      .start()
+    def state() = StreamOps.readCdcTable(spark, dir, "op")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    try {
+      // batch 1: inserts
+      mem.addData(CdcOp(1L, 10L, "I", 1.0), CdcOp(2L, 10L, "I", 2.0),
+        CdcOp(3L, 10L, "I", 3.0))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      // batch 2: update k=1, delete k=2
+      mem.addData(CdcOp(1L, 20L, "U", 11.0), CdcOp(2L, 21L, "D", 0.0))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> 11.0, 3L -> 3.0))
+      // at-least-once REPLAY of batch 2: value-equal no-op, and the
+      // tombstone keeps the deleted key deleted
+      mem.addData(CdcOp(1L, 20L, "U", 11.0), CdcOp(2L, 21L, "D", 0.0))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> 11.0, 3L -> 3.0))
+      // LATE batch with OLDER seqs: loses every per-key contest —
+      // including against the tombstone (the old insert cannot
+      // resurrect k=2)
+      mem.addData(CdcOp(1L, 5L, "U", 99.0), CdcOp(2L, 4L, "I", 99.0))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> 11.0, 3L -> 3.0),
+        "an out-of-order older batch mutated CDC state")
     } finally q.stop()
   }
 
