@@ -213,6 +213,31 @@ object Curation extends QueryPack {
         .limit(20)
     }),
 
+    // Label propagation communities (round 12) on the co-purchase
+    // graph (same edges as q_graph_triangles): frequency voting keeps
+    // dense regions distinct where connected components would flood
+    // them into one — the community structure a curation pipeline uses
+    // for topic-balanced sampling. No oracle (iterative, engine-
+    // specific); LabelPropSpec proves the two-cliques-one-bridge
+    // separation (with the components contrast on the same graph),
+    // determinism across partitionings, and the boundary cases.
+    "q_graph_labelprop" -> ((spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      val edges = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("p1"), col("p2"))
+      graft.operators.LabelProp.run(edges, rounds = 5)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label").asc)
+        .limit(20)
+    }),
+
     // Deterministic fixed-size corpus sample (k = 100) — the
     // distributed reservoir sample: assigning every row a uniform
     // pseudo-random priority and keeping the global k smallest IS

@@ -636,7 +636,71 @@ object SimOps extends QueryPack {
       .foreach(d => Compaction.compact(spark, d, targetBytes): Unit)
   }
 
+  /** Farthest-point (Gonzalez k-center) coreset selection: start from
+    * the min-id vector, then repeatedly add the point FARTHEST from
+    * its nearest already-chosen center — the diversity-sampling pass a
+    * training pipeline runs to pick maximally-spread exemplars (a
+    * 2-approximation of the optimal k-center cover; SemDeDup's
+    * complement — dedup removes the redundant, coreset KEEPS the
+    * spread). Returns (vec_id, euclidean distance to the nearest prior
+    * center at selection time; 0 for the seed) in selection order.
+    *
+    * Scale: each of the k−1 iterations ships ONE new center vector as
+    * plan literals into a map-side running-min distance update
+    * (localCheckpoint pins the column, so pass i+1 reads materialized
+    * state — k linear passes total, not O(k²) lineage replays) and
+    * closes with a TakeOrdered(1) argmax — nothing corpus-sized ever
+    * reaches the driver; ties break to min vec_id. k is a
+    * hyperparameter-bounded driver loop (the BpeTrain precedent). */
+  def coresetSelect(embeds: DataFrame, k: Int): Seq[(Long, Double)] = {
+    require(k > 0, "k must be positive")
+    val base = embeds.select(col("vec_id"), col("embedding"))
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .collect().headOption match {
+      case None => return Nil
+      case Some(r) => r.getLong(0)
+    }
+    def centerVec(id: Long): Seq[Float] =
+      base.filter(col("vec_id") === id).collect().head.getSeq[Float](1)
+    def sqDistTo(v: Seq[Float]): Column = {
+      val cv = array(v.map(x => lit(x.toDouble)): _*)
+      aggregate(
+        zip_with(col("embedding"), cv,
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer((seed, 0.0))
+    var st = base.filter(col("vec_id") =!= seed)
+      .withColumn("dmin", sqDistTo(centerVec(seed)))
+      .localCheckpoint()
+    var i = 1
+    while (i < k && !st.isEmpty) {
+      val far = st.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .collect().head
+      picked += ((far.getLong(0), math.sqrt(far.getDouble(2))))
+      st = st.filter(col("vec_id") =!= far.getLong(0))
+        .withColumn("dmin",
+          least(col("dmin"), sqDistTo(centerVec(far.getLong(0)))))
+        .localCheckpoint()
+      i += 1
+    }
+    picked.toSeq
+  }
+
   override def queries: Map[String, Query] = Map(
+    // Farthest-point coreset selection (round 12): k = 8 maximally-
+    // spread exemplar embeddings — see [[coresetSelect]]. No oracle
+    // (iterative argmax loop); CoresetSpec proves one-center-per-
+    // planted-cluster, the non-increasing selection-distance
+    // invariant, partitioning determinism, and the k >= n boundary.
+    "q_sample_coreset" -> ((spark, sfDir) => {
+      import spark.implicits._
+      coresetSelect(Tables.embeddings(spark, sfDir), 8)
+        .toDF("vec_id", "dist_at_selection")
+        .select(col("vec_id"),
+          round(col("dist_at_selection"), 6).as("dist_at_selection"))
+    }),
+
     // Brute-force cosine top-k against a single probe vector (vec_id 0).
     "q_sim_topk" -> ((spark, sfDir) => {
       val emb   = Tables.embeddings(spark, sfDir)

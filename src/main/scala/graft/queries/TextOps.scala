@@ -1092,6 +1092,33 @@ object TextOps extends QueryPack {
 
     // Banded MinHash-LSH candidates (no oracle — sketch-specific;
     // MinhashSpec asserts candidates ⊇ q_dedup_jaccard pairs).
+    // LSH quality evaluation (round 12): measured recall/precision of
+    // the banded-minhash candidate generator against the EXACT
+    // jaccard >= 0.8 pair set — the observability report a dedup
+    // pipeline publishes when tuning band/row counts (candidate volume
+    // prices the verify stage; recall prices missed duplicates).
+    // Everything stays lazy (1-row count aggregates cross-joined, the
+    // q_pareto_share shape); integer-exact counts close with single
+    // double divisions. No oracle: the candidate side is the banded
+    // MinHash signature join, declared engine-specific like
+    // q_dedup_minhash itself; CoresetSpec pins the report invariants
+    // and the recall floor.
+    "q_dedup_lsh_eval" -> ((spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val truth = jaccardPairs(docs, 0.8).select(col("d1"), col("d2"))
+      val cand = minhashCandidates(docs, numHashes = 16, bands = 8)
+        .select(col("d1"), col("d2"))
+      val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"))
+    }),
+
     "q_dedup_minhash" -> ((spark, sfDir) => {
       minhashCandidates(Tables.documents(spark, sfDir), numHashes = 16, bands = 8)
         .orderBy(col("d1"), col("d2"))

@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkSuite {
       "q_sim_knn_index", "q_scd2_apply",
       // q_text_collocations: 1-row total-pair-count broadcast under
       // the lift division (q_pareto_share / q_domain_mix shape)
-      "q_text_collocations")
+      "q_text_collocations",
+      // q_dedup_lsh_eval: three 1-row count aggregates cross-joined
+      // into the report row (same shape)
+      "q_dedup_lsh_eval")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
