@@ -283,6 +283,71 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Holt forecast BACKTEST per user (round 12): replay each user's
+    // stream through q_events_holt's recurrence, scoring every
+    // one-step-ahead forecast against the value that actually arrived
+    // — the walk-forward evaluation (MAE per user) a forecasting
+    // pipeline publishes before trusting a model. State extends the
+    // holt pair with a running |error| sum; the error term reads the
+    // PRE-update level+trend (the forecast made before seeing x), so
+    // the score is honestly out-of-sample at every step. Same
+    // first-element-init fold contract (init [x₁, 0, 0]); doubles
+    // hash-match.
+    "q_events_backtest" -> ((spark, sfDir) => {
+      val ordered = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("value")))),
+            s => s.getField("value")).as("vals"))
+      val lvl: (Column, Column) => Column = (acc, x) =>
+        lit(0.2) * x + lit(0.8) * (element_at(acc, 1) + element_at(acc, 2))
+      ordered.filter(col("n_events") >= 2)
+        .select(col("user_id"), col("n_events"),
+          aggregate(
+            slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+            array(element_at(col("vals"), 1), lit(0.0), lit(0.0)),
+            (acc, x) => array(
+              lvl(acc, x),
+              lit(0.3) * (lvl(acc, x) - element_at(acc, 1)) +
+                lit(0.7) * element_at(acc, 2),
+              element_at(acc, 3) +
+                abs(x - (element_at(acc, 1) + element_at(acc, 2)))))
+            .as("st"))
+        .select(col("user_id"), col("n_events"),
+          (element_at(col("st"), 3) / (col("n_events") - 1)).as("mae"),
+          (element_at(col("st"), 1) + element_at(col("st"), 2))
+            .as("next_forecast"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Concurrent-interval sweep per user (round 12): treat each event
+    // as a 1-hour activity interval and report the user's MAXIMUM
+    // number of simultaneously open intervals — the classic +1/−1
+    // boundary sweep behind "max concurrent sessions" capacity
+    // reports. Boundaries order by (time, delta, event_id): at an
+    // exact touch the −1 departure sorts before the +1 arrival, i.e.
+    // half-open [t, t+1h) semantics, and the explicit event_id
+    // tiebreak makes the running sum a total order on both engines.
+    // One user_id shuffle; the window partitions are per-user boundary
+    // lists.
+    "q_events_concurrency" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+      val b = e.select(col("user_id"), col("ts").as("bt"),
+          lit(1).as("delta"), col("event_id"))
+        .unionAll(e.select(col("user_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("bt"),
+          lit(-1).as("delta"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("bt"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.select(col("user_id"), sum(col("delta")).over(w).as("open"))
+        .groupBy(col("user_id"))
+        .agg(max(col("open")).as("max_concurrent"))
+        .orderBy(col("user_id"))
+    }),
+
     // Winsorized feature clipping per group (round 12): clip value to
     // the [p10, p90] band of its event_type — the outlier-robust
     // feature prep every tabular pipeline runs before
@@ -608,6 +673,38 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_backtest" ->
+      """WITH o AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY ts, event_id, value) AS vals
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_transform(vals, x -> [x, 0.0, 0.0]),
+        |      (acc, x) -> [
+        |        0.2 * x[1] + 0.8 * (acc[1] + acc[2]),
+        |        0.3 * (0.2 * x[1] + 0.8 * (acc[1] + acc[2]) - acc[1])
+        |          + 0.7 * acc[2],
+        |        acc[3] + ABS(x[1] - (acc[1] + acc[2]))]) AS st
+        |  FROM o WHERE n_events >= 2)
+        |SELECT user_id, n_events, st[3] / (n_events - 1) AS mae,
+        |  st[1] + st[2] AS next_forecast
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    "q_events_concurrency" ->
+      """WITH b AS (
+        |  SELECT user_id, ts AS bt, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts + INTERVAL 1 HOUR, -1, event_id FROM events),
+        |sweep AS (
+        |  SELECT user_id,
+        |    SUM(delta) OVER (PARTITION BY user_id
+        |      ORDER BY bt, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM b)
+        |SELECT user_id, CAST(MAX(open) AS BIGINT) AS max_concurrent
+        |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_twa" ->
       """WITH iv AS (

@@ -61,6 +61,51 @@ class TwaCusumSpec extends SparkSuite {
     }
   }
 
+  test("q_events_backtest matches a sequential walk-forward reference bit-for-bit") {
+    val out = SparkEntry.queries("q_events_backtest")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val ref = eventRows().groupBy(_._1).flatMap { case (uid, g) =>
+      val vals = g.map(_._2).sortBy(identity).map(_._3)
+      if (vals.length < 2) None
+      else {
+        var l = vals.head
+        var t = 0.0
+        var errSum = 0.0
+        vals.tail.foreach { x =>
+          errSum += math.abs(x - (l + t)) // forecast BEFORE the update
+          val l2 = 0.2 * x + 0.8 * (l + t)
+          val t2 = 0.3 * (0.2 * x + 0.8 * (l + t) - l) + 0.7 * t
+          l = l2; t = t2
+        }
+        Some(uid -> ((errSum / (vals.length - 1), l + t)))
+      }
+    }
+    assert(out.keySet === ref.keySet)
+    ref.foreach { case (uid, (mae, fc)) =>
+      val (oMae, oFc) = out(uid)
+      assert(oMae === mae && oFc === fc, s"user $uid: ($oMae,$oFc) != ($mae,$fc)")
+    }
+  }
+
+  test("q_events_concurrency matches a sequential sweep reference") {
+    val out = SparkEntry.queries("q_events_concurrency")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val HourUs = 3600L * 1000000L
+    val ref = eventRows().groupBy(_._1).map { case (uid, g) =>
+      // boundaries (time, delta, event_id), departures before arrivals
+      // at equal times (delta -1 < +1) — half-open [t, t+1h)
+      val bounds = g.map(_._2).flatMap { case (us, eid, _) =>
+        Seq((us, 1, eid), (us + HourUs, -1, eid))
+      }.sortBy(b => (b._1, b._2, b._3))
+      var open = 0
+      var mx = 0
+      bounds.foreach { b => open += b._2; mx = math.max(mx, open) }
+      uid -> mx.toLong
+    }
+    assert(out === ref)
+  }
+
   test("q_sample_balanced: heap selection == the window form, capped per class") {
     val docs = graft.Tables.documents(spark, Sf)
     val out = SparkEntry.queries("q_sample_balanced")(spark, Sf).collect()
