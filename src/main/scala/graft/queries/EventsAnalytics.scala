@@ -283,6 +283,27 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Day-of-week seasonality profile per event type (round 12):
+    // volume counts and within-type share across the weekly cycle —
+    // the seasonality fingerprint behind staffing/alerting baselines
+    // (an anomaly detector that ignores weekly shape pages every
+    // weekend). Two bounded aggregates; counts exact int64, the share
+    // a single double division. DOW convention aligned explicitly:
+    // Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 (+1 in
+    // the oracle).
+    "q_events_seasonality" -> ((spark, sfDir) => {
+      val d = Tables.events(spark, sfDir)
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      val c = d.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("tot"))
+      c.join(t, "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("share"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
     // Holt forecast BACKTEST per user (round 12): replay each user's
     // stream through q_events_holt's recurrence, scoring every
     // one-step-ahead forecast against the value that actually arrived
@@ -673,6 +694,18 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_seasonality" ->
+      """WITH d AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+        |c AS (
+        |  SELECT event_type, dow, COUNT(*) AS n
+        |  FROM d GROUP BY event_type, dow),
+        |t AS (SELECT event_type, COUNT(*) AS tot FROM d GROUP BY event_type)
+        |SELECT c.event_type, dow, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
 
     "q_events_backtest" ->
       """WITH o AS (

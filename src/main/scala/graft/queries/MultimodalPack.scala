@@ -76,6 +76,27 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Container metadata sniffing (round 12): byte-level header parse
+    // (PNG IHDR / GIF screen descriptor / WAV fmt chunk) with NO
+    // decode — the first-pass catalog scan a media lake runs before
+    // paying codec cost; SniffSpec asserts each sniffed field against
+    // what the real JDK encoders wrote. The synthesize() "image"/
+    // "video" payloads are raw bytes by design, so they catalog as
+    // "unknown" — at scan time that absence is the routing signal.
+    "q_multimodal_metadata" -> ((spark, _) => {
+      val media = Multimodal.synthesize(spark, 300)
+        .union(Multimodal.synthesizeGif(spark, 50, nFrames = 4))
+        .union(Multimodal.synthesizePng(spark, 50))
+      Multimodal.sniffMetadata(media)
+        .toDF()
+        .groupBy(col("container"))
+        .agg(count(lit(1)).as("n"),
+          min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+          max(col("sample_rate")).as("max_sr"),
+          max(col("bit_depth")).as("max_depth"))
+        .orderBy(col("container"))
+    }),
+
     // Voice-activity segmentation (round 12): RMS-framed active
     // segments per clip — the silence-trimmer an audio pipeline runs
     // before transcription; VadSpec plants tone|silence|tone clips
