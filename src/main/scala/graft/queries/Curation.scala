@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -118,6 +119,59 @@ object Curation extends QueryPack {
     // happens; the single exchange carries partial bigram counts
     // (heavy hitters pre-combined per partition). The trailing
     // (last_token, null) zip element is the row to drop.
+    // Smoothed target encoding (round 12): replace a categorical
+    // feature by the smoothed mean of the target —
+    // enc = (Σ_cat target + m·global_mean) / (n_cat + m), m = 50 —
+    // the classic high-cardinality categorical encoder (rare
+    // categories shrink toward the global prior instead of
+    // memorizing noise). Determinism: targets sum as integer CENTS
+    // (value is 2-decimal by fixture contract), the global prior is a
+    // 1-row broadcast, and the close is a fixed chain of
+    // exact-operand double ops identical on both engines. Category
+    // table is cardinality-sized; nothing row-scale shuffles twice.
+    "q_feature_target_encode" -> ((spark, sfDir) => {
+      val cat = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val g = cat.agg(sum(col("cents")).as("gc"), sum(col("n")).as("gn"))
+      cat.crossJoin(broadcast(g))
+        .select(col("event_type"), col("n"),
+          ((col("cents").cast("double") +
+            lit(50.0) * (col("gc").cast("double") / col("gn").cast("double")))
+            / (col("n").cast("double") + lit(50.0)) / lit(100.0)).as("enc"),
+          (col("cents").cast("double") / col("n").cast("double") / lit(100.0))
+            .as("raw_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Equal-frequency binning (round 12): decile-bin o_totalprice by
+    // its own exact interpolated quantiles and report per-bin counts —
+    // the discretization step tabular feature prep runs before
+    // monotonic models / WOE encoding. The 9 edges are ONE 1-row
+    // percentile aggregate broadcast under a map-side CASE chain
+    // (strict < with the top catch-all), so the row-scale data is
+    // touched twice total (edge pass + binning pass) at any volume.
+    "q_feature_binning" -> ((spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val edges = o.agg(expr(
+        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("qs"))
+      // innermost-first fold: the built expression checks q1 first,
+      // then q2, ... — the same ascending-edge order as the oracle's
+      // CASE chain
+      val cond = (1 to 9).reverse.foldLeft(lit(9L): Column) { (els, k) =>
+        when(col("o_totalprice") < element_at(col("qs"), k), lit(k - 1L))
+          .otherwise(els)
+      }
+      o.crossJoin(broadcast(edges))
+        .select(cond.as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
+
     // Class-balanced sampling (round 12): a deterministic cap of 50
     // docs per language — the rebalancing a multilingual training mix
     // applies when head languages would otherwise drown the tail.
@@ -433,6 +487,42 @@ object Curation extends QueryPack {
         |SELECT source, n_s, n_kept, rate
         |FROM kept JOIN rates USING (source)
         |ORDER BY source""".stripMargin,
+
+    "q_feature_target_encode" ->
+      """WITH cat AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type),
+        |g AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS gc,
+        |    CAST(SUM(n) AS BIGINT) AS gn FROM cat)
+        |SELECT event_type, n,
+        |  (CAST(cents AS DOUBLE)
+        |     + 50.0 * (CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 50.0) / 100.0 AS enc,
+        |  CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS raw_mean
+        |FROM cat CROSS JOIN g ORDER BY event_type""".stripMargin,
+
+    "q_feature_binning" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(
+        |    (CASE WHEN o_totalprice < qs[1] THEN 0
+        |      WHEN o_totalprice < qs[2] THEN 1
+        |      WHEN o_totalprice < qs[3] THEN 2
+        |      WHEN o_totalprice < qs[4] THEN 3
+        |      WHEN o_totalprice < qs[5] THEN 4
+        |      WHEN o_totalprice < qs[6] THEN 5
+        |      WHEN o_totalprice < qs[7] THEN 6
+        |      WHEN o_totalprice < qs[8] THEN 7
+        |      WHEN o_totalprice < qs[9] THEN 8
+        |      ELSE 9 END) AS BIGINT) AS bin
+        |  FROM orders CROSS JOIN e)
+        |SELECT bin, COUNT(*) AS n FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_sample_balanced" ->
       """WITH ranked AS (

@@ -18,16 +18,6 @@ import graft.Tables
 object Governance extends QueryPack {
 
   override def queries: Map[String, Query] = Map(
-    // Snapshot diff / CDC derivation: given yesterday's snapshot and
-    // today's (today = deterministic deletes %37, price updates %11
-    // in exact decimal, inserts from %13 under shifted keys), classify
-    // every key added / removed / changed / unchanged and roll up the
-    // money drift per class. ONE full-outer key join — the minimal
-    // shape: each snapshot is scanned once, the rollup is map-side
-    // combinable, and nothing grows with history. Prices ride
-    // DECIMAL(22,4) end-to-end: the 1.1 factor multiply is exact at
-    // scale 4, so change detection never compares rounded floats and
-    // both engines agree bit-for-bit.
     // Column profiling (round 12): per-column row/null/distinct/bounds
     // stats — the ANALYZE-style data-quality summary a warehouse
     // publishes per table. ONE scan: every stat is an aggregate of the
@@ -68,6 +58,39 @@ object Governance extends QueryPack {
         .orderBy(col("col_name"))
     }),
 
+    // Benford first-digit audit (round 12): distribution of the first
+    // significant digit of o_totalprice vs Benford's law — the
+    // fabricated-data screen a financial-data audit runs (organic
+    // multiplicative amounts follow log10(1+1/d); uniform synthetic
+    // ones, like this fixture's, visibly flunk — which is exactly the
+    // signal). First digit extracted INTEGER-exactly: cents →
+    // VARCHAR → first char (a double→string cast differs across
+    // engines; an int64's doesn't). Expected shares are shared
+    // 17-digit literals — identical doubles by construction; observed
+    // share is one exact-int division.
+    "q_agg_benford" -> ((spark, sfDir) => {
+      // log10(1+1/d) · 10^16, rounded to int64: both the scaled
+      // constant (< 2^53) and 10^16 (= 2^16·5^16, mantissa fits) are
+      // EXACT doubles, so the single division is correctly rounded to
+      // the same double on every engine — a raw decimal literal would
+      // ride each engine's decimal→double conversion instead
+      val expected = array(Seq(
+        3010299956639812L, 1760912590556812L, 1249387366082999L,
+        969100130080564L, 791812460476248L, 669467896306132L,
+        579919469776867L, 511525224473813L, 457574905606751L)
+        .map(c => lit(c).cast("double") / lit(1e16)): _*)
+      val d = Tables.orders(spark, sfDir)
+        .select(substring((Tables.dec(col("o_totalprice")) * 100)
+          .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      val c = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("share"),
+          element_at(expected, col("digit").cast("int")).as("expected"))
+        .orderBy(col("digit"))
+    }),
+
     // k-anonymity audit (round 12): group rows by a quasi-identifier
     // tuple (event_type, day, value band) and report, per event_type,
     // how many QI groups fall below k=5 and how many rows they expose —
@@ -89,6 +112,16 @@ object Governance extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Snapshot diff / CDC derivation: given yesterday's snapshot and
+    // today's (today = deterministic deletes %37, price updates %11
+    // in exact decimal, inserts from %13 under shifted keys), classify
+    // every key added / removed / changed / unchanged and roll up the
+    // money drift per class. ONE full-outer key join — the minimal
+    // shape: each snapshot is scanned once, the rollup is map-side
+    // combinable, and nothing grows with history. Prices ride
+    // DECIMAL(22,4) end-to-end: the 1.1 factor multiply is exact at
+    // scale 4, so change detection never compares rounded floats and
+    // both engines agree bit-for-bit.
     "q_table_diff" -> ((spark, sfDir) => {
       val dec4 = "decimal(22,4)"
       val base = Tables.orders(spark, sfDir)
@@ -381,6 +414,21 @@ object Governance extends QueryPack {
         |UNION ALL SELECT 'o_custkey', n, nn3, nd3, mn3, mx3 FROM s
         |UNION ALL SELECT 'o_totalprice', n, nn4, nd4, mn4, mx4 FROM s
         |ORDER BY col_name""".stripMargin,
+
+    "q_agg_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  CAST([3010299956639812, 1760912590556812, 1249387366082999,
+        |    969100130080564, 791812460476248, 669467896306132,
+        |    579919469776867, 511525224473813,
+        |    457574905606751][digit] AS DOUBLE) / 1e16 AS expected
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
 
     "q_anon_kanon" ->
       """WITH q AS (

@@ -43,7 +43,11 @@ class PlanAuditSpec extends SparkSuite {
       "q_text_collocations",
       // q_dedup_lsh_eval: three 1-row count aggregates cross-joined
       // into the report row (same shape)
-      "q_dedup_lsh_eval")
+      "q_dedup_lsh_eval",
+      // q_feature_target_encode / q_feature_binning / q_agg_benford:
+      // 1-row global-prior / quantile-edge / total-count broadcast
+      // under a map-side close
+      "q_feature_target_encode", "q_feature_binning", "q_agg_benford")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
