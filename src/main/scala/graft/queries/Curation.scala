@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.GlobalRank
 
 /** Training-corpus curation utilities beyond dedup/quality (TextOps):
   * deterministic dataset splitting, temperature-based language
@@ -143,6 +144,99 @@ object Curation extends QueryPack {
             / (col("n").cast("double") + lit(50.0)) / lit(100.0)).as("enc"),
           (col("cents").cast("double") / col("n").cast("double") / lit(100.0))
             .as("raw_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Group-aware k-fold assignment (round 12): every row of a user
+    // lands in the SAME fold (fold is a function of user_id alone), so
+    // cross-validation never leaks a user's history across the
+    // train/eval boundary — the grouped-CV split an events model
+    // requires. The fold hash is an explicit Knuth multiplicative
+    // scramble ((id mod 1000003)·2654435761 mod 2^32 mod 5) rather
+    // than an engine hash: portable, deterministic, and overflow-safe
+    // in int64 by construction (1000003·2654435761 < 2^53). Report is
+    // the balance audit: per-fold user/row counts, row share, and the
+    // integer-cents mean value (the label-balance check). Scale: one
+    // map-side fold computation + one bounded groupBy; the 1-row total
+    // broadcasts under the share close.
+    "q_feature_kfold" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          (col("user_id") % 1000003L * 2654435761L % 4294967296L % 5L)
+            .as("fold"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      val tot = e.agg(count(lit(1)).as("tot"))
+      e.groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_users"), col("n_rows"),
+          (col("n_rows").cast("double") / col("tot").cast("double"))
+            .as("row_share"),
+          (col("cents").cast("double") / col("n_rows").cast("double")
+            / lit(100.0)).as("mean_value"))
+        .orderBy(col("fold"))
+    }),
+
+    // Log-free weight-of-evidence (round 12): per-category smoothed
+    // odds of a binary target (value > 100) against the global odds —
+    // the WOE/IV encoder's core with the log dropped so the oracle
+    // hash-matches (ln() doubles are not cross-engine bit-stable; the
+    // monotone odds_ratio carries the same ranking information — the
+    // q_text_collocations lift precedent). Laplace +0.5 smoothing
+    // keeps all-positive/all-negative categories finite. Counts are
+    // exact int64; the close is a fixed two-division double chain on
+    // both engines.
+    "q_feature_odds" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          (Tables.dec(col("value")) > 100).as("pos"))
+      val cat = e.groupBy(col("event_type"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pos"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("neg"))
+      val g = cat.agg(sum(col("pos")).as("gp"), sum(col("neg")).as("gn"))
+      val odds = (col("pos").cast("double") + lit(0.5)) /
+        (col("neg").cast("double") + lit(0.5))
+      cat.crossJoin(broadcast(g))
+        .select(col("event_type"), col("pos"), col("neg"),
+          odds.as("odds"),
+          (odds / ((col("gp").cast("double") + lit(0.5)) /
+            (col("gn").cast("double") + lit(0.5)))).as("odds_ratio"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Robust scaling stats (round 12): per-type exact-discrete
+    // quartiles, IQR, and the Tukey-fence outlier count — the
+    // median/IQR normalization a feature pipeline prefers over
+    // z-scores when the column is heavy-tailed (q_feature_norm's
+    // mean/sd pair is exactly what an outlier distorts). Quartiles
+    // ride the two-pass GlobalRank + rn = ceil(n·q) idiom (exact
+    // discrete picks of REAL data values — no float interpolation);
+    // the fences are a fixed double chain (1.5 is an exact double);
+    // the outlier count re-joins the type-bounded stats row back to
+    // the column (AQE broadcasts it) for one integer count.
+    "q_feature_scale_robust" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val ranked = GlobalRank.withRowNumberAndCountPerGroup(
+        e, "rn", "n", Seq("event_type"), col("value"), col("event_id"))
+      val stats = ranked.groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.25), col("value")))
+            .as("q1"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+            .as("med"),
+          max(when(col("rn") === ceil(col("n") * 0.75), col("value")))
+            .as("q3"))
+        .select(col("event_type"), col("q1"), col("med"), col("q3"),
+          (col("q3") - col("q1")).as("iqr"))
+      e.join(stats, "event_type")
+        .groupBy(col("event_type"), col("q1"), col("med"), col("q3"),
+          col("iqr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("q1") - lit(1.5) * col("iqr") ||
+            col("value") > col("q3") + lit(1.5) * col("iqr"), 1L)
+            .otherwise(0L)).as("n_outliers"))
         .orderBy(col("event_type"))
     }),
 
@@ -502,6 +596,62 @@ object Curation extends QueryPack {
         |     + 50.0 * (CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE)))
         |    / (CAST(n AS DOUBLE) + 50.0) / 100.0 AS enc,
         |  CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS raw_mean
+        |FROM cat CROSS JOIN g ORDER BY event_type""".stripMargin,
+
+    "q_feature_scale_robust" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.25) THEN value END) AS q1,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.5)  THEN value END) AS med,
+        |    MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS q3
+        |  FROM ranked GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, q1, med, q3, q3 - q1 AS iqr FROM s)
+        |SELECT f.event_type, f.q1, f.med, f.q3, f.iqr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN e.value < f.q1 - 1.5 * f.iqr
+        |    OR e.value > f.q3 + 1.5 * f.iqr THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY f.event_type, f.q1, f.med, f.q3, f.iqr
+        |ORDER BY f.event_type""".stripMargin,
+
+    "q_feature_kfold" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    user_id % 1000003 * 2654435761 % 4294967296 % 5 AS fold,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT COUNT(*) AS tot FROM e)
+        |SELECT fold, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_rows,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(tot AS DOUBLE) AS row_share,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_value
+        |FROM e CROSS JOIN t GROUP BY fold, tot ORDER BY fold""".stripMargin,
+
+    "q_feature_odds" ->
+      """WITH cat AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) > 100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) > 100
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM events GROUP BY event_type),
+        |g AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS gp,
+        |    CAST(SUM(neg) AS BIGINT) AS gn FROM cat)
+        |SELECT event_type, pos, neg,
+        |  (CAST(pos AS DOUBLE) + 0.5) / (CAST(neg AS DOUBLE) + 0.5) AS odds,
+        |  ((CAST(pos AS DOUBLE) + 0.5) / (CAST(neg AS DOUBLE) + 0.5))
+        |    / ((CAST(gp AS DOUBLE) + 0.5) / (CAST(gn AS DOUBLE) + 0.5))
+        |    AS odds_ratio
         |FROM cat CROSS JOIN g ORDER BY event_type""".stripMargin,
 
     "q_feature_binning" ->

@@ -283,6 +283,98 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Week-over-week growth (round 12): weekly event volume per type
+    // with the previous OBSERVED week's volume and the growth ratio —
+    // the period-over-period report every warehouse dashboard leads
+    // with. ISO Monday week truncation on both engines; the lag
+    // window partitions by event type over the calendar-sized weekly
+    // series (a bounded window, never a row-scale one); growth is one
+    // double division of exact int64 counts. A week with no events
+    // compares against the previous observed week — gap semantics are
+    // q_events_gapfill's job.
+    "q_events_wow" -> ((spark, sfDir) => {
+      val weekly = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      weekly.withColumn("n_prev", lag(col("n"), 1).over(w))
+        .filter(col("n_prev").isNotNull)
+        .select(col("event_type"), col("wk"), col("n"), col("n_prev"),
+          ((col("n") - col("n_prev")).cast("double")
+            / col("n_prev").cast("double")).as("wow_growth"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
+
+    // Seasonal-naive forecast accuracy (round 12): forecast every
+    // day's per-type volume as the volume 7 days earlier, then score
+    // MAE / WAPE / bias per type over all forecastable days — the
+    // baseline every fancier forecaster (q_events_holt,
+    // q_events_backtest) must beat before it earns a deploy. The
+    // forecast is an EQUI-join of the daily series against itself
+    // shifted 7 days (calendar-sized); errors are exact |int−int|
+    // sums closed by single double divisions (a per-day MAPE would
+    // sum per-day float divisions in engine order — WAPE is the
+    // deterministic form).
+    "q_events_snaive" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val fc = daily.select(col("event_type"),
+        date_add(col("d"), 7).as("d"), col("c").as("f"))
+      daily.join(fc, Seq("event_type", "d"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("f"))).as("abs_err"),
+          sum(col("f") - col("c")).as("bias"),
+          sum(col("c")).as("actual"))
+        .select(col("event_type"), col("n_days"),
+          (col("abs_err").cast("double") / col("n_days").cast("double"))
+            .as("mae"),
+          (col("abs_err").cast("double") / col("actual").cast("double"))
+            .as("wape"),
+          col("bias"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Daily-volume autocorrelation (round 12): Pearson r of the daily
+    // event-count series against itself at lags 1..7 — the weekly-
+    // rhythm detector behind forecast-model selection (a strong lag-7
+    // spike says "fit weekly seasonality"; q_events_seasonality then
+    // profiles its shape). Lag pairs form by EQUI-join: each day
+    // explodes into 7 (d+lag, lag, count) probes that hash-join the
+    // series back on the date — no theta/BNL join, and the series
+    // itself is time-range-bounded (one row per day), so the join is
+    // calendar-sized at any corpus size; only the first groupBy scans
+    // rows. Determinism: all six sufficient statistics are exact int64
+    // sums (n·Σxy products stay < 2^63 up to ~10^8 events/day over a
+    // 400-day span); the close is one fixed double chain — int-exact
+    // numerator, sqrt of two int-exact variances — identical on both
+    // engines. Lags with n < 2 days of overlap are dropped rather than
+    // emitting an engine-dependent 0/0 NaN.
+    "q_events_autocorr" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("ts").cast("date").as("d")).agg(count(lit(1)).as("c"))
+      val probes = daily
+        .select(col("d"), col("c"), explode(sequence(lit(1), lit(7))).as("lag_d"))
+        .select(date_add(col("d"), col("lag_d")).as("d"), col("lag_d"),
+          col("c").as("x"))
+      probes.join(daily.select(col("d"), col("c").as("y")), "d")
+        .groupBy(col("lag_d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .filter(col("n") >= 2)
+        .select(col("lag_d"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("acf"))
+        .orderBy(col("lag_d"))
+    }),
+
     // Day-of-week seasonality profile per event type (round 12):
     // volume counts and within-type share across the weekly cycle —
     // the seasonality fingerprint behind staffing/alerting baselines
@@ -694,6 +786,64 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_wow" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, 2),
+        |l AS (
+        |  SELECT event_type, wk, n,
+        |    LAG(n, 1) OVER (PARTITION BY event_type ORDER BY wk) AS n_prev
+        |  FROM weekly)
+        |SELECT event_type, wk, n, n_prev,
+        |  CAST(n - n_prev AS DOUBLE) / CAST(n_prev AS DOUBLE) AS wow_growth
+        |FROM l WHERE n_prev IS NOT NULL
+        |ORDER BY event_type, wk""".stripMargin,
+
+    "q_events_snaive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        |  FROM events GROUP BY event_type, 2),
+        |fc AS (
+        |  SELECT event_type, d + 7 AS d, c AS f FROM daily),
+        |s AS (
+        |  SELECT daily.event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(ABS(daily.c - fc.f)) AS BIGINT) AS abs_err,
+        |    CAST(SUM(fc.f - daily.c) AS BIGINT) AS bias,
+        |    CAST(SUM(daily.c) AS BIGINT) AS actual
+        |  FROM daily JOIN fc
+        |    ON daily.event_type = fc.event_type AND daily.d = fc.d
+        |  GROUP BY daily.event_type)
+        |SELECT event_type, n_days,
+        |  CAST(abs_err AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae,
+        |  CAST(abs_err AS DOUBLE) / CAST(actual AS DOUBLE) AS wape,
+        |  bias
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |probes AS (
+        |  SELECT d + lag_d AS d, lag_d, c AS x
+        |  FROM daily CROSS JOIN
+        |    (SELECT UNNEST([1,2,3,4,5,6,7]) AS lag_d) lags),
+        |p AS (
+        |  SELECT probes.lag_d, probes.x, daily.c AS y
+        |  FROM probes JOIN daily USING (d)),
+        |s AS (
+        |  SELECT lag_d, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY lag_d)
+        |SELECT lag_d, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM s WHERE n >= 2 ORDER BY lag_d""".stripMargin,
 
     "q_events_seasonality" ->
       """WITH d AS (

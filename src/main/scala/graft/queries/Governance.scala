@@ -112,6 +112,33 @@ object Governance extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // l-diversity audit (round 12): k-anonymity's blind spot is a
+    // large QI group whose SENSITIVE attribute is uniform — k high,
+    // privacy zero (everyone in the group shares the secret). Group
+    // rows by the quasi-identifier tuple (day, value band) and measure
+    // the diversity of the sensitive attribute (event_type) inside
+    // each group; report per day how many groups fall below l = 3,
+    // the rows they expose, and the worst group's diversity — the
+    // release gate run NEXT TO q_anon_kanon before publishing. Scale:
+    // two map-side-combinable aggregates (the distinct is over a
+    // domain-bounded attribute); output is calendar-sized.
+    "q_anon_ldiversity" -> ((spark, sfDir) => {
+      val q = Tables.events(spark, sfDir)
+        .select(col("ts").cast("date").as("d"),
+          floor(col("value") / 100).cast("long").as("vb"),
+          col("event_type"))
+      q.groupBy(col("d"), col("vb"))
+        .agg(countDistinct(col("event_type")).as("ldiv"),
+          count(lit(1)).as("n"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ldiv") < 3, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("ldiv") < 3, col("n")).otherwise(0L))
+            .as("rows_exposed"),
+          min(col("ldiv")).as("min_ldiv"))
+        .orderBy(col("d"))
+    }),
+
     // Snapshot diff / CDC derivation: given yesterday's snapshot and
     // today's (today = deterministic deletes %37, price updates %11
     // in exact decimal, inserts from %13 under shifted keys), classify
@@ -429,6 +456,22 @@ object Governance extends QueryPack {
         |    579919469776867, 511525224473813,
         |    457574905606751][digit] AS DOUBLE) / 1e16 AS expected
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q_anon_ldiversity" ->
+      """WITH q AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(FLOOR(value / 100) AS BIGINT) AS vb, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT d, vb, COUNT(DISTINCT event_type) AS ldiv,
+        |    COUNT(*) AS n
+        |  FROM q GROUP BY d, vb)
+        |SELECT d, COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_exposed,
+        |  MIN(ldiv) AS min_ldiv
+        |FROM g GROUP BY d ORDER BY d""".stripMargin,
 
     "q_anon_kanon" ->
       """WITH q AS (

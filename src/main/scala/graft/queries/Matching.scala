@@ -64,6 +64,59 @@ object Matching extends QueryPack {
       val master = cust.select(col("c_custkey").as("m_id"),
         col("c_name").as("m_name"), col("c_nationkey").as("m_nk"))
       bestMatch(dirty, master).orderBy(col("in_id"))
+    }),
+
+    // Golden-record survivorship (round 12): AFTER matching links a
+    // cluster of records for the same real-world entity across
+    // sources, survivorship builds the single golden record —
+    // per FIELD, the value from the highest-priority source that has
+    // one, with provenance. Fixture: three deterministic feeds of the
+    // customer entity — web signups (prio 1, freshest balance
+    // +10.00 exact decimal, no name), the CRM master (prio 2,
+    // complete), an OCR batch (prio 3, corrupted names, no balance).
+    // Shape: union → ONE key-partitioned window pass; per field,
+    // FIRST_VALUE(... IGNORE NULLS) ordered by priority over the full
+    // frame (explicit unbounded frame on BOTH engines — the default
+    // ORDER BY frame stops at the current row), plus min-priority
+    // provenance. One shuffle of the union at any source count;
+    // priorities are unique per (key, source) so the order is total.
+    // Balances ride DECIMAL(18,2) end-to-end (the +10 add is exact;
+    // the final cast never downscales).
+    "q_er_survivorship" -> ((spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val bal2 = "decimal(18,2)"
+      val web = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("key"), lit(1L).as("prio"),
+          lit(null).cast("string").as("name"),
+          (Tables.dec(col("c_acctbal")) + 10).cast(bal2).as("bal"),
+          lit(null).cast("string").as("segment"))
+      val crm = c.select(col("c_custkey").as("key"), lit(2L).as("prio"),
+        col("c_name").as("name"),
+        Tables.dec(col("c_acctbal")).cast(bal2).as("bal"),
+        col("c_mktsegment").as("segment"))
+      val ocr = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("key"), lit(3L).as("prio"),
+          translate(col("c_name"), "0123", "OIZE").as("name"),
+          lit(null).cast(bal2).as("bal"),
+          lit(null).cast("string").as("segment"))
+      val all = web.unionAll(crm).unionAll(ocr)
+      val wf = Window.partitionBy(col("key")).orderBy(col("prio"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wo = Window.partitionBy(col("key")).orderBy(col("prio"))
+      all
+        .select(col("key"), col("prio"),
+          first(col("name"), ignoreNulls = true).over(wf).as("name"),
+          first(col("bal"), ignoreNulls = true).over(wf).as("bal"),
+          first(col("segment"), ignoreNulls = true).over(wf).as("segment"),
+          min(when(col("name").isNotNull, col("prio"))).over(wf)
+            .as("name_src"),
+          min(when(col("bal").isNotNull, col("prio"))).over(wf)
+            .as("bal_src"),
+          row_number().over(wo).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("name"), col("bal"), col("segment"),
+          col("name_src"), col("bal_src"))
+        .orderBy(col("key"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -83,5 +136,49 @@ object Matching extends QueryPack {
         |    ROW_NUMBER() OVER (PARTITION BY in_id ORDER BY dist, m_id) AS rn
         |  FROM cand)
         |SELECT in_id, m_id, dist FROM best WHERE rn = 1
-        |ORDER BY in_id""".stripMargin)
+        |ORDER BY in_id""".stripMargin,
+
+    "q_er_survivorship" ->
+      """WITH web AS (
+        |  SELECT c_custkey AS key, 1 AS prio,
+        |    CAST(NULL AS VARCHAR) AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 10
+        |      AS DECIMAL(18,2)) AS bal,
+        |    CAST(NULL AS VARCHAR) AS segment
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |crm AS (
+        |  SELECT c_custkey AS key, 2 AS prio, c_name AS name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |ocr AS (
+        |  SELECT c_custkey AS key, 3 AS prio,
+        |    translate(c_name, '0123', 'OIZE') AS name,
+        |    CAST(NULL AS DECIMAL(18,2)) AS bal,
+        |    CAST(NULL AS VARCHAR) AS segment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |u AS (
+        |  SELECT * FROM web UNION ALL SELECT * FROM crm
+        |  UNION ALL SELECT * FROM ocr),
+        |g AS (
+        |  SELECT key, prio,
+        |    FIRST_VALUE(name IGNORE NULLS) OVER (PARTITION BY key
+        |      ORDER BY prio ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS name,
+        |    FIRST_VALUE(bal IGNORE NULLS) OVER (PARTITION BY key
+        |      ORDER BY prio ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS bal,
+        |    FIRST_VALUE(segment IGNORE NULLS) OVER (PARTITION BY key
+        |      ORDER BY prio ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS segment,
+        |    MIN(CASE WHEN name IS NOT NULL THEN prio END)
+        |      OVER (PARTITION BY key) AS name_src,
+        |    MIN(CASE WHEN bal IS NOT NULL THEN prio END)
+        |      OVER (PARTITION BY key) AS bal_src,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY prio) AS rn
+        |  FROM u)
+        |SELECT key, name, bal, segment,
+        |  CAST(name_src AS BIGINT) AS name_src,
+        |  CAST(bal_src AS BIGINT) AS bal_src
+        |FROM g WHERE rn = 1 ORDER BY key""".stripMargin)
 }

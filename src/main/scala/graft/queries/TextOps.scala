@@ -1191,6 +1191,68 @@ object TextOps extends QueryPack {
 
     // Quality scoring: token count, mean token length, stopword ratio —
     // all exact integer ratios finished in double.
+    // Readability scoring (round 12): Flesch reading ease per source —
+    // the fluency band a curation mix targets (too hard = OCR noise /
+    // legalese, too easy = listicle spam). Sentence count = runs of
+    // terminal punctuation (floored at 1), syllables = vowel-group
+    // runs: the standard lexical approximations, both countable by one
+    // regex pass. Scale: three per-doc integer counts feed ONE
+    // map-side-combinable groupBy; the corpus-level score closes from
+    // per-source int64 sums, and per-doc hard_docs re-derives each
+    // doc's score from ITS exact ints (a deterministic double chain →
+    // comparison, then an integer count). Constants enter as exact
+    // int/power-of-ten divisions (206835/1000 etc.) — one correctly-
+    // rounded division on both engines, no decimal-literal conversion
+    // in the hash path (the q_agg_benford rule).
+    "q_text_readability" -> ((spark, sfDir) => {
+      def flesch(w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) =
+        lit(206835.0) / lit(1000.0) -
+          (lit(1015.0) / lit(1000.0)) * (w.cast("double") / s.cast("double")) -
+          (lit(846.0) / lit(10.0)) * (y.cast("double") / w.cast("double"))
+      Tables.documents(spark, sfDir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+            lit(1L)).as("s"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+            .as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("words"), sum(col("s")).as("sentences"),
+          sum(col("y")).as("syllables"),
+          sum(when(flesch(col("w"), col("s"), col("y")) < 50.0, 1L)
+            .otherwise(0L)).as("hard_docs"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("sentences"), col("syllables"),
+          flesch(col("words"), col("sentences"), col("syllables"))
+            .as("flesch"),
+          col("hard_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Vocabulary richness per source (round 12): token/type counts,
+    // type-token ratio, and the hapax share (types seen exactly once)
+    // — the lexical-diversity fingerprint that separates template spam
+    // (low TTR, few hapax) from organic prose, read next to
+    // q_text_quality's ratio gates. Scale: one (source, token) count
+    // (map-side combinable) then a source-sized rollup; ratios are
+    // single divisions of exact int64s.
+    "q_text_vocab" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          (col("hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_share"))
+        .orderBy(col("source"))
+    }),
+
     "q_text_quality" -> ((spark, sfDir) => {
       Tables.documents(spark, sfDir)
         .withColumn("toks", split(col("text"), " "))
@@ -2093,6 +2155,45 @@ object TextOps extends QueryPack {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS words,
+        |  CAST(SUM(s) AS BIGINT) AS sentences,
+        |  CAST(SUM(y) AS BIGINT) AS syllables,
+        |  206835e0 / 1000e0
+        |    - (1015e0 / 1000e0)
+        |      * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE))
+        |    - (846e0 / 10e0)
+        |      * (CAST(SUM(y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS flesch,
+        |  CAST(SUM(CASE WHEN
+        |    206835e0 / 1000e0
+        |      - (1015e0 / 1000e0) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |      - (846e0 / 10e0) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+        |    < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS hard_docs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH tf AS (
+        |  SELECT source, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM tf GROUP BY source, tok)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

@@ -42,6 +42,43 @@ class FeaturePrepSpec extends SparkSuite {
     assert(out.map(_._2).sum === graft.Tables.orders(spark, Sf).count())
   }
 
+  test("k-fold assignment is group-exclusive: every user in exactly one fold") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(spark, Sf)
+      .select(col("user_id"),
+        (col("user_id") % 1000003L * 2654435761L % 4294967296L % 5L)
+          .as("fold"))
+    val leaky = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(leaky === 0L, "a user spans folds — grouped CV would leak")
+    val out = SparkEntry.queries("q_feature_kfold")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._1).forall(f => f >= 0 && f <= 4))
+    assert(out.map(_._3).sum === graft.Tables.events(spark, Sf).count())
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    // user totals reconcile: folds partition the user set
+    assert(out.map(_._2).sum ===
+      graft.Tables.events(spark, Sf).select("user_id").distinct().count())
+  }
+
+  test("odds encoding: ratio is odds over global odds, smoothing keeps it finite") {
+    val rows = SparkEntry.queries("q_feature_odds")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val gp = rows.map(_._2).sum.toDouble
+    val gn = rows.map(_._3).sum.toDouble
+    val gOdds = (gp + 0.5) / (gn + 0.5)
+    rows.foreach { case (cat, pos, neg, odds, ratio) =>
+      assert(odds > 0 && java.lang.Double.isFinite(odds),
+        s"$cat odds $odds not finite-positive")
+      assert(math.abs(odds - (pos + 0.5) / (neg + 0.5)) < 1e-12)
+      assert(math.abs(ratio - odds / gOdds) < 1e-12, s"$cat ratio drifted")
+    }
+  }
+
   test("equal-frequency binning partitions all rows into near-equal deciles") {
     val out = SparkEntry.queries("q_feature_binning")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -66,4 +66,34 @@ class MatchingSpec extends SparkSuite {
     assert(out.getLong(1) * 2 > n,
       s"fewer than half of $n dirty records recovered their source")
   }
+
+  test("survivorship: field-wise priority wins with provenance, one golden row per key") {
+    val golden = SparkEntry.queries("q_er_survivorship")(spark, Sf).collect()
+    val master = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"),
+        Tables.dec(col("c_acctbal")).cast("decimal(18,2)").as("bal"),
+        col("c_mktsegment"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDecimal(2), r.getString(3)))
+      .toMap
+    assert(golden.length === master.size, "one golden row per entity")
+    golden.foreach { r =>
+      val key = r.getLong(0)
+      val (cName, cBal, cSeg) = master(key)
+      // name: web has none, so CRM (prio 2) always wins — never the
+      // OCR-corrupted variant
+      assert(r.getString(1) === cName)
+      assert(r.getLong(4) === 2L, s"$key name_src")
+      // balance: web feed (prio 1, +10.00) wins for %5 keys, CRM else
+      if (key % 5 == 0) {
+        assert(r.getDecimal(2) === cBal.add(new java.math.BigDecimal("10.00")),
+          s"$key fresh balance")
+        assert(r.getLong(5) === 1L, s"$key bal_src")
+      } else {
+        assert(r.getDecimal(2) === cBal)
+        assert(r.getLong(5) === 2L, s"$key bal_src")
+      }
+      assert(r.getString(3) === cSeg)
+    }
+  }
 }

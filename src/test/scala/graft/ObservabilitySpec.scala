@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pre-flight / audit operators (round 12 batch 7): structural
+  * invariants of the skew, cardinality, autocorrelation, l-diversity,
+  * readability, and vocabulary reports — value-level cross-engine
+  * parity is the DuckDB oracle's job. */
+class ObservabilitySpec extends SparkSuite {
+
+  test("partition-key skew pre-flight: internally consistent stats") {
+    val r = SparkEntry.queries("q_part_skew_stats")(spark, Sf)
+      .collect().head
+    val (nKeys, nRows, maxC, p99, _, skew, topShare) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))
+    val actualKeys = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    val actualRows = Tables.events(spark, Sf).count()
+    assert(nKeys === actualKeys && nRows === actualRows)
+    assert(p99 <= maxC && maxC <= nRows)
+    // skew factor is max over mean, so always >= 1 and consistent
+    // with top_share: skew = top_share * n_keys
+    assert(skew >= 1.0 - 1e-12)
+    assert(math.abs(skew - topShare * nKeys) < 1e-9)
+  }
+
+  test("skew pre-flight top key really is the most frequent key") {
+    val top = SparkEntry.queries("q_part_skew_stats")(spark, Sf)
+      .collect().head.getLong(4)
+    val best = Tables.events(spark, Sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id").asc)
+      .collect().head.getLong(0)
+    assert(top === best)
+  }
+
+  test("join-cardinality pre-flight: exact pair count matches the real join") {
+    val r = SparkEntry.queries("q_join_cardinality")(spark, Sf)
+      .collect().head
+    val exact = r.getAs[Long]("exact_pairs")
+    val actual = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(exact === actual, s"decomposed $exact vs joined $actual")
+    assert(r.getAs[Long]("max_key_pairs") <= exact)
+    assert(r.getAs[Double]("amplification") >= 1.0 - 1e-12)
+  }
+
+  test("autocorrelation: lags 1-7 present, every r in [-1, 1]") {
+    val rows = SparkEntry.queries("q_events_autocorr")(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (1 to 7))
+    rows.foreach { case (lag, n, acf) =>
+      assert(n >= 2)
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9,
+        s"lag $lag acf $acf out of range")
+    }
+  }
+
+  test("autocorrelation matches a driver-side sequential reference") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(col("ts").cast("date").as("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay).toSeq
+    val byDay = daily.map { case (d, c) => d.toEpochDay -> c }.toMap
+    val got = SparkEntry.queries("q_events_autocorr")(spark, Sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    for (lag <- 1 to 7) {
+      val pairs = daily.flatMap { case (d, x) =>
+        byDay.get(d.toEpochDay + lag).map(y => (x, y))
+      }
+      if (pairs.size >= 2) {
+        val n = pairs.size.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val ref = (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble))
+        assert(math.abs(got(lag) - ref) < 1e-12, s"lag $lag")
+      }
+    }
+  }
+
+  test("l-diversity: group counts reconcile and min diversity is sane") {
+    val rows = SparkEntry.queries("q_anon_ldiversity")(spark, Sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nTypes = Tables.events(spark, Sf)
+      .select(col("event_type")).distinct().count()
+    rows.foreach { case (nGroups, nLow, exposed, minL) =>
+      assert(nLow <= nGroups)
+      assert(minL >= 1 && minL <= nTypes)
+      // every low-diversity group has at least one row
+      assert((nLow == 0 && exposed == 0) || exposed >= nLow)
+    }
+  }
+
+  test("readability: sums reconcile per source; flesch falls with syllable load") {
+    val rows = SparkEntry.queries("q_text_readability")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, w, s, y) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(nDocs > 0 && w >= nDocs && s >= nDocs)
+      val flesch = r.getDouble(5)
+      val ref = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w)
+      assert(math.abs(flesch - ref) < 1e-9)
+      assert(r.getLong(6) <= nDocs)
+    }
+  }
+
+  test("week-over-week growth reconciles with the weekly series") {
+    val weekly = Tables.events(spark, Sf)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r._2, r._3)).sortBy(_._1.toEpochDay).toSeq }
+    val got = SparkEntry.queries("q_events_wow")(spark, Sf)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    weekly.foreach { case (t, series) =>
+      series.sliding(2).foreach {
+        case Seq((_, prev), (wk, n)) =>
+          val (gn, gprev, growth) = got((t, wk))
+          assert(gn === n && gprev === prev)
+          assert(math.abs(growth - (n - prev).toDouble / prev) < 1e-12)
+        case _ =>
+      }
+      // first week of each series never appears (no prior week)
+      assert(!got.contains((t, series.head._1)))
+    }
+    assert(got.size === weekly.values.map(s => s.size - 1).sum)
+  }
+
+  test("seasonal-naive accuracy matches a driver-side recompute") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay), r.getLong(2)))
+      .toMap
+    val got = SparkEntry.queries("q_events_snaive")(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      // .toSeq BEFORE collect: collecting pairs out of a Map rebuilds
+      // a Map, silently collapsing duplicate actual-count keys
+      val pairs = daily.toSeq.collect {
+        case ((`t`, ep), c) if daily.contains((t, ep - 7)) =>
+          (c, daily((t, ep - 7)))
+      }
+      assert(r.getLong(1) === pairs.size.toLong)
+      val absErr = pairs.map(p => math.abs(p._1 - p._2)).sum
+      assert(math.abs(r.getDouble(2) - absErr.toDouble / pairs.size) < 1e-12)
+      assert(math.abs(r.getDouble(3) - absErr.toDouble / pairs.map(_._1).sum) < 1e-12)
+      assert(r.getLong(4) === pairs.map(p => p._2 - p._1).sum)
+    }
+  }
+
+  test("robust scaling: ordered quartiles, iqr identity, outlier count exact") {
+    val rows = SparkEntry.queries("q_feature_scale_robust")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, q1, med, q3, iqr) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(q1 <= med && med <= q3 && iqr === q3 - q1)
+      val vals = Tables.events(spark, Sf)
+        .filter(col("event_type") === t)
+        .select(col("value")).collect().map(_.getDouble(0))
+      assert(r.getLong(5) === vals.length.toLong)
+      val out = vals.count(v => v < q1 - 1.5 * iqr || v > q3 + 1.5 * iqr)
+      assert(r.getLong(6) === out.toLong, s"$t outliers")
+      // exact-discrete quartiles are real data values
+      assert(vals.contains(q1) && vals.contains(med) && vals.contains(q3))
+    }
+  }
+
+  test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
+    val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(typ <= tok && hap <= typ && typ > 0)
+      assert(math.abs(r.getDouble(4) - typ.toDouble / tok) < 1e-15)
+      assert(math.abs(r.getDouble(5) - hap.toDouble / typ) < 1e-15)
+    }
+  }
+}

@@ -47,7 +47,12 @@ class PlanAuditSpec extends SparkSuite {
       // q_feature_target_encode / q_feature_binning / q_agg_benford:
       // 1-row global-prior / quantile-edge / total-count broadcast
       // under a map-side close
-      "q_feature_target_encode", "q_feature_binning", "q_agg_benford")
+      "q_feature_target_encode", "q_feature_binning", "q_agg_benford",
+      // q_part_skew_stats / q_join_cardinality / q_feature_kfold /
+      // q_feature_odds: 1-row stats/total/prior broadcasts under a
+      // map-side close (same shape)
+      "q_part_skew_stats", "q_join_cardinality", "q_feature_kfold",
+      "q_feature_odds")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
