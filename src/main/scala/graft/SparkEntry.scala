@@ -17,7 +17,7 @@ object SparkEntry {
     ArraysJson, TextOps, SimOps, ScansSinks, Streaming, Udfs,
     MultimodalPack, Subqueries, Reshape, Warehouse, Composites,
     CompositesB, EventsAnalytics, Curation, Governance, Learned,
-    Matching, Preflight
+    Matching, Preflight, Inference
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

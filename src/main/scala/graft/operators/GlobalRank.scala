@@ -63,27 +63,49 @@ object GlobalRank {
     * here would drift with partition boundaries (repo determinism
     * rules). Keys must define a total order (unique-id tiebreak). */
   def withRunningSum(df: DataFrame, sumCol: String, value: Column,
+      keys: Column*): DataFrame =
+    withRunningSums(df, Seq(sumCol -> value), keys: _*)
+
+  /** Multi-column variant of [[withRunningSum]]: N global running
+    * sums from ONE range shuffle. Two separate withRunningSum calls
+    * would range-partition twice, and when AQE exchange reuse misses
+    * the two passes can see DIFFERENT range boundaries (the
+    * nested-call hazard documented on
+    * [[withRowNumberAndCountPerGroup]]) — so sums that must be
+    * mutually consistent per row (e.g. the two empirical CDFs of a KS
+    * test) belong in one call. Values must merge order-independently
+    * (integer or DECIMAL sums — never double; repo determinism
+    * rules). Keys must define a total order. */
+  def withRunningSums(df: DataFrame, sums: Seq[(String, Column)],
       keys: Column*): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
-      .repartitionByRange(parts, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value)
+    val vNames = sums.indices.map(i => s"__v$i")
+    val ranged = sums.zip(vNames).foldLeft(
+      df.repartitionByRange(parts, keys: _*)
+        .withColumn("__pid", spark_partition_id())) {
+      case (d, ((_, v), n)) => d.withColumn(n, v)
+    }
     val localW = Window.partitionBy(col("__pid")).orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__local_cum", sum(col("__v")).over(localW))
+    val local = vNames.foldLeft(ranged) {
+      (d, n) => d.withColumn(s"__lc$n", sum(col(n)).over(localW))
+    }
     val offsetW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
-      .groupBy(col("__pid")).agg(sum(col("__v")).as("__psum"))
-      .withColumn("__offset", sum(col("__psum")).over(offsetW))
-      .select(col("__pid").as("__opid"), col("__offset"))
-    local
-      .join(broadcast(offsets), col("__pid") === col("__opid"))
-      .withColumn(sumCol, when(col("__offset").isNull, col("__local_cum"))
-        .otherwise(col("__offset") + col("__local_cum")))
-      .drop("__pid", "__opid", "__v", "__local_cum", "__offset")
+    val offsets = vNames.foldLeft(
+      local.groupBy(col("__pid")).agg(
+        sum(col(vNames.head)).as(s"__ps${vNames.head}"),
+        vNames.tail.map(n => sum(col(n)).as(s"__ps$n")): _*)) {
+      (d, n) => d.withColumn(s"__off$n", sum(col(s"__ps$n")).over(offsetW))
+    }.select(col("__pid").as("__opid") +: vNames.map(n => col(s"__off$n")): _*)
+    val joined = local.join(broadcast(offsets), col("__pid") === col("__opid"))
+    sums.zip(vNames).foldLeft(joined) {
+      case (d, ((name, _), n)) =>
+        d.withColumn(name, when(col(s"__off$n").isNull, col(s"__lc$n"))
+          .otherwise(col(s"__off$n") + col(s"__lc$n")))
+    }.drop(Seq("__pid", "__opid") ++ vNames ++
+      vNames.map(n => s"__lc$n") ++ vNames.map(n => s"__off$n"): _*)
   }
 
   /** Per-GROUP running sum, scale-safe for FEW, HUGE groups — where

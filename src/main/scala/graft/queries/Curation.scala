@@ -499,10 +499,107 @@ object Curation extends QueryPack {
         .select(col("doc_id"), col("source"),
           ((col("x").cast("double") - mean) / sd).as("z"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Degree distribution of the co-purchase graph (round 12): how
+    // many parts have k co-purchase partners — the first structural
+    // report on any graph (a heavy tail here is exactly what
+    // q_graph_linkpred's hub cap and BandGuard exist for, and this is
+    // the query that MEASURES it before an algorithm choice). Shape:
+    // the edge build is the q_graph_triangles plan; degrees are one
+    // node-keyed count over the symmetrized list; the histogram is a
+    // second degree-keyed count over the NODE-sized frame. Exact
+    // integers end to end.
+    "q_graph_degree" -> ((spark, sfDir) => {
+      val edges = coPurchaseEdges(spark, sfDir)
+      val und = edges.select(col("p1").as("node"))
+        .unionAll(edges.select(col("p2").as("node")))
+      und.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
+    // Common-neighbor link prediction (round 12): for part pairs NOT
+    // yet co-purchased, count shared co-purchase partners — the
+    // classic recommendation/link-prediction score. The wedge join is
+    // the quadratic hazard (a hub of degree d emits d² wedges), so
+    // middles are capped at degree ≤ 64 BEFORE the join — the
+    // standard hub suppression in link prediction (a ubiquitous part
+    // carries no signal about any specific pair) and this engine's
+    // BandGuard discipline: per-task wedge work is bounded by cap²
+    // whatever the corpus does. Existing edges leave by ANTI-join;
+    // top-20 under a total-order tiebreak. The cap is part of the
+    // operator's declared semantics, so the DuckDB oracle applies the
+    // identical cap and hash-matches.
+    "q_graph_linkpred" -> ((spark, sfDir) => {
+      val edges = coPurchaseEdges(spark, sfDir)
+      val und = edges.select(col("p1").as("a"), col("p2").as("b"))
+        .unionAll(edges.select(col("p2").as("a"), col("p1").as("b")))
+      val deg = und.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      val mid = und.join(deg.filter(col("degree") <= 64), "a")
+        .select(col("a").as("m"), col("b"))
+      val wedges = mid.select(col("m"), col("b").as("x"))
+        .join(mid.select(col("m").as("m2"), col("b").as("y")),
+          col("m") === col("m2") && col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      wedges
+        .join(edges, col("x") === col("p1") && col("y") === col("p2"),
+          "left_anti")
+        .orderBy(col("common").desc, col("x").asc, col("y").asc)
+        .limit(20)
     })
   )
 
+  /** Co-purchase edge list (p1 < p2, parts sharing ≥ 2 orders) — the
+    * graph behind q_graph_triangles / q_graph_labelprop, shared by the
+    * round-12 degree/link-prediction queries. */
+  private def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("p1"), col("p2"))
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q_graph_degree" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e),
+        |d AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node)
+        |SELECT degree, COUNT(*) AS n_nodes FROM d
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q_graph_linkpred" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT p1 AS a, p2 AS b FROM e
+        |        UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT a, COUNT(*) AS degree FROM und GROUP BY a),
+        |mid AS (
+        |  SELECT und.a AS m, und.b FROM und JOIN deg ON und.a = deg.a
+        |  WHERE degree <= 64),
+        |w AS (
+        |  SELECT m1.b AS x, m2.b AS y, COUNT(*) AS common
+        |  FROM mid m1 JOIN mid m2 ON m1.m = m2.m AND m1.b < m2.b
+        |  GROUP BY 1, 2)
+        |SELECT x, y, common FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p1 = w.x AND e.p2 = w.y)
+        |ORDER BY common DESC, x, y LIMIT 20""".stripMargin,
+
     "q_split_train_test" ->
       """WITH b AS (
         |  SELECT n_chars, (doc_id * 2654435761) % 100 AS bucket

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.GlobalRank
+
+/** Statistical inference over event data (round 12): the hypothesis
+  * tests and survival/diversity summaries an analytics warehouse runs
+  * after the descriptive reports (q_events_ab_test's z-test, the
+  * autocorrelation/seasonality profiles) — chi-squared independence,
+  * two-sample Kolmogorov–Smirnov, Kaplan–Meier survival, and Simpson
+  * diversity. All four are oracle-checked: test statistics close over
+  * exact integer sufficient statistics, and any float reduction with
+  * more than a fixed handful of operands runs as an ORDERED fold
+  * (the q_events_holt / q_events_cusum list-fold idiom) so both
+  * engines accumulate in the same sequence.
+  *
+  * Reference scope: the reference exports event rows and lets the
+  * warehouse analyze them (Unity_to_BigQuery.py:79-92); these are the
+  * analyses.
+  */
+object Inference extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // Chi-squared independence test of event_type × day-of-week: is
+    // traffic mix independent of weekday? Observed counts are one
+    // map-side-combinable groupBy (exact int64); margins are two
+    // category-bounded aggregates broadcast back onto the 35-cell
+    // frame; each cell's (O−E)²/E term is a fixed double chain; and
+    // the 35-term sum runs as an ORDERED fold over the (type, dow)-
+    // sorted term list — bit-identical on both engines where a plain
+    // SUM(double) would drift with aggregation order. Cramér's V
+    // normalizes by n·min(r−1, c−1) for an effect size alongside the
+    // statistic. Row data is touched exactly once at any volume.
+    "q_stats_chisq" -> ((spark, sfDir) => {
+      val obs = Tables.events(spark, sfDir)
+        .select(col("event_type").as("t"), dayofweek(col("ts")).as("dow"))
+        .groupBy(col("t"), col("dow")).agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy(col("t")).agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).as("n"), countDistinct(col("t")).as("r"),
+        countDistinct(col("dow")).as("c"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+      // no broadcast hints on the margins: they're category-bounded in
+      // reality but GROUPED aggregates to the plan audit (which can't
+      // see the bound) — and the joins are margin-sized anyway, so AQE
+      // picks the right strategy unhinted
+      val cells = obs
+        .join(rowT, "t").join(colT, "dow")
+        .crossJoin(broadcast(n))
+        .agg(array_sort(collect_list(struct(col("t"), col("dow"),
+          term.as("term")))).as("terms"))
+      val chisq = aggregate(
+        transform(col("terms"), s => s.getField("term")),
+        lit(0.0), (acc, x) => acc + x)
+      cells.crossJoin(broadcast(n))
+        .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          chisq.as("chisq"),
+          sqrt(chisq / (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double")))
+            .as("cramers_v"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov test: D = sup |F_click − F_purchase|
+    // over the spend distributions. The empirical CDFs are built
+    // DISTRIBUTED: one groupBy collapses rows to the distinct-value
+    // frame with both samples' counts, then ONE GlobalRank.
+    // withRunningSums range-pass produces both running counts with
+    // guaranteed-consistent range boundaries (two separate passes
+    // could disagree on boundaries when exchange reuse misses — the
+    // documented nested-call hazard). No unpartitioned row-scale
+    // window anywhere; per-row CDF gaps are fixed double chains of
+    // exact int64s, and max/min closes are order-independent. d_at
+    // reports the value where the sup is attained (min-value
+    // tiebreak, engine-stable).
+    "q_stats_ks" -> ((spark, sfDir) => {
+      val byV = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(Tables.dec(col("value")).as("v"), col("event_type"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val gaps = GlobalRank
+        .withRunningSums(byV, Seq("r1" -> col("c1"), "r2" -> col("c2")), col("v"))
+        .crossJoin(broadcast(tot))
+        .select(col("v"),
+          abs(col("r1").cast("double") / col("n1").cast("double") -
+            col("r2").cast("double") / col("n2").cast("double")).as("gap"))
+      val d = gaps.agg(max(col("gap")).as("d_stat"))
+      val at = gaps.crossJoin(broadcast(d))
+        .filter(col("gap") === col("d_stat"))
+        .agg(min(col("v")).as("d_at"))
+      tot.crossJoin(broadcast(d)).crossJoin(broadcast(at))
+        .select(col("n1"), col("n2"), col("d_stat"), col("d_at"))
+    }),
+
+    // Kaplan–Meier survival over user lifetimes with right-censoring:
+    // duration = days between a user's first and last event; a user
+    // still active in the final 7 days of the corpus is CENSORED (we
+    // never saw them leave), not a churn event — the estimator's whole
+    // point vs a naive churn histogram. Per-duration death/censor
+    // counts collapse to a CALENDAR-BOUNDED life table (≤ observation
+    // window in days — metadata-scale, the GlobalRank-offsets
+    // precedent for its unpartitioned windows); at-risk counts are a
+    // reverse running sum over that table; and S(t) = Π_{s≤t}
+    // (1 − d_s/n_s) folds each row's PREFIX of the broadcast factor
+    // list in ascending-duration order — same sequence on both
+    // engines, so the product is bit-stable where pow/exp-log
+    // formulations are not. Row-scale work is one user_id groupBy.
+    "q_events_survival" -> ((spark, sfDir) => {
+      val mx = Tables.events(spark, sfDir)
+        .agg(max(col("ts").cast("date")).as("mx"))
+      val life = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("first_d"),
+          max(col("ts").cast("date")).as("last_d"))
+        .crossJoin(broadcast(mx))
+        // long: DuckDB date−date is BIGINT, Spark datediff is INT —
+        // align for the schema compare (the levenshtein precedent)
+        .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+          (datediff(col("mx"), col("last_d")) >= 7).as("churned"))
+      val tbl = life.groupBy(col("dur"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("deaths"),
+          count(lit(1)).as("ending"))
+      val wAtRisk = Window.orderBy(col("dur"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val withRisk = tbl.withColumn("at_risk", sum(col("ending")).over(wAtRisk))
+      // factor list [dur, 1 − d/n] sorted ascending — one row per
+      // distinct duration, calendar-bounded, broadcastable by
+      // construction
+      val factors = withRisk.agg(sort_array(collect_list(
+        array(col("dur").cast("double"),
+          lit(1.0) - col("deaths").cast("double") /
+            col("at_risk").cast("double")))).as("fs"))
+      withRisk.crossJoin(broadcast(factors))
+        .select(col("dur"), col("deaths"), col("ending"), col("at_risk"),
+          aggregate(
+            transform(
+              filter(col("fs"), f => element_at(f, 1) <= col("dur").cast("double")),
+              f => element_at(f, 2)),
+            lit(1.0), (acc, x) => acc * x).as("survival"))
+        .orderBy(col("dur"))
+    }),
+
+    // Simpson diversity of the daily event-type mix: the probability
+    // two random same-day events share a type (Σp²), its complement,
+    // and the effective number of types n²/Σc² — the
+    // concentration/diversity screen behind traffic-mix monitoring
+    // (log-free by design: Shannon entropy's ln() doubles are not
+    // cross-engine bit-stable — the q_feature_odds precedent — while
+    // Simpson carries the same ordering). Two bounded aggregates;
+    // Σc² stays exact int64 up to ~3·10⁹ events/day/type; closes are
+    // fixed double chains.
+    "q_events_diversity" -> ((spark, sfDir) => {
+      val byType = Tables.events(spark, sfDir)
+        .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val nn = col("n").cast("double") * col("n").cast("double")
+      byType.groupBy(col("d"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .select(col("d"), col("n"), col("n_types"),
+          (col("sumsq").cast("double") / nn).as("simpson"),
+          (lit(1.0) - col("sumsq").cast("double") / nn).as("diversity"),
+          (nn / col("sumsq").cast("double")).as("effective_types"))
+        .orderBy(col("d"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_stats_chisq" ->
+      """WITH obs AS (
+        |  SELECT event_type AS t, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT t, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY t),
+        |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY dow),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |        COUNT(DISTINCT t) AS r, COUNT(DISTINCT dow) AS c FROM obs),
+        |cells AS (
+        |  SELECT list(
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    ORDER BY t, dow) AS terms
+        |  FROM obs JOIN rt USING (t) JOIN ct USING (dow) CROSS JOIN n),
+        |f AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE, terms),
+        |    (acc, x) -> acc + x) AS chisq
+        |  FROM cells)
+        |SELECT n, (r - 1) * (c - 1) AS dof, chisq,
+        |  SQRT(chisq / (CAST(n AS DOUBLE)
+        |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+        |FROM n CROSS JOIN f""".stripMargin,
+
+    "q_stats_ks" ->
+      """WITH b AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(c2) AS BIGINT) AS n2 FROM b),
+        |g AS (
+        |  SELECT v,
+        |    ABS(CAST(CAST(SUM(c1) OVER w AS BIGINT) AS DOUBLE)
+        |          / CAST(n1 AS DOUBLE)
+        |        - CAST(CAST(SUM(c2) OVER w AS BIGINT) AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE)) AS gap
+        |  FROM b CROSS JOIN t
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |d AS (SELECT MAX(gap) AS d_stat FROM g),
+        |a AS (SELECT MIN(v) AS d_at FROM g, d WHERE gap = d_stat)
+        |SELECT n1, n2, d_stat, d_at FROM t CROSS JOIN d CROSS JOIN a""".stripMargin,
+
+    "q_events_survival" ->
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+        |life AS (
+        |  SELECT MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS dur,
+        |    mx - MAX(CAST(ts AS DATE)) >= 7 AS churned
+        |  FROM events CROSS JOIN mx GROUP BY user_id, mx),
+        |tbl AS (
+        |  SELECT dur,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+        |    COUNT(*) AS ending
+        |  FROM life GROUP BY dur),
+        |r AS (
+        |  SELECT dur, deaths, ending,
+        |    CAST(SUM(ending) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+        |  FROM tbl),
+        |fs AS (
+        |  SELECT list([CAST(dur AS DOUBLE),
+        |    1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)]
+        |    ORDER BY dur) AS fs
+        |  FROM r)
+        |SELECT dur, deaths, ending, at_risk,
+        |  list_reduce(list_prepend(1.0::DOUBLE,
+        |    list_transform(
+        |      list_filter(fs, f -> f[1] <= CAST(dur AS DOUBLE)),
+        |      f -> f[2])),
+        |    (acc, x) -> acc * x) AS survival
+        |FROM r CROSS JOIN fs ORDER BY dur""".stripMargin,
+
+    "q_events_diversity" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT d, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+        |    CAST(SUM(c * c) AS BIGINT) AS sumsq
+        |  FROM c GROUP BY d)
+        |SELECT d, n, n_types,
+        |  CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS simpson,
+        |  1.0 - CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS diversity,
+        |  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(sumsq AS DOUBLE)
+        |    AS effective_types
+        |FROM s ORDER BY d""".stripMargin
+  )
+}

@@ -115,6 +115,33 @@ class GlobalRankSpec extends SparkSuite {
     assert(got2 == want)
   }
 
+  test("withRunningSums: N sums from one pass match N reference windows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val df = Seq.tabulate(400)(i =>
+      (rng.nextInt(50).toLong, rng.nextInt(7).toLong, i.toLong))
+      .toDF("a", "b", "id").repartition(5)
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("ra", sum(col("a")).over(w))
+      .withColumn("rb", sum(col("b")).over(w))
+      .select(col("id"), col("ra"), col("rb"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = GlobalRank
+      .withRunningSums(df, Seq("ra" -> col("a"), "rb" -> col("b")), col("id"))
+      .select(col("id"), col("ra"), col("rb"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // partitioning independence
+    val got2 = GlobalRank
+      .withRunningSums(df.repartition(11),
+        Seq("ra" -> col("a"), "rb" -> col("b")), col("id"))
+      .select(col("id"), col("ra"), col("rb"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == want)
+  }
+
   test("withRunningSumPerGroup matches Window.partitionBy cumulative sums") {
     import spark.implicits._
     val rng = new scala.util.Random(17)

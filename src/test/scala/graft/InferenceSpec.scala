@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference pack (round 12): driver-side sequential
+  * recomputes of each test statistic — value-level cross-engine parity
+  * is the DuckDB oracle's job; these prove the Spark plans compute the
+  * textbook formulas. */
+class InferenceSpec extends SparkSuite {
+
+  private def eventRows =
+    Tables.events(spark, Sf)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        Tables.dec(col("value")).as("v"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDecimal(2),
+        r.getLong(3)))
+
+  test("chi-squared statistic matches an ordered driver-side recompute") {
+    val rows = eventRows
+    val obs = rows.groupBy(r => (r._1, r._2.getDayOfWeek.getValue))
+      .map { case (k, v) => k -> v.size.toLong }
+    // java DayOfWeek: Mon=1..Sun=7; Spark dayofweek: Sun=1..Sat=7
+    val obsSpark = obs.map { case ((t, dow), c) => (t, dow % 7 + 1) -> c }
+    val n = rows.length.toLong
+    val rt = obsSpark.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val ct = obsSpark.groupBy(_._1._2).map { case (d, m) => d -> m.values.sum }
+    var chisq = 0.0
+    obsSpark.toSeq.sortBy(_._1).foreach { case ((t, dow), o) =>
+      val e = rt(t).toDouble * ct(dow).toDouble / n.toDouble
+      chisq += (o.toDouble - e) * (o.toDouble - e) / e
+    }
+    val r = SparkEntry.queries("q_stats_chisq")(spark, Sf).collect().head
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("dof") ===
+      (rt.size - 1).toLong * (ct.size - 1).toLong)
+    assert(r.getAs[Double]("chisq") === chisq)
+    val v = math.sqrt(chisq / (n.toDouble * math.min(rt.size - 1, ct.size - 1)))
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-15)
+  }
+
+  test("KS statistic matches a driver-side sorted-CDF recompute") {
+    val rows = eventRows.filter(r => r._1 == "click" || r._1 == "purchase")
+    val s1 = rows.filter(_._1 == "click").map(_._3)
+    val s2 = rows.filter(_._1 == "purchase").map(_._3)
+    val values = (s1 ++ s2).distinct.sortBy(_.doubleValue())
+    var (c1, c2, best) = (0L, 0L, 0.0)
+    var bestAt: java.math.BigDecimal = null
+    values.foreach { v =>
+      c1 += s1.count(_ == v); c2 += s2.count(_ == v)
+      val gap = math.abs(c1.toDouble / s1.length - c2.toDouble / s2.length)
+      if (gap > best) { best = gap; bestAt = v }
+    }
+    val r = SparkEntry.queries("q_stats_ks")(spark, Sf).collect().head
+    assert(r.getAs[Long]("n1") === s1.length.toLong)
+    assert(r.getAs[Long]("n2") === s2.length.toLong)
+    assert(r.getAs[Double]("d_stat") === best)
+    assert(r.getAs[java.math.BigDecimal]("d_at").compareTo(bestAt) === 0)
+  }
+
+  test("Kaplan-Meier curve matches a sequential recompute; censoring respected") {
+    val rows = eventRows
+    val mx = rows.map(_._2.toEpochDay).max
+    // .values first: mapping a Map to PAIRS rebuilds a Map and
+    // collapses duplicate (dur, churned) entries — the snaive lesson
+    val life = rows.groupBy(_._4).values.map { es =>
+      val days = es.map(_._2.toEpochDay)
+      (days.max - days.min, mx - days.max >= 7)
+    }.toSeq
+    val tbl = life.groupBy(_._1).map { case (dur, ls) =>
+      (dur, ls.count(_._2).toLong, ls.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_events_survival")(spark, Sf).collect()
+    assert(got.map(_.getAs[Long]("dur")).toSeq === tbl.map(_._1))
+    var surv = 1.0
+    var atRisk = life.size.toLong
+    got.zip(tbl).foreach { case (r, (dur, deaths, ending)) =>
+      assert(r.getAs[Long]("deaths") === deaths)
+      assert(r.getAs[Long]("ending") === ending)
+      assert(r.getAs[Long]("at_risk") === atRisk)
+      surv *= 1.0 - deaths.toDouble / atRisk.toDouble
+      assert(r.getAs[Double]("survival") === surv, s"dur $dur")
+      atRisk -= ending
+    }
+    // survival is non-increasing and censored users never count as deaths
+    val survs = got.map(_.getAs[Double]("survival"))
+    assert(survs.zip(survs.tail).forall { case (a, b) => b <= a + 1e-15 })
+    assert(tbl.map(_._2).sum === life.count(_._2).toLong)
+  }
+
+  test("Simpson diversity identities hold per day") {
+    val rows = SparkEntry.queries("q_events_diversity")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nt) = (r.getAs[Long]("n"), r.getAs[Long]("n_types"))
+      val simpson = r.getAs[Double]("simpson")
+      val div = r.getAs[Double]("diversity")
+      val eff = r.getAs[Double]("effective_types")
+      // Σp² is bounded below by 1/k (uniform) and above by 1 (single type)
+      assert(simpson >= 1.0 / nt - 1e-12 && simpson <= 1.0)
+      assert(math.abs(simpson + div - 1.0) < 1e-15)
+      assert(eff >= 1.0 - 1e-12 && eff <= nt + 1e-9)
+      assert(n >= nt)
+    }
+  }
+
+  test("degree distribution reconciles with the edge list") {
+    val hist = SparkEntry.queries("q_graph_degree")(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_nodes")))
+    assert(hist.nonEmpty)
+    // Σ degree·n_nodes = 2·|edges|; Σ n_nodes = |nodes|
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    val edges = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("p1"), col("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(hist.map(h => h._1 * h._2).sum === 2L * edges.length)
+    assert(hist.map(_._2).sum === nodes.length.toLong)
+  }
+
+  test("link prediction: capped wedges, no existing edges, counts exact") {
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    val edges = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("p1"), col("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val mids = adj.filter(_._2.size <= 64)
+    val expected = collection.mutable.Map.empty[(Long, Long), Long]
+    mids.values.foreach { nbrs =>
+      val s = nbrs.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        expected((s(i), s(j))) = expected.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val nonEdge = expected.filterNot { case (p, _) => edges.contains(p) }
+    val top = nonEdge.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.take(20)
+    val got = SparkEntry.queries("q_graph_linkpred")(spark, Sf)
+      .collect()
+      .map(r => ((r.getAs[Long]("x"), r.getAs[Long]("y")),
+        r.getAs[Long]("common")))
+    assert(got.toSeq === top)
+    got.foreach { case (p, _) => assert(!edges.contains(p)) }
+  }
+}

@@ -52,7 +52,11 @@ class PlanAuditSpec extends SparkSuite {
       // q_feature_odds: 1-row stats/total/prior broadcasts under a
       // map-side close (same shape)
       "q_part_skew_stats", "q_join_cardinality", "q_feature_kfold",
-      "q_feature_odds")
+      "q_feature_odds",
+      // q_stats_chisq / q_stats_ks / q_events_survival: 1-row
+      // margin/total/max/factor-list broadcasts under the test-
+      // statistic closes (same shape)
+      "q_stats_chisq", "q_stats_ks", "q_events_survival")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
