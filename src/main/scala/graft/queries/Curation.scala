@@ -547,6 +547,67 @@ object Curation extends QueryPack {
           "left_anti")
         .orderBy(col("common").desc, col("x").asc, col("y").asc)
         .limit(20)
+    }),
+
+    // Degree assortativity of the co-purchase graph (round 12): the
+    // Pearson correlation of endpoint degrees over all (directed)
+    // edges — do popular parts co-purchase with popular parts
+    // (r > 0, social-network-like) or with obscure ones (r < 0,
+    // hub-and-spoke)? The number that tells a sampler whether
+    // degree-stratified selection is needed. Both orientations are
+    // scored, so the marginals are symmetric and the textbook formula
+    // collapses to (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²). Shape: degrees
+    // from one node-keyed count, joined back onto the edge list by
+    // each endpoint (two node-keyed shuffles); sufficient statistics
+    // are exact DECIMAL(38,0) sums closed by one fixed double chain.
+    "q_graph_assortativity" -> ((spark, sfDir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val edges = coPurchaseEdges(spark, sfDir)
+      val und = edges.select(col("p1").as("a"), col("p2").as("b"))
+        .unionAll(edges.select(col("p2").as("a"), col("p1").as("b")))
+      val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val pairs = und
+        .join(deg.select(col("a"), col("d").as("dx")), "a")
+        .join(deg.select(col("a").as("b2"), col("d").as("dy")),
+          col("b") === col("b2"))
+      val s = pairs.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(d380)).as("sx"),
+        sum((col("dx") * col("dy")).cast(d380)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(d380)).as("sxx"))
+      val md = col("m").cast("double")
+      val sxd = col("sx").cast("double")
+      s.select(col("m"),
+        (sxd / md).as("mean_degree"),
+        ((md * col("sxy").cast("double") - sxd * sxd) /
+          (md * col("sxx").cast("double") - sxd * sxd)).as("assortativity"))
+    }),
+
+    // Inter-document n-gram duplication rate per source (round 12):
+    // of all (doc, distinct-8-gram) occurrences, what fraction is a
+    // REPEAT of a gram some other doc already carries — the
+    // RefinedWeb/C4-style corpus-contamination dial that decides how
+    // aggressive the dedup pass must be, complementary to
+    // q_text_repetition (within-doc) and q_dedup_rate_by_source
+    // (whole-doc). Per-doc gram sets come from the codegen'd
+    // ShingleJoin (distinct by construction — within-doc repeats are
+    // the other query's signal); the only row-scale shuffle is the
+    // map-side-combinable (source, gram) count. At 100 TB the gram
+    // strings would hash to 64-bit before the shuffle (collisions
+    // only perturb the rate by ~2⁻⁶⁴·T); here they stay raw so the
+    // oracle hash-matches byte-for-byte.
+    "q_text_dupgrams" -> ((spark, sfDir) => {
+      val grams = Tables.documents(spark, sfDir)
+        .select(col("source"),
+          explode(graft.expressions.ShingleJoin(
+            split(col("text"), " "), 8, shortToUnigrams = false)).as("gram"))
+      grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_occurrences"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("source"), col("n_occurrences"), col("n_distinct"),
+          ((col("n_occurrences") - col("n_distinct")).cast("double") /
+            col("n_occurrences").cast("double")).as("dup_rate"))
+        .orderBy(col("source"))
     })
   )
 
@@ -599,6 +660,47 @@ object Curation extends QueryPack {
         |SELECT x, y, common FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p1 = w.x AND e.p2 = w.y)
         |ORDER BY common DESC, x, y LIMIT 20""".stripMargin,
+
+    "q_graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT p1 AS a, p2 AS b FROM e
+        |        UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+        |p AS (
+        |  SELECT da.d AS dx, db.d AS dy
+        |  FROM und JOIN deg da ON und.a = da.a JOIN deg db ON und.b = db.a),
+        |s AS (
+        |  SELECT COUNT(*) AS m,
+        |    CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        |  FROM p)
+        |SELECT m, CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mean_degree,
+        |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+        |FROM s""".stripMargin,
+
+    "q_text_dupgrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |c AS (SELECT source, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS dup_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q_split_train_test" ->
       """WITH b AS (

@@ -112,6 +112,42 @@ object Governance extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Generalization ladder (round 12): q_anon_kanon REPORTS the
+    // under-k cells; this is the fix — walk each day-level QI cell up
+    // the time hierarchy (day → ISO week → month) to the FINEST level
+    // whose group reaches k = 5, suppressing cells no level saves —
+    // the generalization step of every k-anonymization release
+    // (Samarati's ladder, time-dimension edition). Shape: the
+    // day-cell frame aggregates once from rows; week/month group
+    // sizes are two further cell-frame aggregates equi-joined back on
+    // derived keys (all cell-sized, never row-scale); the level pick
+    // is a CASE over three exact counts and the report is one bounded
+    // rollup.
+    "q_anon_generalize" -> ((spark, sfDir) => {
+      val cells = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts").cast("date").as("d"),
+          floor(col("value") / 100).cast("long").as("vb"))
+        .groupBy(col("event_type"), col("d"), col("vb"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("wk", date_trunc("week", col("d")).cast("date"))
+        .withColumn("mo", date_trunc("month", col("d")).cast("date"))
+      val wkG = cells.groupBy(col("event_type").as("t2"), col("wk").as("wk2"),
+        col("vb").as("vb2")).agg(sum(col("k")).as("kw"))
+      val moG = cells.groupBy(col("event_type").as("t3"), col("mo").as("mo3"),
+        col("vb").as("vb3")).agg(sum(col("k")).as("km"))
+      cells
+        .join(wkG, col("event_type") === col("t2") && col("wk") === col("wk2")
+          && col("vb") === col("vb2"))
+        .join(moG, col("event_type") === col("t3") && col("mo") === col("mo3")
+          && col("vb") === col("vb3"))
+        .select(col("event_type"), col("k"),
+          when(col("k") >= 5, "day").when(col("kw") >= 5, "week")
+            .when(col("km") >= 5, "month").otherwise("suppress").as("level"))
+        .groupBy(col("event_type"), col("level"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("k")).as("n_rows"))
+        .orderBy(col("event_type"), col("level"))
+    }),
+
     // l-diversity audit (round 12): k-anonymity's blind spot is a
     // large QI group whose SENSITIVE attribute is uniform — k high,
     // privacy zero (everyone in the group shares the secret). Group
@@ -472,6 +508,34 @@ object Governance extends QueryPack {
         |    AS rows_exposed,
         |  MIN(ldiv) AS min_ldiv
         |FROM g GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_anon_generalize" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(FLOOR(value / 100) AS BIGINT) AS vb, COUNT(*) AS k
+        |  FROM events GROUP BY 1, 2, 3),
+        |c2 AS (
+        |  SELECT *, CAST(date_trunc('week', d) AS DATE) AS wk,
+        |    CAST(date_trunc('month', d) AS DATE) AS mo
+        |  FROM cells),
+        |wg AS (
+        |  SELECT event_type, wk, vb, CAST(SUM(k) AS BIGINT) AS kw
+        |  FROM c2 GROUP BY 1, 2, 3),
+        |mg AS (
+        |  SELECT event_type, mo, vb, CAST(SUM(k) AS BIGINT) AS km
+        |  FROM c2 GROUP BY 1, 2, 3),
+        |lv AS (
+        |  SELECT c2.event_type, c2.k,
+        |    CASE WHEN c2.k >= 5 THEN 'day' WHEN kw >= 5 THEN 'week'
+        |         WHEN km >= 5 THEN 'month' ELSE 'suppress' END AS level
+        |  FROM c2
+        |  JOIN wg ON c2.event_type = wg.event_type AND c2.wk = wg.wk
+        |    AND c2.vb = wg.vb
+        |  JOIN mg ON c2.event_type = mg.event_type AND c2.mo = mg.mo
+        |    AND c2.vb = mg.vb)
+        |SELECT event_type, level, COUNT(*) AS n_cells,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows
+        |FROM lv GROUP BY 1, 2 ORDER BY event_type, level""".stripMargin,
 
     "q_anon_kanon" ->
       """WITH q AS (

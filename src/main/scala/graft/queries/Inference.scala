@@ -147,6 +147,102 @@ object Inference extends QueryPack {
         .orderBy(col("dur"))
     }),
 
+    // Mann–Whitney U (Wilcoxon rank-sum) test, click vs purchase
+    // spend: the non-parametric alternative to q_events_ab_test's
+    // z-test when the distribution is heavy-tailed. The whole
+    // computation runs on EXACT integers via the doubled-rank trick:
+    // with p rows strictly below a tied value and c tied at it, the
+    // tied rows' average rank is (2p + c + 1)/2, so 2·R₁ =
+    // Σ c₁·(2p + c + 1) stays integral (DECIMAL(38,0) against n²
+    // growth) and U₁ = (2R₁ − n₁(n₁+1))/2 is one double division at
+    // the end. Running prefix counts come from the SAME
+    // GlobalRank.withRunningSums pass as the KS test (consistent
+    // range boundaries); the tie-correction term Σ(t³−t) is another
+    // exact integer aggregate; the normal-approximation z closes in
+    // one fixed double chain.
+    "q_stats_mannwhitney" -> ((spark, sfDir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val byV = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(Tables.dec(col("value")).as("v"), col("event_type"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val run = GlobalRank
+        .withRunningSums(byV, Seq("r1" -> col("c1"), "r2" -> col("c2")), col("v"))
+      val c = col("c1") + col("c2")
+      val p = (col("r1") - col("c1")) + (col("r2") - col("c2"))
+      val stats = run.agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum((col("c1") * (p * 2 + c + 1)).cast(d380)).as("rr1"),
+        sum((c * c * c - c).cast(d380)).as("ties"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = n1d + n2d
+      val u1 = (col("rr1").cast("double") - n1d * (n1d + 1)) / lit(2.0)
+      val mu = n1d * n2d / lit(2.0)
+      val sig = sqrt(n1d * n2d / lit(12.0) *
+        ((nd + 1) - col("ties").cast("double") / (nd * (nd - 1))))
+      stats.select(col("n1"), col("n2"), u1.as("u1"),
+        (n1d * n2d - u1).as("u2"), ((u1 - mu) / sig).as("z"))
+    }),
+
+    // Poisson bootstrap confidence interval for the mean — the
+    // bootstrap that actually runs at 100 TB: instead of
+    // materializing B resamples (B full copies of the corpus), every
+    // row draws B independent Poisson(1) weights and the B weighted
+    // partial sums map-side-combine in ONE pass; the driver-scale
+    // close is a 100-row percentile pick. Determinism: the "draw" is
+    // the Knuth scramble of (event_id·101 + rep) compared against
+    // PRECOMPUTED integer thresholds of the Poisson(1) CDF scaled by
+    // 2³² — no float RNG, identical weights on any engine, rerun, or
+    // partitioning (the q_sample_temperature doctrine). Weighted sums
+    // are integer cents; each rep's mean is one double division; the
+    // 95% CI is the exact-discrete rn = ceil(B·q) pick over the
+    // B-row frame (unpartitioned window over 100 rows —
+    // metadata-scale).
+    "q_stats_bootstrap" -> ((spark, sfDir) => {
+      val reps = 100
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      val drawn = e
+        .select(col("event_id"), col("cents"),
+          explode(sequence(lit(1), lit(reps))).as("rep"))
+        .select(col("rep"), col("cents"),
+          ((col("event_id") * 101 + col("rep")) % 1000003L * 2654435761L
+            % 4294967296L).as("h"))
+      val w = when(col("h") <= 1580030168L, 0L)
+        .when(col("h") <= 3160060337L, 1L)
+        .when(col("h") <= 3950075421L, 2L)
+        .when(col("h") <= 4213413783L, 3L)
+        .when(col("h") <= 4279248373L, 4L)
+        .when(col("h") <= 4292415291L, 5L)
+        .when(col("h") <= 4294609777L, 6L)
+        .when(col("h") <= 4294923276L, 7L)
+        .otherwise(8L)
+      val means = drawn
+        .select(col("rep"), w.as("w"), col("cents"))
+        .groupBy(col("rep"))
+        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("nw"))
+        .select(col("rep"),
+          (col("sw").cast("double") / col("nw").cast("double") / lit(100.0))
+            .as("m"))
+      val wrn = Window.orderBy(col("m"), col("rep"))
+      val ranked = means.withColumn("rn", row_number().over(wrn))
+      val full = e.agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val ci = ranked.agg(
+        max(when(col("rn") === math.ceil(reps * 0.025).toLong, col("m")))
+          .as("ci_lo"),
+        max(when(col("rn") === math.ceil(reps * 0.975).toLong, col("m")))
+          .as("ci_hi"), count(lit(1)).as("n_reps"))
+      full.crossJoin(broadcast(ci))
+        .select(col("n"),
+          (col("cents").cast("double") / col("n").cast("double") / lit(100.0))
+            .as("mean"),
+          col("ci_lo"), col("ci_hi"), col("n_reps"))
+    }),
+
     // Simpson diversity of the daily event-type mix: the probability
     // two random same-day events share a type (Σp²), its complement,
     // and the effective number of types n²/Σc² — the
@@ -251,6 +347,86 @@ object Inference extends QueryPack {
         |      f -> f[2])),
         |    (acc, x) -> acc * x) AS survival
         |FROM r CROSS JOIN fs ORDER BY dur""".stripMargin,
+
+    "q_stats_mannwhitney" ->
+      """WITH b AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT v, c1, c2,
+        |    CAST(SUM(c1) OVER w AS BIGINT) AS r1,
+        |    CAST(SUM(c2) OVER w AS BIGINT) AS r2
+        |  FROM b
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(CAST(c1 * (((r1 - c1) + (r2 - c2)) * 2
+        |      + (c1 + c2) + 1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rr1,
+        |    CAST(SUM(CAST((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ties
+        |  FROM r)
+        |SELECT n1, n2,
+        |  (CAST(rr1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+        |    / 2.0 AS u1,
+        |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    - (CAST(rr1 AS DOUBLE)
+        |       - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2.0 AS u2,
+        |  ((CAST(rr1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+        |     / 2.0
+        |   - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |  / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |    * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1)
+        |      - CAST(ties AS DOUBLE)
+        |        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1)))) AS z
+        |FROM s""".stripMargin,
+
+    "q_stats_bootstrap" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |drawn AS (
+        |  SELECT rep, cents,
+        |    (event_id * 101 + rep) % 1000003 * 2654435761 % 4294967296 AS h
+        |  FROM e CROSS JOIN (SELECT UNNEST(range(1, 101)) AS rep) reps),
+        |wt AS (
+        |  SELECT rep, cents,
+        |    CASE WHEN h <= 1580030168 THEN 0
+        |         WHEN h <= 3160060337 THEN 1
+        |         WHEN h <= 3950075421 THEN 2
+        |         WHEN h <= 4213413783 THEN 3
+        |         WHEN h <= 4279248373 THEN 4
+        |         WHEN h <= 4292415291 THEN 5
+        |         WHEN h <= 4294609777 THEN 6
+        |         WHEN h <= 4294923276 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM drawn),
+        |means AS (
+        |  SELECT rep,
+        |    CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / 100.0 AS m
+        |  FROM wt GROUP BY rep),
+        |ranked AS (
+        |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rn FROM means),
+        |ci AS (
+        |  SELECT MAX(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+        |    MAX(CASE WHEN rn = 98 THEN m END) AS ci_hi,
+        |    COUNT(*) AS n_reps
+        |  FROM ranked),
+        |fl AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents FROM e)
+        |SELECT n,
+        |  CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |  ci_lo, ci_hi, n_reps
+        |FROM fl CROSS JOIN ci""".stripMargin,
 
     "q_events_diversity" ->
       """WITH c AS (

@@ -86,6 +86,39 @@ object Preflight extends QueryPack {
             .as("uniform_est"),
           (col("exact_pairs").cast("double") / col("rows_a").cast("double"))
             .as("amplification"))
+    }),
+
+    // Embedding-column health check: per-dimension n/mean/variance/
+    // min/max plus a dead-dimension flag — the pre-flight an
+    // embedding lake runs before ANN indexing or PQ training (a
+    // near-constant dimension wastes a PQ subspace and distorts
+    // nothing but storage; a wildly off-center one suggests a
+    // normalization bug upstream). Scale: posexplode fans each vector
+    // into dim-bounded (pos, v) rows whose partial sums map-side
+    // combine into a 64-row stats frame — the q_sim_centroid shape.
+    // Determinism: float sums run as round(v·1e7) integer DECIMAL
+    // sums (every implicit float→decimal path differs across engines
+    // — the centroid lesson); mean/variance close in one fixed double
+    // chain; min/max of raw floats are order-independent.
+    "q_embed_health" -> ((spark, sfDir) => {
+      // DECIMAL(18,0) per element so the square still fits a decimal
+      // product in BOTH engines' precision rules (sum widens to 38)
+      val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+      val sv = round(col("v").cast("double") * lit(1e7)).cast(d180)
+      val mean = col("s1").cast("double") / lit(1e7) / col("n").cast("double")
+      val variance = col("s2").cast("double") / lit(1e14) /
+        col("n").cast("double") - mean * mean
+      Tables.embeddings(spark, sfDir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(sv).as("s1"),
+          sum(sv * sv).as("s2"),
+          min(col("v").cast("double")).as("minv"),
+          max(col("v").cast("double")).as("maxv"))
+        .select((col("pos") + 1).as("pos"), col("n"), mean.as("mean"),
+          variance.as("variance"), col("minv"), col("maxv"),
+          (variance < lit(1e-4)).as("dead"))
+        .orderBy(col("pos"))
     })
   )
 
@@ -130,6 +163,33 @@ object Preflight extends QueryPack {
         |    / CAST(GREATEST(ndv_a, ndv_b) AS DOUBLE) AS uniform_est,
         |  CAST(exact_pairs AS DOUBLE) / CAST(rows_a AS DOUBLE)
         |    AS amplification
-        |FROM a CROSS JOIN b CROSS JOIN j""".stripMargin
+        |FROM a CROSS JOIN b CROSS JOIN j""".stripMargin,
+
+    "q_embed_health" ->
+      """WITH idx AS (
+        |  SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT CAST(i AS INTEGER) AS pos,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e7)
+        |      AS DECIMAL(18,0)) AS sv,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM idx),
+        |s AS (
+        |  SELECT pos, COUNT(*) AS n,
+        |    CAST(SUM(sv) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(sv * sv) AS DECIMAL(38,0)) AS s2,
+        |    MIN(v) AS minv, MAX(v) AS maxv
+        |  FROM x GROUP BY pos)
+        |SELECT pos, n,
+        |  CAST(s1 AS DOUBLE) / 1e7 / CAST(n AS DOUBLE) AS mean,
+        |  CAST(s2 AS DOUBLE) / 1e14 / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / 1e7 / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / 1e7 / CAST(n AS DOUBLE)) AS variance,
+        |  minv, maxv,
+        |  (CAST(s2 AS DOUBLE) / 1e14 / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / 1e7 / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / 1e7 / CAST(n AS DOUBLE))) < 1e-4 AS dead
+        |FROM s ORDER BY pos""".stripMargin
   )
 }

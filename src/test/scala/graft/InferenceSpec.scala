@@ -88,6 +88,80 @@ class InferenceSpec extends SparkSuite {
     assert(tbl.map(_._2).sum === life.count(_._2).toLong)
   }
 
+  test("Mann-Whitney U matches a driver-side rank-sum recompute") {
+    val rows = eventRows.filter(r => r._1 == "click" || r._1 == "purchase")
+    val all = rows.map(r => (r._3.doubleValue(), r._1)).sortBy(_._1)
+    // average ranks with ties
+    val byV = all.groupBy(_._1)
+    val ranks = collection.mutable.Map.empty[Double, Double]
+    var pos = 0L
+    all.map(_._1).distinct.sorted.foreach { v =>
+      val c = byV(v).size
+      ranks(v) = pos + (c + 1) / 2.0
+      pos += c
+    }
+    val n1 = all.count(_._2 == "click").toLong
+    val n2 = all.count(_._2 == "purchase").toLong
+    val r1 = all.filter(_._2 == "click").map(r => ranks(r._1)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val r = SparkEntry.queries("q_stats_mannwhitney")(spark, Sf)
+      .collect().head
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(math.abs(r.getAs[Double]("u1") - u1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("u2") - (n1.toDouble * n2 - u1)) < 1e-9)
+    // z consistency: sign matches (u1 vs mean), magnitude sane
+    val z = r.getAs[Double]("z")
+    assert(math.signum(z) === math.signum(u1 - n1.toDouble * n2 / 2.0)
+      || z === 0.0)
+    assert(math.abs(z) < 50)
+  }
+
+  test("Poisson bootstrap: deterministic, CI brackets the mean estimate") {
+    val q = SparkEntry.queries("q_stats_bootstrap")(spark, Sf)
+    val r = q.collect().head
+    val n = Tables.events(spark, Sf).count()
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_reps") === 100L)
+    val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_hi"))
+    assert(lo < hi)
+    // the full-sample mean sits inside (or at worst at the edge of)
+    // the bootstrap CI on any non-degenerate sample
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+    // rerun is bit-identical — hash weights, not RNG
+    val r2 = SparkEntry.queries("q_stats_bootstrap")(spark, Sf)
+      .collect().head
+    assert(r2.getAs[Double]("ci_lo") === lo && r2.getAs[Double]("ci_hi") === hi)
+  }
+
+  test("assortativity matches a driver-side Pearson recompute") {
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    val edges = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("p1"), col("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val pairs = und.map { case (x, y) => (deg(x), deg(y)) }
+    val m = pairs.size.toLong
+    val sx = pairs.map(_._1).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val want = (m.toDouble * sxy - sx.toDouble * sx) /
+      (m.toDouble * sxx - sx.toDouble * sx)
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, Sf)
+      .collect().head
+    assert(r.getAs[Long]("m") === m)
+    assert(math.abs(r.getAs[Double]("assortativity") - want) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_degree") - sx.toDouble / m) < 1e-12)
+    assert(r.getAs[Double]("assortativity") >= -1.0 - 1e-9)
+    assert(r.getAs[Double]("assortativity") <= 1.0 + 1e-9)
+  }
+
   test("Simpson diversity identities hold per day") {
     val rows = SparkEntry.queries("q_events_diversity")(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -186,6 +186,73 @@ class ObservabilitySpec extends SparkSuite {
     }
   }
 
+  test("embedding health: 64 dims, moments match a driver recompute") {
+    val rows = SparkEntry.queries("q_embed_health")(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("pos")).toSeq === (1 to 64))
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val vs = vecs.map(_(pos - 1))
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      // integer-scaled sums, mirrored
+      val s1 = vs.map(v => math.round(v.toDouble * 1e7)).sum
+      val s2 = vs.map(v => { val s = math.round(v.toDouble * 1e7); s * s }).sum
+      val mean = s1.toDouble / 1e7 / vs.length
+      val variance = s2.toDouble / 1e14 / vs.length - mean * mean
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-12)
+      assert(math.abs(r.getAs[Double]("variance") - variance) < 1e-12)
+      assert(r.getAs[Double]("minv") === vs.min.toDouble)
+      assert(r.getAs[Double]("maxv") === vs.max.toDouble)
+      // random unit-ish embeddings: no dimension is dead
+      assert(!r.getAs[Boolean]("dead"))
+      assert(r.getAs[Double]("variance") >= 0.0)
+    }
+  }
+
+  test("generalization ladder: levels partition the kanon cells, rows conserved") {
+    val rows = SparkEntry.queries("q_anon_generalize")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("n_rows")))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("day", "week", "month", "suppress")(r._2)))
+    // total rows across levels = total event rows; cells = kanon groups
+    val totalRows = Tables.events(spark, Sf).count()
+    assert(rows.map(_._4).sum === totalRows)
+    val nCells = Tables.events(spark, Sf)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        floor(col("value") / 100).cast("long").as("vb"))
+      .distinct().count()
+    assert(rows.map(_._3).sum === nCells)
+    // every day-level cell must itself have k >= 5: day-level rows
+    // count at least 5 per cell
+    rows.filter(_._2 == "day").foreach { r => assert(r._4 >= 5 * r._3) }
+  }
+
+  test("dup-gram rate matches a driver-side shingle recompute") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val grams = docs.flatMap { case (src, t) =>
+      if (t.length < 8) Seq.empty
+      else t.sliding(8).map(w => (src, w.mkString(" "))).toSet.toSeq
+    }
+    val bySrc = grams.groupBy(_._1)
+    val got = SparkEntry.queries("q_text_dupgrams")(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val occ = bySrc(src).size.toLong
+      val dist = bySrc(src).map(_._2).distinct.size.toLong
+      assert(r.getAs[Long]("n_occurrences") === occ)
+      assert(r.getAs[Long]("n_distinct") === dist)
+      assert(math.abs(r.getAs[Double]("dup_rate") -
+        (occ - dist).toDouble / occ) < 1e-15)
+    }
+  }
+
   test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
     val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
     assert(rows.nonEmpty)

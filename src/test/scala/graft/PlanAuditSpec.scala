@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSuite {
       // q_stats_chisq / q_stats_ks / q_events_survival: 1-row
       // margin/total/max/factor-list broadcasts under the test-
       // statistic closes (same shape)
-      "q_stats_chisq", "q_stats_ks", "q_events_survival")
+      "q_stats_chisq", "q_stats_ks", "q_events_survival",
+      // q_stats_bootstrap: 1-row CI aggregate broadcast under the
+      // full-sample mean close (same shape)
+      "q_stats_bootstrap")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
