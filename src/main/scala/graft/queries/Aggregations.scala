@@ -455,10 +455,59 @@ object Aggregations extends QueryPack {
         .select(lit("*ALL*").as("lang"),
           hll_sketch_estimate(col("sk")).as("est_tokens"))
       langRows.unionAll(allRow).orderBy(col("lang"))
+    }),
+
+    // KMV (k-minimum-values) distinct sketch (round 12) — the ONE
+    // sketch in the family whose estimate is fully deterministic and
+    // therefore ORACLE-CHECKED (HLL/CMS binaries are impl-specific;
+    // KMV is just "the k smallest hash values", an order statistic):
+    // est = (k−1)·2³²/θ_k where θ_k is the k-th smallest value of a
+    // portable multiplicative hash over the distinct keys. Shape: the
+    // k-smallest cut is TakeOrderedAndProject (distributed per-
+    // partition heaps merged on the driver, k rows moved — the same
+    // bounded-summary mergeability that makes KMV a sketch); the
+    // exact distinct runs alongside for the self-reported error
+    // ratio. Hash: key·2654435761 mod 2³² exact in int64 for keys
+    // < 2³² (beyond that, route through DECIMAL(38,0) — the
+    // q_shuffle_shards overflow lesson).
+    "q_sketch_kmv" -> ((spark, sfDir) => {
+      val k = 256
+      val h = (col("l_partkey") * 2654435761L % 4294967296L).as("h")
+      val hashes = Tables.lineitem(spark, sfDir)
+        .select(h).distinct()
+      val kmv = hashes.orderBy(col("h")).limit(k)
+        .agg(count(lit(1)).as("k"), max(col("h")).as("theta"))
+      val exact = Tables.lineitem(spark, sfDir)
+        .agg(countDistinct(col("l_partkey")).as("true_distinct"))
+      kmv.crossJoin(broadcast(exact))
+        .select(col("k"), col("theta"),
+          ((col("k") - 1).cast("double") * lit(4294967296.0) /
+            col("theta").cast("double")).as("est_distinct"),
+          col("true_distinct"),
+          (((col("k") - 1).cast("double") * lit(4294967296.0) /
+            col("theta").cast("double")) /
+            col("true_distinct").cast("double")).as("err_ratio"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_sketch_kmv" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT l_partkey * 2654435761 % 4294967296 AS h
+        |  FROM lineitem),
+        |kmv AS (
+        |  SELECT COUNT(*) AS k, MAX(h) AS theta FROM (
+        |    SELECT h FROM hashes ORDER BY h LIMIT 256)),
+        |ex AS (SELECT COUNT(DISTINCT l_partkey) AS true_distinct
+        |       FROM lineitem)
+        |SELECT k, theta,
+        |  CAST(k - 1 AS DOUBLE) * 4294967296.0 / CAST(theta AS DOUBLE)
+        |    AS est_distinct,
+        |  true_distinct,
+        |  CAST(k - 1 AS DOUBLE) * 4294967296.0 / CAST(theta AS DOUBLE)
+        |    / CAST(true_distinct AS DOUBLE) AS err_ratio
+        |FROM kmv CROSS JOIN ex""".stripMargin,
+
     "q_agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 60000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n

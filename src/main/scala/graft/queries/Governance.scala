@@ -112,6 +112,36 @@ object Governance extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Retention-TTL audit (round 12): what a 14-day retention policy
+    // would purge, per event type — row counts, payload bytes (the
+    // props JSON is the weight), purge share, and the oldest retained
+    // day. The planning scan every lifecycle/GDPR review runs BEFORE
+    // q_gdpr_delete-style enforcement rewrites anything. One pass of
+    // conditional aggregates against a 1-row corpus-max broadcast;
+    // with the warehouse date-partitioned (q_sink_parquet_part), the
+    // purge itself is partition drops, not row deletes — this report
+    // is exactly the partition list.
+    "q_retention_ttl" -> ((spark, sfDir) => {
+      val mx = Tables.events(spark, sfDir)
+        .agg(max(col("ts").cast("date")).as("mx"))
+      val old = col("d") < date_sub(col("mx"), 14)
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts").cast("date").as("d"),
+          length(col("props")).cast("long").as("bytes"))
+        .crossJoin(broadcast(mx))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(old, 1L).otherwise(0L)).as("purge_rows"),
+          sum(when(old, col("bytes")).otherwise(0L)).as("purge_bytes"),
+          min(when(!old, col("d"))).as("oldest_kept"))
+        .select(col("event_type"), col("n_rows"), col("purge_rows"),
+          col("purge_bytes"),
+          (col("purge_rows").cast("double") / col("n_rows").cast("double"))
+            .as("purge_share"),
+          col("oldest_kept"))
+        .orderBy(col("event_type"))
+    }),
+
     // Generalization ladder (round 12): q_anon_kanon REPORTS the
     // under-k cells; this is the fix — walk each day-level QI cell up
     // the time hierarchy (day → ISO week → month) to the FINEST level
@@ -508,6 +538,25 @@ object Governance extends QueryPack {
         |    AS rows_exposed,
         |  MIN(ldiv) AS min_ldiv
         |FROM g GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_retention_ttl" ->
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+        |e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(LENGTH(props) AS BIGINT) AS bytes
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN d < mx - 14 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS purge_rows,
+        |    CAST(SUM(CASE WHEN d < mx - 14 THEN bytes ELSE 0 END) AS BIGINT)
+        |      AS purge_bytes,
+        |    MIN(CASE WHEN NOT (d < mx - 14) THEN d END) AS oldest_kept
+        |  FROM e CROSS JOIN mx GROUP BY event_type)
+        |SELECT event_type, n_rows, purge_rows, purge_bytes,
+        |  CAST(purge_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS purge_share,
+        |  oldest_kept
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q_anon_generalize" ->
       """WITH cells AS (

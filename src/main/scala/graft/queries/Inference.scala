@@ -243,6 +243,64 @@ object Inference extends QueryPack {
           col("ci_lo"), col("ci_hi"), col("n_reps"))
     }),
 
+    // Minimum detectable effect at current sample size (round 12):
+    // the question every A/B test answers BEFORE launch — with n
+    // observations per type and conversion rate p (value > 100, the
+    // q_feature_odds target), what absolute/relative lift could a
+    // two-sided α=5%, power-80% test even see?
+    // mde = (z_{α/2} + z_β)·√(2p(1−p)/n). The z quantiles are
+    // LITERAL constants (1.959963984540054, 0.8416212335729143) — no
+    // engine erf/quantile function is consulted, so the double chain
+    // is fixed; counts are exact int64. Category-bounded output.
+    "q_events_mde" -> ((spark, sfDir) => {
+      val z = lit(1.959963984540054 + 0.8416212335729143)
+      val pd = col("pos").cast("double") / col("n").cast("double")
+      val mde = z * sqrt(lit(2.0) * pd * (lit(1.0) - pd) /
+        col("n").cast("double"))
+      Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          (Tables.dec(col("value")) > 100).as("pos"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("pos"))
+        .select(col("event_type"), col("n"), pd.as("p"),
+          mde.as("mde_abs"), (mde / pd).as("mde_rel"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Difference-in-differences (round 12): the workhorse causal
+    // estimate when randomization isn't available — treatment (odd
+    // user_id, the q_split_train_test hash doctrine would apply to a
+    // real rollout) vs control, before vs after a data-derived pivot
+    // (min date + 15 days), on mean spend:
+    // did = (μ_T,post − μ_T,pre) − (μ_C,post − μ_C,pre). The four
+    // cells compute as conditional aggregates in ONE pass (exact
+    // integer cents + counts); the pivot is a 1-row broadcast; the
+    // close is a fixed chain of four divisions and three subtractions
+    // identical on both engines.
+    "q_events_did" -> ((spark, sfDir) => {
+      val pivot = Tables.events(spark, sfDir)
+        .agg(date_add(min(col("ts").cast("date")), 15).as("pivot"))
+      def cellMean(t: Boolean, post: Boolean) = {
+        val m = col("user_id") % 2 === (if (t) 1 else 0) &&
+          (if (post) col("d") >= col("pivot") else col("d") < col("pivot"))
+        (sum(when(m, col("cents")).otherwise(0L)).cast("double") /
+          sum(when(m, 1L).otherwise(0L)).cast("double") / lit(100.0))
+      }
+      val cells = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts").cast("date").as("d"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+        .crossJoin(broadcast(pivot))
+        .agg(cellMean(t = true, post = false).as("treat_pre"),
+          cellMean(t = true, post = true).as("treat_post"),
+          cellMean(t = false, post = false).as("ctrl_pre"),
+          cellMean(t = false, post = true).as("ctrl_post"))
+      cells.select(col("treat_pre"), col("treat_post"), col("ctrl_pre"),
+        col("ctrl_post"),
+        ((col("treat_post") - col("treat_pre")) -
+          (col("ctrl_post") - col("ctrl_pre"))).as("did"))
+    }),
+
     // Simpson diversity of the daily event-type mix: the probability
     // two random same-day events share a type (Σp²), its complement,
     // and the effective number of types n²/Σc² — the
@@ -347,6 +405,62 @@ object Inference extends QueryPack {
         |      f -> f[2])),
         |    (acc, x) -> acc * x) AS survival
         |FROM r CROSS JOIN fs ORDER BY dur""".stripMargin,
+
+    "q_events_mde" ->
+      """WITH c AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) > 100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  2.8015852181129683
+        |    * SQRT(2.0 * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) AS mde_abs,
+        |  2.8015852181129683
+        |    * SQRT(2.0 * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE))
+        |    / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_rel
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    "q_events_did" ->
+      """WITH p AS (
+        |  SELECT MIN(CAST(ts AS DATE)) + 15 AS pv FROM events),
+        |e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |cells AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND d < pv
+        |        THEN cents ELSE 0 END) AS BIGINT) AS tp_s,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND d < pv
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS tp_n,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND d >= pv
+        |        THEN cents ELSE 0 END) AS BIGINT) AS tq_s,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND d >= pv
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS tq_n,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND d < pv
+        |        THEN cents ELSE 0 END) AS BIGINT) AS cp_s,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND d < pv
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS cp_n,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND d >= pv
+        |        THEN cents ELSE 0 END) AS BIGINT) AS cq_s,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND d >= pv
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS cq_n
+        |  FROM e CROSS JOIN p)
+        |SELECT
+        |  CAST(tp_s AS DOUBLE) / CAST(tp_n AS DOUBLE) / 100.0 AS treat_pre,
+        |  CAST(tq_s AS DOUBLE) / CAST(tq_n AS DOUBLE) / 100.0 AS treat_post,
+        |  CAST(cp_s AS DOUBLE) / CAST(cp_n AS DOUBLE) / 100.0 AS ctrl_pre,
+        |  CAST(cq_s AS DOUBLE) / CAST(cq_n AS DOUBLE) / 100.0 AS ctrl_post,
+        |  (CAST(tq_s AS DOUBLE) / CAST(tq_n AS DOUBLE) / 100.0
+        |    - CAST(tp_s AS DOUBLE) / CAST(tp_n AS DOUBLE) / 100.0)
+        |  - (CAST(cq_s AS DOUBLE) / CAST(cq_n AS DOUBLE) / 100.0
+        |    - CAST(cp_s AS DOUBLE) / CAST(cp_n AS DOUBLE) / 100.0) AS did
+        |FROM cells""".stripMargin,
 
     "q_stats_mannwhitney" ->
       """WITH b AS (

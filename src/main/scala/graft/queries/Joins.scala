@@ -231,6 +231,45 @@ object Joins extends QueryPack {
         .groupBy(col("lo"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("lo"))
+    }),
+
+    // Interval OVERLAP join with BOTH sides row-scale (round 12):
+    // every click interval [ts, ts+1h) matched to every overlapping
+    // purchase interval of the same user — q_join_range's bin
+    // blocking was a small broadcast band table; this is the general
+    // big⋈big case (session stitching, ad-exposure × conversion
+    // windows). Each interval explodes to the fixed-width buckets it
+    // covers (≤ 2 for 1h intervals on a 1h grid), candidates meet in
+    // an EQUI-join on (user, bucket), the overlap predicate stays as
+    // a residual, and the EXACTLY-ONCE guard — keep the pair only in
+    // the bucket owning greatest(s_a, s_b), a point both intervals
+    // provably cover — dedups pairs that co-occupy several buckets
+    // without a distinct. Shuffle is interval-endpoints only; the
+    // per-bucket fanout is bounded by interval_len/bucket_len + 1.
+    // Overlap durations sum exactly in int64 µs.
+    "q_join_interval" -> ((spark, sfDir) => {
+      val W = 3600L * 1000000L
+      def side(t: String, s: String, e: String) =
+        Tables.events(spark, sfDir)
+          .filter(col("event_type") === t)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as(s))
+          .withColumn(e, col(s) + W)
+      val a = side("click", "s1", "e1")
+        .withColumn("bkt", explode(sequence(
+          expr(s"s1 div ${W}L"), expr(s"(e1 - 1) div ${W}L"))))
+      val b = side("purchase", "s2", "e2")
+        .withColumn("bkt", explode(sequence(
+          expr(s"s2 div ${W}L"), expr(s"(e2 - 1) div ${W}L"))))
+      a.join(b, Seq("user_id", "bkt"))
+        .filter(col("s1") < col("e2") && col("s2") < col("e1") &&
+          // integer div, not `/` (double): the ownership bucket
+          col("bkt") === expr(s"greatest(s1, s2) div ${W}L"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+            .as("overlap_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -347,6 +386,20 @@ object Joins extends QueryPack {
         |SELECT k, n_orders, n_cust, CAST(rev AS DOUBLE) AS rev
         |FROM oa JOIN ca ON k IS NOT DISTINCT FROM ck
         |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q_join_interval" ->
+      """WITH a AS (
+        |  SELECT user_id, epoch_us(ts) AS s1,
+        |    epoch_us(ts) + 3600000000 AS e1
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, epoch_us(ts) AS s2,
+        |    epoch_us(ts) + 3600000000 AS e2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(LEAST(e1, e2) - GREATEST(s1, s2)) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id AND s1 < e2 AND s2 < e1
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "q_join_range" ->
       """SELECT lo, COUNT(*) AS n_parts

@@ -1379,6 +1379,33 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID confusion matrix (round 12): q_text_langid against
+    // the corpus's labeled `lang` column — the evaluation every
+    // classifier in the curation chain owes before its output gates
+    // data (a langid that shunts 30% of Spanish to "unk" silently
+    // starves the es mix). Rows are (true, predicted, n, recall-
+    // within-true); the per-truth totals are a category-bounded
+    // aggregate joined back. Counts exact; share a single division.
+    "q_text_langid_eval" -> ((spark, sfDir) => {
+      val pred = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("en_hits", size(filter(col("toks"),
+          t => t === "the" || t === "a" || t === "is")))
+        .withColumn("es_hits", size(filter(col("toks"),
+          t => t === "el" || t === "la" || t === "de")))
+        .select(col("lang"),
+          when(col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") > col("en_hits"), "es")
+            .otherwise("unk").as("guess"))
+      val conf = pred.groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      conf.join(tot, "lang")
+        .select(col("lang"), col("guess"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("share"))
+        .orderBy(col("lang"), col("guess"))
+    }),
+
     // Connected components over the near-dup pair graph — the
     // transitive-closure step a real dedup pipeline runs after pair
     // generation (keep-first pair semantics alone under-merge: A~B,
@@ -2227,6 +2254,29 @@ object TextOps extends QueryPack {
         |      t -> t IN ('el', 'la', 'de'))) AS es_hits
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid_eval" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |      WHEN es_hits > en_hits THEN 'es'
+        |      ELSE 'unk' END AS guess
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'is'))) AS en_hits,
+        |      len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el', 'la', 'de'))) AS es_hits
+        |    FROM documents)),
+        |conf AS (
+        |  SELECT lang, guess, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM conf GROUP BY lang)
+        |SELECT conf.lang, guess, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM conf JOIN tot ON conf.lang = tot.lang
+        |ORDER BY conf.lang, guess""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

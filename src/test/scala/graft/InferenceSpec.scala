@@ -162,6 +162,85 @@ class InferenceSpec extends SparkSuite {
     assert(r.getAs[Double]("assortativity") <= 1.0 + 1e-9)
   }
 
+  test("interval overlap join matches a brute-force recompute") {
+    val W = 3600L * 1000000L
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicks = ev.filter(_._2 == "click").map(r => (r._1, r._3))
+    val buys = ev.filter(_._2 == "purchase").map(r => (r._1, r._3))
+    val byUser = buys.groupBy(_._1)
+    val expected = clicks.flatMap { case (u, s1) =>
+      byUser.getOrElse(u, Array.empty[(Long, Long)]).flatMap { case (_, s2) =>
+        val (e1, e2) = (s1 + W, s2 + W)
+        if (s1 < e2 && s2 < e1)
+          Some(u -> (math.min(e1, e2) - math.max(s1, s2)))
+        else None
+      }
+    }.groupBy(_._1).map { case (u, os) =>
+      u -> ((os.length.toLong, os.map(_._2).sum))
+    }
+    val got = SparkEntry.queries("q_join_interval")(spark, Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("overlap_us")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("KMV sketch: deterministic estimate within 2x of exact") {
+    val r = SparkEntry.queries("q_sketch_kmv")(spark, Sf).collect().head
+    val k = r.getAs[Long]("k")
+    val trueD = r.getAs[Long]("true_distinct")
+    val est = r.getAs[Double]("est_distinct")
+    // fixture may have fewer distinct keys than k — then theta is the
+    // max hash and the estimate degrades gracefully; only test the
+    // sketch regime bound when it applies
+    assert(k <= 256)
+    if (trueD > 256) {
+      assert(est > trueD * 0.5 && est < trueD * 2.0,
+        s"est $est vs true $trueD")
+    }
+    assert(math.abs(r.getAs[Double]("err_ratio") - est / trueD) < 1e-12)
+    val r2 = SparkEntry.queries("q_sketch_kmv")(spark, Sf).collect().head
+    assert(r2.getAs[Double]("est_distinct") === est)
+  }
+
+  test("MDE: formula recomputes; more data means smaller detectable effect") {
+    val rows = SparkEntry.queries("q_events_mde")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p) = (r.getAs[Long]("n"), r.getAs[Double]("p"))
+      val want = 2.8015852181129683 * math.sqrt(2.0 * p * (1.0 - p) / n)
+      assert(math.abs(r.getAs[Double]("mde_abs") - want) < 1e-15)
+      assert(math.abs(r.getAs[Double]("mde_rel") - want / p) < 1e-15)
+      // doubling n shrinks mde by sqrt(2) — monotonicity sanity
+      val half = 2.8015852181129683 * math.sqrt(2.0 * p * (1.0 - p) / (2 * n))
+      assert(half < want)
+    }
+  }
+
+  test("difference-in-differences recomputes from the four cells") {
+    val r = SparkEntry.queries("q_events_did")(spark, Sf).collect().head
+    val rows = eventRows
+    val pivot = rows.map(_._2.toEpochDay).min + 15
+    def mean(t: Boolean, post: Boolean): Double = {
+      val sel = rows.filter(x => (x._4 % 2 == 1) == t &&
+        (x._2.toEpochDay >= pivot) == post)
+      val cents = sel.map(x =>
+        x._3.multiply(java.math.BigDecimal.valueOf(100)).longValueExact())
+      cents.sum.toDouble / cents.length / 100.0
+    }
+    assert(r.getAs[Double]("treat_pre") === mean(t = true, post = false))
+    assert(r.getAs[Double]("treat_post") === mean(t = true, post = true))
+    assert(r.getAs[Double]("ctrl_pre") === mean(t = false, post = false))
+    assert(r.getAs[Double]("ctrl_post") === mean(t = false, post = true))
+    val did = (mean(t = true, post = true) - mean(t = true, post = false)) -
+      (mean(t = false, post = true) - mean(t = false, post = false))
+    assert(r.getAs[Double]("did") === did)
+  }
+
   test("Simpson diversity identities hold per day") {
     val rows = SparkEntry.queries("q_events_diversity")(spark, Sf).collect()
     assert(rows.nonEmpty)

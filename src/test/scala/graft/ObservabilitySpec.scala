@@ -253,6 +253,44 @@ class ObservabilitySpec extends SparkSuite {
     }
   }
 
+  test("retention TTL: purge + kept partitions reconcile") {
+    val rows = SparkEntry.queries("q_retention_ttl")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val mx = Tables.events(spark, Sf)
+      .agg(max(col("ts").cast("date"))).collect().head
+      .getDate(0).toLocalDate
+    val cutoff = mx.minusDays(14)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ds = Tables.events(spark, Sf)
+        .filter(col("event_type") === t)
+        .select(col("ts").cast("date"), length(col("props")).cast("long"))
+        .collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+      assert(r.getAs[Long]("n_rows") === ds.length.toLong)
+      val purged = ds.filter(_._1.isBefore(cutoff))
+      assert(r.getAs[Long]("purge_rows") === purged.length.toLong)
+      assert(r.getAs[Long]("purge_bytes") === purged.map(_._2).sum)
+      val kept = ds.filterNot(_._1.isBefore(cutoff))
+      assert(r.getAs[java.sql.Date]("oldest_kept").toLocalDate ===
+        kept.map(_._1).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+    }
+  }
+
+  test("langid confusion: rows conserved, shares sum to one per truth") {
+    val rows = SparkEntry.queries("q_text_langid_eval")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Double]("share")))
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.map(_._3).sum === total)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-12, s"lang $lang")
+    }
+    // diagonal exists: at least one correct en prediction on the fixture
+    assert(rows.exists(r => r._1 == "en" && r._2 == "en" && r._3 > 0))
+  }
+
   test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
     val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -59,7 +59,10 @@ class PlanAuditSpec extends SparkSuite {
       "q_stats_chisq", "q_stats_ks", "q_events_survival",
       // q_stats_bootstrap: 1-row CI aggregate broadcast under the
       // full-sample mean close (same shape)
-      "q_stats_bootstrap")
+      "q_stats_bootstrap",
+      // q_sketch_kmv / q_events_did / q_retention_ttl: 1-row
+      // exact-count / pivot-date / corpus-max broadcasts (same shape)
+      "q_sketch_kmv", "q_events_did", "q_retention_ttl")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
