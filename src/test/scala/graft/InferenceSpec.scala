@@ -241,6 +241,31 @@ class InferenceSpec extends SparkSuite {
     assert(r.getAs[Double]("did") === did)
   }
 
+  test("permutation test: p-value well-formed, observed diff recomputes") {
+    val r = SparkEntry.queries("q_stats_permutation")(spark, Sf)
+      .collect().head
+    val rows = eventRows
+    def cents(x: (String, java.time.LocalDate, java.math.BigDecimal, Long)) =
+      x._3.multiply(java.math.BigDecimal.valueOf(100)).longValueExact()
+    val t = rows.filter(_._4 % 2 == 1).map(cents)
+    val c = rows.filter(_._4 % 2 == 0).map(cents)
+    val obs = t.sum.toDouble / t.length / 100.0 -
+      c.sum.toDouble / c.length / 100.0
+    assert(r.getAs[Double]("obs_diff") === obs)
+    assert(r.getAs[Long]("n_reps") === 100L)
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+    assert(math.abs(p - (r.getAs[Long]("n_extreme") + 1.0) / 101.0) < 1e-15)
+    // the observed user-parity split is itself a draw from the null
+    // (permutation happens at the user level, same as assignment), so
+    // a near-zero p would mean the permutation machinery is biased
+    assert(p > 0.02, s"p $p suspiciously small for a null effect")
+    // deterministic across reruns
+    val r2 = SparkEntry.queries("q_stats_permutation")(spark, Sf)
+      .collect().head
+    assert(r2.getAs[Double]("p_value") === p)
+  }
+
   test("Simpson diversity identities hold per day") {
     val rows = SparkEntry.queries("q_events_diversity")(spark, Sf).collect()
     assert(rows.nonEmpty)

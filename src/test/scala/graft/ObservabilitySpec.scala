@@ -291,6 +291,45 @@ class ObservabilitySpec extends SparkSuite {
     assert(rows.exists(r => r._1 == "en" && r._2 == "en" && r._3 > 0))
   }
 
+  test("Neyman allocation: shares sum to one, volatile-large strata get more") {
+    val rows = SparkEntry.queries("q_sample_neyman")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("sd"),
+        r.getAs[Double]("alloc_share"), r.getAs[Long]("n_alloc")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    rows.foreach { case (t, n, sd, share, alloc) =>
+      assert(sd >= 0.0 && share > 0.0)
+      assert(alloc === math.floor(1000.0 * share).toLong, t)
+      // allocation ordering follows the N·S weight ordering
+    }
+    val byWeight = rows.sortBy(r => -(r._2.toDouble * r._3))
+    assert(byWeight.head._4 === rows.map(_._4).max)
+    assert(rows.map(_._5).sum <= 1000L)
+  }
+
+  test("DP noisy counts: bounded integer noise, count conservation modulo noise") {
+    val rows = SparkEntry.queries("q_anon_dpcount")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("true_n"),
+        r.getAs[Long]("noise"), r.getAs[Long]("noisy_n"),
+        r.getAs[Double]("epsilon")))
+    assert(rows.nonEmpty)
+    val trueCounts = Tables.events(spark, Sf)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (t, tn, nz, nn, eps) =>
+      assert(tn === trueCounts(t))
+      assert(nn === tn + nz)
+      assert(math.abs(nz) <= 8, s"$t noise $nz outside mechanism support")
+      assert(eps === 1.0)
+    }
+    // deterministic release: same key, same noise
+    val again = SparkEntry.queries("q_anon_dpcount")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("noise")).toMap
+    rows.foreach { case (t, _, nz, _, _) => assert(again(t) === nz) }
+  }
+
   test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
     val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSuite {
       "q_stats_bootstrap",
       // q_sketch_kmv / q_events_did / q_retention_ttl: 1-row
       // exact-count / pivot-date / corpus-max broadcasts (same shape)
-      "q_sketch_kmv", "q_events_did", "q_retention_ttl")
+      "q_sketch_kmv", "q_events_did", "q_retention_ttl",
+      // q_stats_permutation / q_sample_neyman: 1-row observed-diff /
+      // fold-denominator broadcasts (same shape)
+      "q_stats_permutation", "q_sample_neyman")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
