@@ -501,6 +501,35 @@ object Curation extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Compressibility quality signal (round 12): mean
+    // deflate_len/octet_length per source plus the count of docs
+    // under 0.4 — the Gopher/FineWeb repetition screen (template spam
+    // and boilerplate compress far below natural prose) that runs
+    // BEFORE any n-gram machinery because it costs one codegen'd
+    // zlib call per row ([[graft.expressions.DeflateLen]]). No
+    // oracle: DuckDB has no zlib UDF and cross-LIBRARY deflate bytes
+    // aren't specified-stable; CompressSpec pins known plaintexts,
+    // the repetitive ≪ random ordering, and partitioning invariance.
+    // Determinism inside the engine: the per-doc ratio rounds to
+    // integer parts-per-million BEFORE the per-source sum, so the
+    // mean is a ratio of exact int64s, not an order-sensitive double
+    // reduction.
+    "q_text_compress" -> ((spark, sfDir) => {
+      val ppm = round(graft.expressions.DeflateLen(col("text"))
+        .cast("double") * lit(1000000.0) /
+        octet_length(col("text")).cast("double")).cast("long")
+      Tables.documents(spark, sfDir)
+        .select(col("source"), ppm.as("ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ppm")).as("ppm_sum"),
+          sum(when(col("ppm") < 400000L, 1L).otherwise(0L)).as("n_repetitive"))
+        .select(col("source"), col("n_docs"),
+          (col("ppm_sum").cast("double") / lit(1000000.0) /
+            col("n_docs").cast("double")).as("mean_ratio"),
+          col("n_repetitive"))
+        .orderBy(col("source"))
+    }),
+
     // Neyman allocation (round 12): the sampling-DESIGN step before
     // q_sample_stratified executes — for a fixed budget (1000 rows),
     // allocate per stratum proportional to N_h·S_h, so volatile

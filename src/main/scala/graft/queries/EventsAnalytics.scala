@@ -283,6 +283,44 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Time-to-convert (round 12): q_events_funnel counts who
+    // converted; this measures HOW LONG conversion took — per user
+    // the gap between first click and first purchase, closed to
+    // conversion rate, mean, and exact-discrete median/p90 seconds
+    // (the product metric behind "half our buyers convert within
+    // N minutes"). One user_id groupBy with conditional-min µs; the
+    // converted-user delta frame ranks via the two-pass GlobalRank
+    // (rn = ceil(n·q) discrete picks — no interpolation); mean is an
+    // exact µs sum over one double division chain.
+    "q_events_ttc" -> ((spark, sfDir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val u = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", us)).as("c"),
+          min(when(col("event_type") === "purchase", us)).as("p"))
+      val deltas = u
+        .filter(col("c").isNotNull && col("p").isNotNull && col("p") >= col("c"))
+        .select(col("user_id"), (col("p") - col("c")).as("delta"))
+      val ranked = graft.operators.GlobalRank.withRowNumberAndCountPerGroup(
+        deltas, "rn", "nd", Seq.empty, col("delta"), col("user_id"))
+      val s = ranked.agg(count(lit(1)).as("n_conv"),
+        sum(col("delta")).as("sum_us"),
+        max(when(col("rn") === ceil(col("nd") * 0.5), col("delta")))
+          .as("med_us"),
+        max(when(col("rn") === ceil(col("nd") * 0.9), col("delta")))
+          .as("p90_us"))
+      val k = u.agg(sum(when(col("c").isNotNull, 1L).otherwise(0L))
+        .as("n_clicked"))
+      k.crossJoin(broadcast(s))
+        .select(col("n_clicked"), col("n_conv").as("n_converted"),
+          (col("n_conv").cast("double") / col("n_clicked").cast("double"))
+            .as("cvr"),
+          (col("sum_us").cast("double") / col("n_conv").cast("double")
+            / lit(1e6)).as("mean_s"),
+          (col("med_us").cast("double") / lit(1e6)).as("median_s"),
+          (col("p90_us").cast("double") / lit(1e6)).as("p90_s"))
+    }),
+
     // Week-over-week growth (round 12): weekly event volume per type
     // with the previous OBSERVED week's volume and the growth ratio —
     // the period-over-period report every warehouse dashboard leads
@@ -786,6 +824,33 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_ttc" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id, p - c AS delta FROM u
+        |  WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c),
+        |r AS (
+        |  SELECT delta, ROW_NUMBER() OVER (ORDER BY delta, user_id) AS rn,
+        |    COUNT(*) OVER () AS nd FROM d),
+        |s AS (
+        |  SELECT COUNT(*) AS n_conv, CAST(SUM(delta) AS BIGINT) AS sum_us,
+        |    MAX(CASE WHEN rn = CEIL(nd * 0.5) THEN delta END) AS med_us,
+        |    MAX(CASE WHEN rn = CEIL(nd * 0.9) THEN delta END) AS p90_us
+        |  FROM r),
+        |k AS (
+        |  SELECT CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clicked FROM u)
+        |SELECT n_clicked, n_conv AS n_converted,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_clicked AS DOUBLE) AS cvr,
+        |  CAST(sum_us AS DOUBLE) / CAST(n_conv AS DOUBLE) / 1e6 AS mean_s,
+        |  CAST(med_us AS DOUBLE) / 1e6 AS median_s,
+        |  CAST(p90_us AS DOUBLE) / 1e6 AS p90_s
+        |FROM k CROSS JOIN s""".stripMargin,
 
     "q_events_wow" ->
       """WITH weekly AS (

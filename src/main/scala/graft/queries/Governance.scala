@@ -113,6 +113,40 @@ object Governance extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Lorenz concentration curve (round 12): user spend deciles with
+    // cumulative share — the curve whose area q_agg_gini summarizes
+    // to one number; analysts want BOTH (the decile table says "top
+    // 10% of users carry X% of revenue", the actionable form). Decile
+    // assignment uses the two-pass GlobalRank (never a global window
+    // over the user frame); cents stay exact int64 through every sum;
+    // the 10-row close runs its cumulative window at metadata scale.
+    "q_events_lorenz" -> ((spark, sfDir) => {
+      val spend = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
+      val ranked = graft.operators.GlobalRank.withRowNumberAndCountPerGroup(
+        spend, "rn", "nu", Seq.empty, col("cents"), col("user_id"))
+      val dec = ranked
+        .select(col("cents"),
+          ceil(col("rn").cast("double") * 10.0 / col("nu").cast("double"))
+            .cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dec
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("tot", sum(col("cents")).over(wAll))
+        .select(col("decile"), col("n_users"),
+          (col("cents").cast("double") / lit(100.0)).as("spend"),
+          (col("cum").cast("double") / col("tot").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
     // Discrete-Laplace noisy counts (round 12): per-type event counts
     // released through the two-sided-geometric mechanism — the
     // integer-valued noise ε=1 differential privacy uses for count
@@ -573,6 +607,32 @@ object Governance extends QueryPack {
         |    AS rows_exposed,
         |  MIN(ldiv) AS min_ldiv
         |FROM g GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_events_lorenz" ->
+      """WITH spend AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn,
+        |    COUNT(*) OVER () AS nu
+        |  FROM spend),
+        |d AS (
+        |  SELECT CAST(CEIL(CAST(rn AS DOUBLE) * 10.0 / CAST(nu AS DOUBLE))
+        |      AS BIGINT) AS decile,
+        |    COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT decile, n_users, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT decile, n_users, CAST(cents AS DOUBLE) / 100.0 AS spend,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
 
     "q_anon_dpcount" ->
       """WITH c AS (

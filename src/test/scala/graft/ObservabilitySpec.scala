@@ -330,6 +330,55 @@ class ObservabilitySpec extends SparkSuite {
     rows.foreach { case (t, _, nz, _, _) => assert(again(t) === nz) }
   }
 
+  test("Lorenz curve: deciles partition users, cumulative share reaches one") {
+    val rows = SparkEntry.queries("q_events_lorenz")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("spend"), r.getAs[Double]("cum_share")))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val nUsers = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum === nUsers)
+    // cum_share strictly increasing, ends at exactly 1.0
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 > a._4)
+      case _ =>
+    }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-12)
+    // ranked ascending: later deciles carry at least as much spend
+    // per user on average (weak monotonicity of decile means)
+    val means = rows.map(r => r._3 / r._2)
+    means.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9)
+      case _ =>
+    }
+  }
+
+  test("time-to-convert matches a driver-side recompute") {
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val firsts = byUser.map { case (u, es) =>
+      (u, es.filter(_._2 == "click").map(_._3).minOption,
+        es.filter(_._2 == "purchase").map(_._3).minOption)
+    }
+    val clicked = firsts.count(_._2.isDefined).toLong
+    val deltas = firsts.collect {
+      case (_, Some(c), Some(p)) if p >= c => p - c
+    }.toSeq.sorted
+    val r = SparkEntry.queries("q_events_ttc")(spark, Sf).collect().head
+    assert(r.getAs[Long]("n_clicked") === clicked)
+    assert(r.getAs[Long]("n_converted") === deltas.size.toLong)
+    assert(r.getAs[Double]("cvr") === deltas.size.toDouble / clicked)
+    assert(r.getAs[Double]("mean_s") ===
+      deltas.sum.toDouble / deltas.size / 1e6)
+    def pick(q: Double) = deltas(math.ceil(deltas.size * q).toInt - 1)
+    assert(r.getAs[Double]("median_s") === pick(0.5).toDouble / 1e6)
+    assert(r.getAs[Double]("p90_s") === pick(0.9).toDouble / 1e6)
+  }
+
   test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
     val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSuite {
       "q_sketch_kmv", "q_events_did", "q_retention_ttl",
       // q_stats_permutation / q_sample_neyman: 1-row observed-diff /
       // fold-denominator broadcasts (same shape)
-      "q_stats_permutation", "q_sample_neyman")
+      "q_stats_permutation", "q_sample_neyman",
+      // q_events_ttc: 1-row conversion-stats broadcast under the rate
+      // close (same shape)
+      "q_events_ttc")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
