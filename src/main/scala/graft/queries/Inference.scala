@@ -97,7 +97,12 @@ object Inference extends QueryPack {
         .filter(col("gap") === col("d_stat"))
         .agg(min(col("v")).as("d_at"))
       tot.crossJoin(broadcast(d)).crossJoin(broadcast(at))
-        .select(col("n1"), col("n2"), col("d_stat"), col("d_at"))
+        // d_at leaves as DOUBLE: decimal output columns are
+        // hash-unsafe in the driver compare (EntrySpec gate); a
+        // 2-decimal money value converts exactly the same way in
+        // both engines (the q_join_inner price precedent)
+        .select(col("n1"), col("n2"), col("d_stat"),
+          col("d_at").cast("double").as("d_at"))
     }),
 
     // Kaplan–Meier survival over user lifetimes with right-censoring:
@@ -428,7 +433,8 @@ object Inference extends QueryPack {
         |    AND CURRENT ROW)),
         |d AS (SELECT MAX(gap) AS d_stat FROM g),
         |a AS (SELECT MIN(v) AS d_at FROM g, d WHERE gap = d_stat)
-        |SELECT n1, n2, d_stat, d_at FROM t CROSS JOIN d CROSS JOIN a""".stripMargin,
+        |SELECT n1, n2, d_stat, CAST(d_at AS DOUBLE) AS d_at
+        |FROM t CROSS JOIN d CROSS JOIN a""".stripMargin,
 
     "q_events_survival" ->
       """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),

@@ -114,7 +114,13 @@ object Matching extends QueryPack {
             .as("bal_src"),
           row_number().over(wo).as("rn"))
         .filter(col("rn") === 1)
-        .select(col("key"), col("name"), col("bal"), col("segment"),
+        // bal leaves as DOUBLE: decimal OUTPUT columns are hash-unsafe
+        // in the driver compare (EntrySpec gate); the survivorship
+        // arithmetic itself stays DECIMAL end-to-end above, and a
+        // 2-decimal value converts identically on both engines (the
+        // q_join_inner price precedent)
+        .select(col("key"), col("name"),
+          col("bal").cast("double").as("bal"), col("segment"),
           col("name_src"), col("bal_src"))
         .orderBy(col("key"))
     }))
@@ -177,7 +183,7 @@ object Matching extends QueryPack {
         |      OVER (PARTITION BY key) AS bal_src,
         |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY prio) AS rn
         |  FROM u)
-        |SELECT key, name, bal, segment,
+        |SELECT key, name, CAST(bal AS DOUBLE) AS bal, segment,
         |  CAST(name_src AS BIGINT) AS name_src,
         |  CAST(bal_src AS BIGINT) AS bal_src
         |FROM g WHERE rn = 1 ORDER BY key""".stripMargin)

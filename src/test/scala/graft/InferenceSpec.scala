@@ -55,7 +55,7 @@ class InferenceSpec extends SparkSuite {
     assert(r.getAs[Long]("n1") === s1.length.toLong)
     assert(r.getAs[Long]("n2") === s2.length.toLong)
     assert(r.getAs[Double]("d_stat") === best)
-    assert(r.getAs[java.math.BigDecimal]("d_at").compareTo(bestAt) === 0)
+    assert(r.getAs[Double]("d_at") === bestAt.doubleValue())
   }
 
   test("Kaplan-Meier curve matches a sequential recompute; censoring respected") {

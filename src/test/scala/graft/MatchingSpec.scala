@@ -86,11 +86,12 @@ class MatchingSpec extends SparkSuite {
       assert(r.getLong(4) === 2L, s"$key name_src")
       // balance: web feed (prio 1, +10.00) wins for %5 keys, CRM else
       if (key % 5 == 0) {
-        assert(r.getDecimal(2) === cBal.add(new java.math.BigDecimal("10.00")),
+        assert(r.getDouble(2) ===
+          cBal.add(new java.math.BigDecimal("10.00")).doubleValue(),
           s"$key fresh balance")
         assert(r.getLong(5) === 1L, s"$key bal_src")
       } else {
-        assert(r.getDecimal(2) === cBal)
+        assert(r.getDouble(2) === cBal.doubleValue())
         assert(r.getLong(5) === 2L, s"$key bal_src")
       }
       assert(r.getString(3) === cSeg)
