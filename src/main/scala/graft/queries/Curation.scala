@@ -501,6 +501,33 @@ object Curation extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Clustering coefficient (round 12): per-node 2·tri/(d(d−1)) over
+    // the co-purchase graph — "how clique-like is this part's
+    // neighborhood", the local-density companion to q_graph_triangles'
+    // raw counts and q_graph_degree's volume (a part with high degree
+    // but low coefficient is a hub bridging unrelated baskets; high
+    // coefficient marks a coherent product cluster worth a bundle).
+    // Top-20 among nodes in at least one triangle (total-order
+    // tiebreak; the fixture graphs thin out with SF — sf0.1's
+    // co-purchase graph holds 3 triangle members, sf0.001's 200);
+    // composes [[graft.operators.Triangles]] with the degree count —
+    // one node-keyed equi-join beyond what those already pay.
+    "q_graph_clustering" -> ((spark, sfDir) => {
+      val edges = coPurchaseEdges(spark, sfDir)
+      val tri = graft.operators.Triangles.perNode(edges)
+      val und = edges.select(col("p1").as("node"))
+        .unionAll(edges.select(col("p2").as("node")))
+      val deg = und.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      tri.join(deg, tri("part") === deg("node"))
+        .filter(col("n_tri") >= 1 && col("d") >= 2)
+        .select(col("part"), col("n_tri"), col("d"),
+          (lit(2.0) * col("n_tri").cast("double") /
+            (col("d").cast("double") * (col("d").cast("double") - 1)))
+            .as("coeff"))
+        .orderBy(col("coeff").desc, col("part").asc)
+        .limit(20)
+    }),
+
     // Compressibility quality signal (round 12): mean
     // deflate_len/octet_length per source plus the count of docs
     // under 0.4 — the Gopher/FineWeb repetition screen (template spam
@@ -1001,6 +1028,29 @@ object Curation extends QueryPack {
         |SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
         |FROM z GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_graph_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t AS (
+        |  SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT unnest([x, y, z]) AS part FROM t),
+        |tri AS (SELECT part, COUNT(*) AS n_tri FROM n GROUP BY part),
+        |und AS (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e),
+        |deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY node)
+        |SELECT part, n_tri, d,
+        |  2.0 * CAST(n_tri AS DOUBLE)
+        |    / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1)) AS coeff
+        |FROM tri JOIN deg ON part = node
+        |WHERE n_tri >= 1 AND d >= 2
+        |ORDER BY coeff DESC, part ASC LIMIT 20""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -307,6 +307,76 @@ object Inference extends QueryPack {
           (col("ctrl_post") - col("ctrl_pre"))).as("did"))
     }),
 
+    // 10%-trimmed mean per type (round 12): drop the bottom and top
+    // decile BY RANK and average the middle 80% — the outlier-robust
+    // location estimate between the mean (q_agg_stats) and the median
+    // (q_agg_median_group), reported next to the raw mean so the gap
+    // itself flags tail contamination. Ranks come from the two-pass
+    // per-group GlobalRank (a 5-task Window.partitionBy ceiling is
+    // exactly what that operator exists to avoid); the trim boundary
+    // ceil(0.1·n) computes the same double→ceil on both engines;
+    // kept-range sums are exact integer cents.
+    "q_agg_trimmed_mean" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("event_id"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      val ranked = GlobalRank.withRowNumberAndCountPerGroup(
+        e, "rn", "n", Seq("event_type"), col("cents"), col("event_id"))
+      val lo = ceil(col("n") * 0.1)
+      val kept = col("rn") > lo && col("rn") <= col("n") - lo
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(kept, col("cents")).otherwise(0L)).as("s_kept"),
+          sum(col("cents")).as("s_all"))
+        .select(col("event_type"), col("n"), col("n_kept"),
+          (col("s_kept").cast("double") / col("n_kept").cast("double")
+            / lit(100.0)).as("trimmed_mean"),
+          (col("s_all").cast("double") / col("n").cast("double")
+            / lit(100.0)).as("raw_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Welch's t-test (round 12): the workhorse two-sample mean
+    // comparison, click vs purchase spend — unequal variances, so the
+    // Welch–Satterthwaite degrees of freedom rather than pooled
+    // (the version statisticians actually recommend as the default).
+    // Sufficient statistics are exact: counts int64 and cents sums /
+    // sums-of-squares DECIMAL(38,0); the close — two sample
+    // variances, the t statistic, and the df — is one fixed double
+    // chain identical on both engines. One row-scale pass,
+    // category-bounded everything after.
+    "q_stats_ttest" -> ((spark, sfDir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def side(t: String, p: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$p"),
+        sum(when(col("event_type") === t, col("cents")).otherwise(0L)
+          .cast(d380)).as(s"s$p"),
+        sum(when(col("event_type") === t, col("cents") * col("cents"))
+          .otherwise(0L).cast(d380)).as(s"q$p"))
+      val stats = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+        .agg(side("click", "1").head,
+          (side("click", "1").tail ++ side("purchase", "2")): _*)
+      def nd(p: String) = col(s"n$p").cast("double")
+      // mean in dollars; sample variance via (q − s²/n)/(n−1), scaled
+      // from cents² to dollars²
+      def mean(p: String) = col(s"s$p").cast("double") / nd(p) / lit(100.0)
+      def va(p: String) = (col(s"q$p").cast("double") -
+        col(s"s$p").cast("double") * col(s"s$p").cast("double") / nd(p)) /
+        (nd(p) - 1) / lit(10000.0)
+      val se1 = va("1") / nd("1")
+      val se2 = va("2") / nd("2")
+      val t = (mean("1") - mean("2")) / sqrt(se1 + se2)
+      val df = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (nd("1") - 1) + se2 * se2 / (nd("2") - 1))
+      stats.select(col("n1"), col("n2"), mean("1").as("mean1"),
+        mean("2").as("mean2"), va("1").as("var1"), va("2").as("var2"),
+        t.as("t_stat"), df.as("df"))
+    }),
+
     // Permutation test (round 12): is the treatment/control (odd/even
     // user_id) mean-spend gap explainable by chance? The observed
     // difference is compared against B = 100 label permutations —
@@ -464,6 +534,74 @@ object Inference extends QueryPack {
         |      f -> f[2])),
         |    (acc, x) -> acc * x) AS survival
         |FROM r CROSS JOIN fs ORDER BY dur""".stripMargin,
+
+    "q_agg_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |k AS (
+        |  SELECT event_type, cents, n,
+        |    rn > CEIL(n * 0.1) AND rn <= n - CEIL(n * 0.1) AS kept
+        |  FROM r)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(CAST(SUM(CASE WHEN kept THEN cents ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE)
+        |    / CAST(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) / 100.0 AS trimmed_mean,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(MAX(n) AS BIGINT) AS DOUBLE) / 100.0 AS raw_mean
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_ttest" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN cents
+        |      ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN cents * cents
+        |      ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN cents
+        |      ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN cents * cents
+        |      ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q2
+        |  FROM e),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS mean2,
+        |    (CAST(q1 AS DOUBLE)
+        |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1) / 10000.0 AS var1,
+        |    (CAST(q2 AS DOUBLE)
+        |       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1) / 10000.0 AS var2
+        |  FROM s),
+        |w AS (
+        |  SELECT n1, n2, mean1, mean2, var1, var2,
+        |    var1 / CAST(n1 AS DOUBLE) AS se1,
+        |    var2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT n1, n2, mean1, mean2, var1, var2,
+        |  (mean1 - mean2) / SQRT(se1 + se2) AS t_stat,
+        |  (se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1)
+        |       + se2 * se2 / (CAST(n2 AS DOUBLE) - 1)) AS df
+        |FROM w""".stripMargin,
 
     "q_stats_permutation" ->
       """WITH e AS (

@@ -266,6 +266,74 @@ class InferenceSpec extends SparkSuite {
     assert(r2.getAs[Double]("p_value") === p)
   }
 
+  test("Welch t-test matches a driver-side recompute") {
+    val rows = eventRows.filter(r => r._1 == "click" || r._1 == "purchase")
+    def cents(x: (String, java.time.LocalDate, java.math.BigDecimal, Long)) =
+      x._3.multiply(java.math.BigDecimal.valueOf(100)).longValueExact()
+    val a = rows.filter(_._1 == "click").map(cents)
+    val b = rows.filter(_._1 == "purchase").map(cents)
+    def stats(xs: Array[Long]) = {
+      val n = xs.length.toDouble
+      val s = xs.sum.toDouble
+      val q = xs.map(x => x * x).sum.toDouble
+      (n, s / n / 100.0, (q - s * s / n) / (n - 1) / 10000.0)
+    }
+    val (n1, m1, v1) = stats(a)
+    val (n2, m2, v2) = stats(b)
+    val (se1, se2) = (v1 / n1, v2 / n2)
+    val t = (m1 - m2) / math.sqrt(se1 + se2)
+    val df = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    val r = SparkEntry.queries("q_stats_ttest")(spark, Sf).collect().head
+    assert(r.getAs[Long]("n1") === a.length.toLong)
+    assert(r.getAs[Long]("n2") === b.length.toLong)
+    assert(r.getAs[Double]("mean1") === m1)
+    assert(r.getAs[Double]("var1") === v1)
+    assert(r.getAs[Double]("t_stat") === t)
+    assert(r.getAs[Double]("df") === df)
+    // Welch df lies between min(n)-1 and n1+n2-2
+    assert(df >= math.min(n1, n2) - 1 - 1e-9 && df <= n1 + n2 - 2 + 1e-9)
+  }
+
+  test("trimmed mean: keeps the middle 80%, robust to the tails") {
+    val rows = SparkEntry.queries("q_agg_trimmed_mean")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byType = eventRows.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cents = byType(t).map(x =>
+        x._3.multiply(java.math.BigDecimal.valueOf(100)).longValueExact())
+        .sorted
+      val n = cents.length
+      assert(r.getAs[Long]("n") === n.toLong)
+      val lo = math.ceil(n * 0.1).toInt
+      val kept = cents.slice(lo, n - lo)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong)
+      assert(r.getAs[Double]("trimmed_mean") ===
+        kept.sum.toDouble / kept.length / 100.0)
+      assert(r.getAs[Double]("raw_mean") ===
+        cents.sum.toDouble / n / 100.0)
+    }
+  }
+
+  test("clustering coefficient: in (0,1], reconciles with triangles and degree") {
+    val rows = SparkEntry.queries("q_graph_clustering")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_tri"),
+        r.getAs[Long]("d"), r.getAs[Double]("coeff")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, tri, d, c) =>
+      assert(tri >= 1 && d >= 2)
+      assert(c === 2.0 * tri / (d.toDouble * (d - 1)), s"part $p")
+      // a node's triangles cannot exceed its wedge count
+      assert(c <= 1.0 + 1e-12)
+      assert(c > 0.0)
+    }
+    // descending by coefficient
+    val cs = rows.map(_._4)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("Simpson diversity identities hold per day") {
     val rows = SparkEntry.queries("q_events_diversity")(spark, Sf).collect()
     assert(rows.nonEmpty)
