@@ -461,22 +461,26 @@ object Aggregations extends QueryPack {
     // sketch in the family whose estimate is fully deterministic and
     // therefore ORACLE-CHECKED (HLL/CMS binaries are impl-specific;
     // KMV is just "the k smallest hash values", an order statistic):
-    // est = (k−1)·2³²/θ_k where θ_k is the k-th smallest value of a
-    // portable multiplicative hash over the distinct keys. Shape: the
-    // k-smallest cut is TakeOrderedAndProject (distributed per-
-    // partition heaps merged on the driver, k rows moved — the same
-    // bounded-summary mergeability that makes KMV a sketch); the
-    // exact distinct runs alongside for the self-reported error
-    // ratio. Hash: key·2654435761 mod 2³² exact in int64 for keys
-    // < 2³² (beyond that, route through DECIMAL(38,0) — the
-    // q_shuffle_shards overflow lesson).
+    // est = (k−1)·2³²/θ_k where θ_k is the k-th smallest DISTINCT
+    // value of a portable multiplicative hash over the keys. The
+    // sketch state is [[graft.operators.KmvAgg]] — a mergeable
+    // bounded buffer of the k smallest distinct hashes that dedups
+    // INSIDE the aggregator, so partial states combine map-side and
+    // shuffle volume is k·partitions whatever the row count or key
+    // cardinality (a distinct().limit(k) formulation would pay an
+    // ndv-sized exchange just to dedup — the TopKAgg lesson applied
+    // to order statistics). The exact distinct runs alongside for
+    // the self-reported error ratio. Hash: key·2654435761 mod 2³²
+    // exact in int64 for keys < 2³² (beyond that, route through
+    // DECIMAL(38,0) — the q_shuffle_shards overflow lesson).
     "q_sketch_kmv" -> ((spark, sfDir) => {
       val k = 256
       val h = (col("l_partkey") * 2654435761L % 4294967296L).as("h")
-      val hashes = Tables.lineitem(spark, sfDir)
-        .select(h).distinct()
-      val kmv = hashes.orderBy(col("h")).limit(k)
-        .agg(count(lit(1)).as("k"), max(col("h")).as("theta"))
+      val kmv = Tables.lineitem(spark, sfDir)
+        .select(h)
+        .agg(graft.operators.KmvAgg.udafColumn(k, col("h")).as("ks"))
+        .select(size(col("ks")).cast("long").as("k"),
+          element_at(col("ks"), size(col("ks"))).as("theta"))
       val exact = Tables.lineitem(spark, sfDir)
         .agg(countDistinct(col("l_partkey")).as("true_distinct"))
       kmv.crossJoin(broadcast(exact))

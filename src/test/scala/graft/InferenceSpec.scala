@@ -205,6 +205,17 @@ class InferenceSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("err_ratio") - est / trueD) < 1e-12)
     val r2 = SparkEntry.queries("q_sketch_kmv")(spark, Sf).collect().head
     assert(r2.getAs[Double]("est_distinct") === est)
+    // the bounded-heap aggregator state equals the set-semantics
+    // reference (k smallest distinct hashes), on any partitioning
+    val hashes = Tables.lineitem(spark, Sf)
+      .select((col("l_partkey") * 2654435761L % 4294967296L).as("h"))
+    val want = hashes.collect().map(_.getLong(0)).distinct.sorted.take(256).toSeq
+    Seq(1, 7, 32).foreach { p =>
+      val got = hashes.repartition(p)
+        .agg(graft.operators.KmvAgg.udafColumn(256, col("h")))
+        .collect().head.getSeq[Long](0)
+      assert(got === want, s"partitions=$p")
+    }
   }
 
   test("MDE: formula recomputes; more data means smaller detectable effect") {
