@@ -243,4 +243,114 @@ class PropertySpec extends SparkSuite {
       assert(twice == once, s"not idempotent on '$s'")
     }
   }
+
+  test("KmvAgg: any partitioning folds to the k smallest distinct values") {
+    val agg = new graft.operators.KmvAgg(8)
+    val gen = Gen.zip(
+      Gen.listOf(Gen.choose(0L, 40L)), // dense domain → many duplicates
+      Gen.choose(1, 5))
+    samples(gen, 300).foreach { case (xs, nParts) =>
+      val want = xs.distinct.sorted.take(8)
+      // reduce within random contiguous slices, then merge the partials
+      val parts = if (xs.isEmpty) Seq(Seq.empty[Long])
+      else xs.grouped(math.max(1, xs.size / nParts)).toSeq
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      assert(merged == want, s"xs=$xs parts=$nParts")
+      // merge is commutative on partials
+      val rev = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(rev == want)
+    }
+  }
+
+  test("doubled-rank identity: sum c1*(2p+c+1)/2 equals the avg-rank sum") {
+    // the q_stats_mannwhitney integer trick vs the classical tied
+    // average rank, on random two-sample multisets
+    val gen = Gen.zip(Gen.listOf(Gen.choose(0, 15)), Gen.listOf(Gen.choose(0, 15)))
+    samples(gen, 300).filter(c => c._1.nonEmpty && c._2.nonEmpty)
+      .foreach { case (a, b) =>
+        // classical: rank the union with average ranks for ties
+        val all = (a ++ b).sorted
+        val rankOf = all.distinct.map { v =>
+          val first = all.indexOf(v) + 1
+          val c = all.count(_ == v)
+          v -> (first + (c - 1) / 2.0)
+        }.toMap
+        val r1Classical = a.map(rankOf).sum
+        // doubled-rank: per distinct value, p rows strictly below
+        val counts = (a ++ b).groupBy(identity).map { case (v, vs) =>
+          (v, a.count(_ == v).toLong, vs.size.toLong)
+        }.toSeq.sortBy(_._1)
+        var p = 0L
+        var rr1 = 0L
+        counts.foreach { case (_, c1, c) =>
+          rr1 += c1 * (2 * p + c + 1)
+          p += c
+        }
+        assert(rr1 / 2.0 == r1Classical, s"a=$a b=$b")
+      }
+  }
+
+  test("interval join guard: overlapping pairs survive in exactly one bucket") {
+    // the q_join_interval plan = equi-join on shared buckets +
+    // RESIDUAL overlap predicate + ownership guard. Adjacent
+    // intervals can share a bucket WITHOUT overlapping (writing this
+    // property as 'in both ranges iff overlap' found the
+    // counter-example [143,152) [159,175) sharing bucket 15 — the
+    // residual predicate is load-bearing, not belt-and-braces). The
+    // guarantees that hold: an overlapping pair's ownership bucket is
+    // covered by both intervals (the pair ALWAYS survives the
+    // equi-join), and across all shared buckets the full filter
+    // (overlap ∧ bkt = ownership) passes exactly once — no
+    // duplicates, no drops.
+    val W = 10L
+    def buckets(s: Long, e: Long): Seq[Long] = (s / W) to ((e - 1) / W)
+    val gen = Gen.zip(Gen.choose(0L, 200L), Gen.choose(1L, 35L),
+      Gen.choose(0L, 200L), Gen.choose(1L, 35L))
+    samples(gen, 400).foreach { case (s1, l1, s2, l2) =>
+      val (e1, e2) = (s1 + l1, s2 + l2)
+      val overlap = s1 < e2 && s2 < e1
+      val own = math.max(s1, s2) / W
+      val shared = buckets(s1, e1).intersect(buckets(s2, e2))
+      val emitted = shared.count(b => overlap && b == own)
+      assert(emitted == (if (overlap) 1 else 0), s"[$s1,$e1) [$s2,$e2)")
+    }
+  }
+
+  test("trimmed mean ignores tail perturbations beyond the cut") {
+    val gen = Gen.listOfN(50, Gen.choose(0L, 1000L))
+    samples(gen, 200).foreach { xs0 =>
+      val xs = xs0.sorted
+      val lo = math.ceil(xs.size * 0.1).toInt
+      def trimmed(v: Seq[Long]): Double = {
+        val s = v.sorted.slice(lo, v.size - lo)
+        s.sum.toDouble / s.size
+      }
+      val base = trimmed(xs)
+      // push the max far out and the min far down: the trimmed mean
+      // must not move (that is the point of trimming)
+      val perturbed = (xs.max + 100000L) +: (xs.min - 100000L) +: xs.tail.dropRight(1)
+      assert(trimmed(perturbed) == base, s"xs=$xs")
+    }
+  }
+
+  test("Poisson(1) threshold table: increasing, mean weight ~ 1 on a uniform grid") {
+    val ths = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    assert(ths == ths.sorted && ths.distinct == ths)
+    def w(h: Long): Long = ths.indexWhere(h <= _) match {
+      case -1 => 8L; case i => i.toLong
+    }
+    // exact expected weight over the uniform integer domain, computed
+    // from the threshold widths: must land within 0.1% of 1 (the
+    // Poisson mean), or the table was transcribed wrong
+    val dom = 4294967296.0
+    val widths = (0L +: ths).zip(ths :+ 4294967296L).map(p => p._2 - p._1)
+    val mean = widths.zipWithIndex.map { case (width, k) => width.toDouble * k }.sum / dom
+    assert(math.abs(mean - 1.0) < 0.001, s"mean $mean")
+    // spot grid agrees with indexWhere semantics
+    (0L until 4294967296L by 104729L).take(1000).foreach { h =>
+      assert(w(h) >= 0L && w(h) <= 8L)
+    }
+  }
 }
