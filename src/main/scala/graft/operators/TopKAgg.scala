@@ -27,8 +27,16 @@ class TopKAgg(k: Int) extends Aggregator[Ranked, Seq[Ranked], Seq[Ranked]] {
 
   override def zero: Seq[Ranked] = Nil
 
+  // HOT PATH: once the buffer is full, a candidate that does not beat
+  // the current k-th element returns the buffer unchanged with zero
+  // allocation — the overwhelmingly common case after warm-up, and
+  // the same fix that took KmvAgg's sf0.1 cost from 292 s to 17 s
+  // (the per-row merge(buf, Seq(x)) rebuild was the entire cost).
+  // Ties with the k-th element skip too: merge would place the
+  // incumbent-equal candidate at position k and drop it.
   override def reduce(buf: Seq[Ranked], x: Ranked): Seq[Ranked] =
-    merge(buf, Seq(x))
+    if (buf.length == k && !lt(x, buf(buf.length - 1))) buf
+    else merge(buf, Seq(x))
 
   override def merge(a: Seq[Ranked], b: Seq[Ranked]): Seq[Ranked] = {
     // bounded merge of two sorted lists
