@@ -283,6 +283,62 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Rolling 7-day median of daily volume (round 12): the
+    // spike-resistant smoothing an ops dashboard plots next to the
+    // raw series (a one-day incident barely moves a rolling median
+    // where a rolling mean lurches) — exact-DISCRETE median of the
+    // trailing window, no interpolation: collect the ≤7 window
+    // values, sort, pick rank ceil(n/2) — deterministic and
+    // identical on both engines where built-in windowed median
+    // functions interpolate engine-specifically. The window runs
+    // over the CALENDAR-SIZED daily frame (metadata-scale, the
+    // GlobalRank-offsets precedent).
+    "q_events_rolling_median" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("win", sort_array(collect_list(col("c")).over(w)))
+        .select(col("d"), col("c"),
+          element_at(col("win"),
+            ceil(size(col("win")).cast("double") / 2.0).cast("int"))
+            .as("med7"),
+          size(col("win")).cast("long").as("win_n"))
+        .orderBy(col("d"))
+    }),
+
+    // New-vs-returning daily split (round 12): each day's events
+    // divided by whether the user was first seen THAT day — the
+    // acquisition-vs-engagement decomposition every growth dashboard
+    // leads with (q_events_retention says who comes back;
+    // this says how much of today is newcomers). First-seen day is
+    // one user-keyed min; the daily split is one equi-join on
+    // (user, is-first-day) semantics done as a join on user plus a
+    // comparison — two row-scale passes, calendar-sized output.
+    "q_events_new_returning" -> ((spark, sfDir) => {
+      val first = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("first_d"))
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .join(first, "user_id")
+        .groupBy(col("d"))
+        .agg(sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+          .as("new_events"),
+          sum(when(col("d") =!= col("first_d"), 1L).otherwise(0L))
+            .as("returning_events"),
+          countDistinct(when(col("d") === col("first_d"), col("user_id")))
+            .as("new_users"),
+          countDistinct(col("user_id")).as("active_users"))
+        .select(col("d"), col("new_events"), col("returning_events"),
+          col("new_users"), col("active_users"),
+          (col("new_events").cast("double") /
+            (col("new_events") + col("returning_events")).cast("double"))
+            .as("new_share"))
+        .orderBy(col("d"))
+    }),
+
     // Time-to-convert (round 12): q_events_funnel counts who
     // converted; this measures HOW LONG conversion took — per user
     // the gap between first click and first purchase, closed to
@@ -824,6 +880,39 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d, c,
+        |    list_sort(list(c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+        |      AND CURRENT ROW)) AS win
+        |  FROM daily)
+        |SELECT d, c,
+        |  win[CAST(CEIL(CAST(len(win) AS DOUBLE) / 2.0) AS INTEGER)] AS med7,
+        |  CAST(len(win) AS BIGINT) AS win_n
+        |FROM w ORDER BY d""".stripMargin,
+
+    "q_events_new_returning" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+        |  FROM events GROUP BY user_id),
+        |e AS (
+        |  SELECT events.user_id, CAST(ts AS DATE) AS d, first_d
+        |  FROM events JOIN f ON events.user_id = f.user_id)
+        |SELECT d,
+        |  CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_events,
+        |  CAST(SUM(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_events,
+        |  COUNT(DISTINCT CASE WHEN d = first_d THEN user_id END)
+        |    AS new_users,
+        |  COUNT(DISTINCT user_id) AS active_users,
+        |  CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS new_share
+        |FROM e GROUP BY d ORDER BY d""".stripMargin,
 
     "q_events_ttc" ->
       """WITH u AS (

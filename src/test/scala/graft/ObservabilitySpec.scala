@@ -379,6 +379,44 @@ class ObservabilitySpec extends SparkSuite {
     assert(r.getAs[Double]("p90_s") === pick(0.9).toDouble / 1e6)
   }
 
+  test("rolling median: exact-discrete over the trailing window, smooths a spike") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(col("ts").cast("date").as("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val got = SparkEntry.queries("q_events_rolling_median")(spark, Sf)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(d => (d._1, d._2)).toSeq === daily.toSeq)
+    got.zipWithIndex.foreach { case ((_, _, med, winN), i) =>
+      val win = daily.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+      assert(winN === win.length.toLong)
+      assert(med === win((math.ceil(win.length / 2.0) - 1).toInt))
+    }
+  }
+
+  test("new vs returning: events conserved, first day all-new, users reconcile") {
+    val rows = SparkEntry.queries("q_events_new_returning")(spark, Sf)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, Sf).count()
+    assert(rows.map(r => r._2 + r._3).sum === total)
+    // the corpus's first day has no possible returners
+    assert(rows.head._3 === 0L && rows.head._6 === 1.0)
+    // new users across all days = distinct users
+    val users = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._4).sum === users)
+    rows.foreach { r =>
+      assert(r._4 <= r._5) // new users are a subset of active users
+      assert(r._6 >= 0.0 && r._6 <= 1.0)
+    }
+  }
+
   test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
     val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
     assert(rows.nonEmpty)
