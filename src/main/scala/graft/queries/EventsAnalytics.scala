@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.Tables.dec
+import graft.operators.GlobalRank
 
 /** Product-analytics queries over the event stream — the workloads the
   * reference's users (game analytics) actually run on the warehouse it
@@ -281,6 +282,46 @@ object EventsAnalytics extends QueryPack {
           element_at(col("st"), 1).as("cusum_final"),
           element_at(col("st"), 2).cast("long").as("n_alarm"))
         .orderBy(col("user_id"))
+    }),
+
+    // MAD robust anomaly detection (round 12): the
+    // median-absolute-deviation outlier screen — q_events_anomaly's
+    // mean/sd z-scores are themselves dragged by the outliers they
+    // hunt; the modified z-score 0.6745·(x−med)/MAD with the
+    // Iglewicz–Hoaglin 3.5 cutoff is the robust standard. Both
+    // medians are exact-discrete per-group rank picks via the
+    // two-pass GlobalRank (5 event types would cap a
+    // Window.partitionBy at 5 tasks — the q_agg_trimmed_mean
+    // discipline), and the cutoff test runs ENTIRELY in integers:
+    // |x−med|·6745 > 35000·MAD in cents is exactly |rz| > 3.5 —
+    // no float chain anywhere in the flag.
+    "q_events_mad" -> ((spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("event_id"),
+          (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      val med = GlobalRank.withRowNumberAndCountPerGroup(
+        e, "rn", "n", Seq("event_type"), col("cents"), col("event_id"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type").as("t1"), col("cents").as("med_c"))
+      val dev = e.join(med, col("event_type") === col("t1"))
+        .select(col("event_type"), col("event_id"), col("cents"),
+          col("med_c"), abs(col("cents") - col("med_c")).as("dev"))
+      val mad = GlobalRank.withRowNumberAndCountPerGroup(
+        dev.select(col("event_type"), col("event_id"), col("dev")),
+        "rn", "n", Seq("event_type"), col("dev"), col("event_id"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type").as("t2"), col("dev").as("mad_c"))
+      dev.join(mad, col("event_type") === col("t2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med_c")).as("med_c"), max(col("mad_c")).as("mad_c"),
+          sum(when(col("dev") * 6745 > col("mad_c") * 35000, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          (col("med_c").cast("double") / lit(100.0)).as("median"),
+          (col("mad_c").cast("double") / lit(100.0)).as("mad"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
     }),
 
     // Rolling 7-day median of daily volume (round 12): the
@@ -880,6 +921,41 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events,
         |  list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1) AS ewma
         |FROM o ORDER BY user_id""".stripMargin,
+
+    "q_events_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r1 AS (
+        |  SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type, cents AS med_c FROM r1
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.cents, med_c,
+        |    ABS(e.cents - med_c) AS dev
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |r2 AS (
+        |  SELECT event_type, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type, dev AS mad_c FROM r2
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT dev.event_type, COUNT(*) AS n,
+        |  CAST(MAX(med_c) AS DOUBLE) / 100.0 AS median,
+        |  CAST(MAX(mad_c) AS DOUBLE) / 100.0 AS mad,
+        |  CAST(SUM(CASE WHEN dev.dev * 6745 > mad_c * 35000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
 
     "q_events_rolling_median" ->
       """WITH daily AS (

@@ -417,6 +417,27 @@ class ObservabilitySpec extends SparkSuite {
     }
   }
 
+  test("MAD anomaly screen matches a driver-side robust recompute") {
+    val rows = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = SparkEntry.queries("q_events_mad")(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val cents = rows.filter(_._1 == t).map(_._2).sorted
+      val med = cents((cents.length + 1) / 2 - 1)
+      val devs = cents.map(c => math.abs(c - med)).sorted
+      val mad = devs((devs.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("n") === cents.length.toLong)
+      assert(r.getAs[Double]("median") === med.toDouble / 100.0)
+      assert(r.getAs[Double]("mad") === mad.toDouble / 100.0)
+      val outliers = cents.count(c => math.abs(c - med) * 6745 > mad * 35000)
+      assert(r.getAs[Long]("n_outliers") === outliers.toLong)
+    }
+  }
+
   test("vocabulary richness: types <= tokens, hapax <= types, shares in (0,1]") {
     val rows = SparkEntry.queries("q_text_vocab")(spark, Sf).collect()
     assert(rows.nonEmpty)
