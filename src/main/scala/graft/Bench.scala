@@ -45,7 +45,35 @@ object Bench {
       }
       once(); math.min(once(), once())
     }
+    // SECOND calibration probe (round-13, VERDICT r12 item 1): a
+    // MANY-SHORT-STAGE job — 12 sequential tiny shuffle aggregates —
+    // whose cost is dominated by job/stage scheduling and exchange
+    // latency, not CPU throughput. The in-session iterative training
+    // queries (embed_pca, quality_lr, ivfpq, bpe, pagerank…) swing
+    // ±50% between same-code artifacts because ambient scheduling
+    // noise multiplies across their dozens of short stages — a
+    // dimension the single CPU-bound probe cannot see (BASELINE.md
+    // round-12 drift notes). benchguard normalizes its declared
+    // iterative-class queries by THIS probe's ratio when both
+    // artifacts carry it. Same discipline as calibrate(): one
+    // discarded JIT run, then min of two.
+    def calibrate2(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 12) {
+          spark.range(0, 2000000L, 1, 32)
+            .groupBy((org.apache.spark.sql.functions.col("id") + i) % 64)
+            .count().orderBy(org.apache.spark.sql.functions.col("count"))
+            .limit(5).collect()
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once())
+    }
     val calibStart = calibrate()
+    val calib2Start = calibrate2()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try { selected(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -153,6 +181,7 @@ object Bench {
     // the isolated samples themselves; sustained all-bench contention
     // still shows in the samples' own load stamps.
     val calibSec = math.min(calibStart, calibrate())
+    val calib2Sec = math.min(calib2Start, calibrate2())
     def json(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -164,7 +193,7 @@ object Bench {
     val isoDetail = isolated.map { case (k, v) =>
       s"\"$k\":{\"sec\":${v.sec},\"load_before\":${v.loadBefore},\"load_after\":${v.loadAfter},\"contended\":${v.contended}}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isoSec)},"isolated_detail":$isoDetail,"best_total":$bestTotal,"calib_sec":$calibSec,"nproc":$nproc,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isoSec)},"isolated_detail":$isoDetail,"best_total":$bestTotal,"calib_sec":$calibSec,"calib2_sec":$calib2Sec,"nproc":$nproc,"sf":"$sfDir"}"""
     // The driver's artifact keeps only a stdout tail, which has truncated
     // the per-query map three rounds running — the file twin is the
     // durable copy a grader can always read in full.

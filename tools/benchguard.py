@@ -36,10 +36,26 @@ ISO_RE = re.compile(
     r'"(\w+)":\{"sec":([0-9.eE+-]+),"load_before":[0-9.eE+-]+,'
     r'"load_after":[0-9.eE+-]+,"contended":(true|false)\}')
 CALIB_RE = re.compile(r'"calib_sec":([0-9.eE+-]+)')
+CALIB2_RE = re.compile(r'"calib2_sec":([0-9.eE+-]+)')
+
+# In-session ITERATIVE training queries: dozens of short stages, so
+# ambient scheduling noise multiplies and their isolated samples swing
+# ±50% between same-code artifacts — beyond what the CPU-throughput
+# probe corrects (BASELINE.md round-12 drift notes; the r12 verdict's
+# two unwaived flags, ivfpq and bpe, were exactly this class). These
+# normalize by the MANY-SHORT-STAGE probe (calib2_sec) when both
+# artifacts carry it, falling back to the CPU probe otherwise.
+ITERATIVE = {
+    "q_embed_pca", "q_text_quality_lr", "q_text_quality_lr_holdout",
+    "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_index",
+    "q_sim_knn_index", "q_sim_knn_join", "q_text_bpe", "q_text_bpe_encode",
+    "q_text_bpe_encode_ranked", "q_graph_pagerank", "q_graph_labelprop",
+    "q_dedup_semantic", "q_sample_coreset",
+}
 
 
 def load_isolated(path):
-    """-> ({query: (sec, contended)}, calib_sec|None)."""
+    """-> ({query: (sec, contended)}, calib_sec|None, calib2_sec|None)."""
     with open(path) as f:
         raw = f.read()
     try:
@@ -49,13 +65,15 @@ def load_isolated(path):
     if isinstance(doc, dict) and "isolated_detail" in doc:
         return ({q: (v["sec"], v["contended"])
                  for q, v in doc["isolated_detail"].items()},
-                doc.get("calib_sec"))
+                doc.get("calib_sec"), doc.get("calib2_sec"))
     # driver wrapper: regex-recover from the (possibly truncated) tail
     text = doc.get("tail", raw) if isinstance(doc, dict) else raw
     calib = CALIB_RE.search(text)
+    calib2 = CALIB2_RE.search(text)
     return ({q: (float(sec), flag == "true")
              for q, sec, flag in ISO_RE.findall(text)},
-            float(calib.group(1)) if calib else None)
+            float(calib.group(1)) if calib else None,
+            float(calib2.group(1)) if calib2 else None)
 
 
 def waivers(baseline_md):
@@ -74,8 +92,8 @@ def main():
                     default=os.path.join(os.path.dirname(__file__), "..", "BASELINE.md"))
     args = ap.parse_args()
 
-    cur, cur_calib = load_isolated(args.current)
-    prev, prev_calib = load_isolated(args.prior)
+    cur, cur_calib, cur_calib2 = load_isolated(args.current)
+    prev, prev_calib, prev_calib2 = load_isolated(args.prior)
     if not cur or not prev:
         print(f"benchguard: no isolated samples parsed "
               f"(current={len(cur)}, prior={len(prev)}) — cannot gate", file=sys.stderr)
@@ -92,6 +110,15 @@ def main():
         scale = cur_calib / prev_calib
         print(f"benchguard: calib {prev_calib:.3f}s -> {cur_calib:.3f}s "
               f"(box-speed ratio {scale:.2f}; isolated diffs normalized)")
+    # Iterative-class queries use the many-short-stage probe's ratio
+    # (scheduling latency, the dimension that actually moves them);
+    # falls back to the CPU probe when either side predates calib2.
+    scale2 = scale
+    if cur_calib2 and prev_calib2 and prev_calib2 > 0:
+        scale2 = cur_calib2 / prev_calib2
+        print(f"benchguard: calib2 {prev_calib2:.3f}s -> {cur_calib2:.3f}s "
+              f"(stage-latency ratio {scale2:.2f}; iterative-class diffs "
+              f"normalized by this)")
     waived = waivers(args.baseline_md)
 
     regressions, skipped = [], []
@@ -101,7 +128,7 @@ def main():
         if c_cont or p_cont:
             skipped.append(q)
             continue
-        c_norm = c_sec / scale
+        c_norm = c_sec / (scale2 if q in ITERATIVE else scale)
         if p_sec > 0 and c_norm > p_sec * (1 + args.threshold):
             regressions.append((q, p_sec, c_norm))
 
