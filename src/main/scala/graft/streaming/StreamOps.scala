@@ -77,10 +77,14 @@ object StreamOps {
     * the foreachBatch loop a warehouse ingestion runs when the sink
     * has no native MERGE. Idempotent at the table level: re-applying a
     * delivered-again batch (at-least-once ingest) yields the same
-    * keep-latest rows. The merged result is localCheckpoint'ed BEFORE
-    * the overwrite so the write does not read the files it replaces.
-    * This demo rewrites the whole table; at warehouse scale the same
-    * loop targets only affected partitions via dynamic partition
+    * keep-latest rows. Durability is [[AtomicPublish]]'s write-aside
+    * swap: the merged state lands COMPLETELY beside the table before
+    * the old directory is replaced, so no crash instant leaves the
+    * table empty or partial (and the merge never reads files mid-
+    * replacement — the tmp write IS the materialization the old
+    * localCheckpoint-before-overwrite discipline paid a second pass
+    * for). This demo rewrites the whole table; at warehouse scale the
+    * same loop targets only affected partitions via dynamic partition
     * overwrite (pipeline.ParquetWarehouseSink). */
   def upsertSink(updates: DataFrame, tableDir: String, keys: Seq[String],
       versionCol: String, tiebreak: Seq[org.apache.spark.sql.Column] = Nil)
@@ -88,13 +92,12 @@ object StreamOps {
     updates.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val base =
-          if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
-          else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
-        graft.operators.Upsert(base, batch.toDF(), keys, versionCol, tiebreak)
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(tableDir)
+        val base = AtomicPublish.read(spark, tableDir).getOrElse(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema))
+        AtomicPublish.publish(
+          graft.operators.Upsert(base, batch.toDF(), keys, versionCol, tiebreak),
+          tableDir)
         ()
       }
 
@@ -106,8 +109,8 @@ object StreamOps {
     * deterministic tiebreak) and applied to the current dimension:
     * close the changed keys' open intervals, insert new open versions,
     * no-op value-equal rows. Same durability discipline as
-    * [[upsertSink]]: the result pins (localCheckpoint) BEFORE the
-    * overwrite of the table it read. At-least-once replay is absorbed
+    * [[upsertSink]] ([[AtomicPublish]] write-aside swap — no crash
+    * instant loses the dimension). At-least-once replay is absorbed
     * by ScdApply's value-equal no-op — a re-delivered batch finds every
     * change already current and leaves the dimension untouched
     * (StreamingIngestSpec). */
@@ -122,13 +125,11 @@ object StreamOps {
         val collapsed = graft.operators.Upsert(
           emptyDelta, batch.toDF(), Seq(key), from,
           tiebreak = Seq(col(value).desc))
-        val base =
-          if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
-          else emptyDelta
-            .withColumn(to, lit(null).cast("timestamp"))
-        graft.operators.ScdApply(base, collapsed, key, value, from, to)
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(tableDir)
+        val base = AtomicPublish.read(spark, tableDir).getOrElse(
+          emptyDelta.withColumn(to, lit(null).cast("timestamp")))
+        AtomicPublish.publish(
+          graft.operators.ScdApply(base, collapsed, key, value, from, to),
+          tableDir)
         ()
       }
 
@@ -144,30 +145,31 @@ object StreamOps {
     * every per-key contest, and a tombstone keeps a replayed older
     * insert from resurrecting a deleted key. Readers filter tombstones
     * ([[readCdcTable]]); tombstone retention is a compaction policy,
-    * not a correctness input. Result pinned (localCheckpoint) BEFORE
-    * overwriting the table it read — the [[upsertSink]] durability
-    * discipline. */
+    * not a correctness input. Durability is the [[upsertSink]]
+    * discipline — [[AtomicPublish]]'s write-aside swap. */
   def cdcSink(ops: DataFrame, tableDir: String, key: String, seq: String,
       op: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ops.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val base =
-          if (new java.io.File(tableDir).exists) spark.read.parquet(tableDir)
-          else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
-        graft.operators.CdcApply
-          .winners(base.unionByName(batch.toDF()), key, seq, op)
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(tableDir)
+        val base = AtomicPublish.read(spark, tableDir).getOrElse(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema))
+        AtomicPublish.publish(
+          graft.operators.CdcApply
+            .winners(base.unionByName(batch.toDF()), key, seq, op),
+          tableDir)
         ()
       }
 
-  /** Live (non-tombstone) rows of a [[cdcSink]]-maintained table. */
+  /** Live (non-tombstone) rows of a [[cdcSink]]-maintained table
+    * (healing an interrupted publish swap first). */
   def readCdcTable(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, op: String): DataFrame =
+      tableDir: String, op: String): DataFrame = {
+    AtomicPublish.heal(spark, tableDir)
     spark.read.parquet(tableDir).filter(col(op) =!= "D")
+  }
 
   /** Stream-stream INTERVAL join: purchases matched to same-user
     * signups within the preceding hour. One equi key (user_id) plus a
