@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * natural prose, making deflate_len/octet_length the cheap
   * repetition screen the Gopher/FineWeb curation rules apply before
   * any n-gram analysis. One static JVM-zlib call per row (level 6,
-  * zlib framing), embarrassingly parallel, no per-row allocation
-  * beyond the deflater's reused output buffer. Deterministic for a
+  * zlib framing), embarrassingly parallel; the deflater (native zlib
+  * stream) and output buffer are ThreadLocal and reset per row, so
+  * the only per-row allocation is the input's UTF-8 byte copy.
+  * Deterministic for a
   * given input on a given JVM's zlib — which is why the consuming
   * query is a declared no-oracle row (DuckDB carries no zlib UDF, and
   * cross-LIBRARY deflate output is not specified byte-stable); the
@@ -46,17 +48,28 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
 object DeflateLen {
 
+  // Native zlib stream init dominates the per-row cost if a Deflater
+  // is constructed per call (round-12 ADVICE) — Deflater is reusable
+  // via reset() but not thread-safe, so one per task thread. The
+  // thread-lifetime native handle is released by the JDK's cleaner.
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, false)
+  }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** Compressed size of the string's UTF-8 bytes (zlib level 6). */
   def compute(s: UTF8String): Int = {
-    val d = new java.util.zip.Deflater(6, false)
-    try {
-      d.setInput(s.getBytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = buffers.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   def apply(c: Column): Column = Bridge.column(DeflateLen(Bridge.expression(c)))

@@ -178,10 +178,22 @@ object Inference extends QueryPack {
         .withRunningSums(byV, Seq("r1" -> col("c1"), "r2" -> col("c2")), col("v"))
       val c = col("c1") + col("c2")
       val p = (col("r1") - col("c1")) + (col("r2") - col("c2"))
+      // each factor casts to decimal BEFORE multiplying (both engines):
+      // in Long arithmetic a single value tied across >2^21 rows wraps
+      // the cube silently in non-ANSI Spark while DuckDB raises —
+      // breaking z AND the cross-engine hash (round-12 ADVICE; the
+      // q_shuffle_shards overflow rule). Widths chosen so the products
+      // stay inside DECIMAL(38,0) up to ~10^12 rows: (13)+(14)+1 = 28
+      // for the rank product, 12·3 + 2 = 38 for the cube.
+      val d130 = org.apache.spark.sql.types.DecimalType(13, 0)
+      val d140 = org.apache.spark.sql.types.DecimalType(14, 0)
+      val d120 = org.apache.spark.sql.types.DecimalType(12, 0)
+      val c12 = c.cast(d120)
       val stats = run.agg(
         sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-        sum((col("c1") * (p * 2 + c + 1)).cast(d380)).as("rr1"),
-        sum((c * c * c - c).cast(d380)).as("ties"))
+        sum((col("c1").cast(d130) * (p * 2 + c + 1).cast(d140)).cast(d380))
+          .as("rr1"),
+        sum((c12 * c12 * c12 - c12).cast(d380)).as("ties"))
       val n1d = col("n1").cast("double")
       val n2d = col("n2").cast("double")
       val nd = n1d + n2d
@@ -717,10 +729,13 @@ object Inference extends QueryPack {
         |    AND CURRENT ROW)),
         |s AS (
         |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
-        |    CAST(SUM(CAST(c1 * (((r1 - c1) + (r2 - c2)) * 2
-        |      + (c1 + c2) + 1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rr1,
-        |    CAST(SUM(CAST((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)
-        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ties
+        |    CAST(SUM(CAST(c1 AS DECIMAL(13,0))
+        |      * CAST(((r1 - c1) + (r2 - c2)) * 2
+        |        + (c1 + c2) + 1 AS DECIMAL(14,0))) AS DECIMAL(38,0)) AS rr1,
+        |    CAST(SUM(CAST(c1 + c2 AS DECIMAL(12,0))
+        |      * CAST(c1 + c2 AS DECIMAL(12,0))
+        |      * CAST(c1 + c2 AS DECIMAL(12,0))
+        |      - CAST(c1 + c2 AS DECIMAL(12,0))) AS DECIMAL(38,0)) AS ties
         |  FROM r)
         |SELECT n1, n2,
         |  (CAST(rr1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
