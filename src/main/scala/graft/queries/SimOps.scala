@@ -636,6 +636,49 @@ object SimOps extends QueryPack {
       .foreach(d => Compaction.compact(spark, d, targetBytes): Unit)
   }
 
+  /** Recall-drift observability for a persisted [[saveAnnIndex]]
+    * index (round-13, VERDICT r12 item 7): score the index's SERVED
+    * top-k against exact brute force on a SAMPLED probe set — the
+    * periodic report whose recall floor is the retrain trigger the
+    * append path's scaladoc promises (appended vectors drift away
+    * from the frozen quantizers; this measures by how much, the
+    * q_dedup_lsh_eval precedent in embedding space). Returns one row:
+    * (n_probes, recall_at_k, min_recall, n_probes_below_half).
+    *
+    * Cost shape: the served side is [[knnJoinIndex]] (nprobe/k of the
+    * codes per probe); the exact side scores |probes| × corpus in ONE
+    * pass — probes broadcast, per-probe top-k as a probe-partitioned
+    * window (parallelism grows with the sample). The eval price is a
+    * corpus scan times the sample size, which is exactly why the
+    * probe set is a sample and the report is periodic, not per-query. */
+  def indexEval(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, m: Int, dim: Int, nprobe: Int, rerank: Int,
+      topK: Int): DataFrame = {
+    val p = probes.select(col("probe_id"), col("probe"))
+    val served = knnJoinIndex(spark, dir, p, m, dim, nprobe, rerank, topK)
+    val exact = spark.read.parquet(s"$dir/vectors")
+      .join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cos"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = served.select(col("probe_id"), col("vec_id"))
+      .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    p.select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .agg(count(lit(1)).as("n_probes"),
+        (sum(col("n_hit")).cast("double") /
+          (count(lit(1)) * topK).cast("double")).as("recall_at_k"),
+        (min(col("n_hit")).cast("double") / topK).as("min_recall"),
+        sum(when(col("n_hit") * 2 < topK, 1L).otherwise(0L))
+          .as("n_probes_below_half"))
+  }
+
   /** Farthest-point (Gonzalez k-center) coreset selection: start from
     * the min-id vector, then repeatedly add the point FARTHEST from
     * its nearest already-chosen center — the diversity-sampling pass a
@@ -678,12 +721,21 @@ object SimOps extends QueryPack {
       val far = st.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
         .collect().head
       picked += ((far.getLong(0), math.sqrt(far.getDouble(2))))
+      val prev = st
       st = st.filter(col("vec_id") =!= far.getLong(0))
         .withColumn("dmin",
           least(col("dmin"), sqDistTo(centerVec(far.getLong(0)))))
         .localCheckpoint()
+      // release the superseded iteration's pinned blocks once the new
+      // checkpoint has materialized (eager by default) — without this
+      // the loop holds k corpus-sized dmin frames in block-manager
+      // storage for the session's lifetime, a leak at the large k the
+      // scaladoc advertises (round-12 ADVICE; the LogReg Ckpt.release
+      // discipline)
+      prev.unpersist()
       i += 1
     }
+    st.unpersist()
     picked.toSeq
   }
 
@@ -1008,6 +1060,28 @@ object SimOps extends QueryPack {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
       knnJoinIndex(spark, dir, probes, m, dim,
         nprobe = 4, rerank = 50, topK = 5)
+    }),
+
+    // Recall-drift report for the persisted serving index (round 13):
+    // served top-5 vs exact brute force on a sampled probe set — see
+    // [[indexEval]]. No oracle (quantizers training-specific, the
+    // declared ann-family rule); IndexEvalSpec pins the report shape,
+    // a recall floor on the fixture, and the nprobe=k + corpus-rerank
+    // exactness bound (recall exactly 1).
+    "q_sim_index_eval" -> ((spark, sfDir) => {
+      val m = 4; val k = 16; val dim = 64
+      val dir = fixtureDir(sfDir, "ann_index_eval")
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      saveAnnIndex(emb, dir, m, k, dim)
+      val probes = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      indexEval(spark, dir, probes, m, dim, nprobe = 4, rerank = 50,
+        topK = 5)
+        .select(col("n_probes"),
+          round(col("recall_at_k"), 6).as("recall_at_k"),
+          round(col("min_recall"), 6).as("min_recall"),
+          col("n_probes_below_half"))
     })
   )
 

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimOps
+
+/** [[SimOps.indexEval]] — the recall-drift report that triggers ANN
+  * index retrains (round-13, VERDICT r12 item 7): report shape, a
+  * recall floor on the fixture, and the degenerate exactness bound
+  * (probe every cell + corpus-size rerank ⇒ the served answer IS
+  * brute force, so measured recall must be exactly 1 — the same bound
+  * SimilaritySpec proves for the search path itself). */
+class IndexEvalSpec extends SparkSuite {
+
+  private val m = 4; private val k = 16; private val dim = 64
+
+  test("registry report: one row, sane bounds, fixture recall floor") {
+    val rows = SparkEntry.queries("q_sim_index_eval")(spark, Sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val nProbes = r.getLong(0)
+    val recall = r.getDouble(1)
+    val minRecall = r.getDouble(2)
+    assert(nProbes > 0)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(minRecall >= 0.0 && minRecall <= recall + 1e-12,
+      "min recall cannot exceed the mean")
+    assert(r.getLong(3) <= nProbes)
+    // the served index at nprobe 4/16 must beat the family's
+    // established floor (SimilaritySpec's PQ recall precedent) — a
+    // collapse below this is exactly the drift the report exists to
+    // catch
+    assert(recall >= 0.2, s"fixture recall@5 $recall below floor")
+  }
+
+  test("exactness bound: nprobe = k with corpus-size rerank measures " +
+      "recall exactly 1 for every probe") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001/ann_index_eval_exact"
+    val emb = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+    SimOps.saveAnnIndex(emb, dir, m, k, dim)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val n = emb.count().toInt
+    val r = SimOps.indexEval(spark, dir, probes, m, dim,
+      nprobe = k, rerank = n, topK = 5).collect().head
+    assert(r.getDouble(1) === 1.0, s"mean recall ${r.getDouble(1)}")
+    assert(r.getDouble(2) === 1.0, s"min recall ${r.getDouble(2)}")
+    assert(r.getLong(3) === 0L)
+  }
+}
