@@ -698,24 +698,37 @@ object Curation extends QueryPack {
     // ShingleJoin (distinct by construction — within-doc repeats are
     // the other query's signal); the only row-scale shuffle is the
     // map-side-combinable (source, gram) count. At 100 TB the gram
-    // strings would hash to 64-bit before the shuffle (collisions
-    // only perturb the rate by ~2⁻⁶⁴·T); here they stay raw so the
-    // oracle hash-matches byte-for-byte.
-    "q_text_dupgrams" -> ((spark, sfDir) => {
-      val grams = Tables.documents(spark, sfDir)
-        .select(col("source"),
-          explode(graft.expressions.ShingleJoin(
-            split(col("text"), " "), 8, shortToUnigrams = false)).as("gram"))
-      grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("source"))
-        .agg(sum(col("c")).as("n_occurrences"),
-          count(lit(1)).as("n_distinct"))
-        .select(col("source"), col("n_occurrences"), col("n_distinct"),
-          ((col("n_occurrences") - col("n_distinct")).cast("double") /
-            col("n_occurrences").cast("double")).as("dup_rate"))
-        .orderBy(col("source"))
-    })
+    // strings hash to 64-bit before the shuffle (collisions only
+    // perturb the rate by ~2⁻⁶⁴·T) — dupgramRates(hashKeys = true),
+    // parity-proven by HashedGramKeySpec; the registered query keys on
+    // the raw strings so the oracle hash-matches byte-for-byte.
+    "q_text_dupgrams" -> ((spark, sfDir) =>
+      dupgramRates(Tables.documents(spark, sfDir)))
   )
+
+  /** Per-source inter-document 8-gram duplication rates (see the
+    * q_text_dupgrams registry comment). `hashKeys = true` is the
+    * production form: grams project to xxhash64 BEFORE the row-scale
+    * (source, gram) shuffle, so both aggregations exchange 8-byte
+    * keys instead of ~50-byte strings. */
+  def dupgramRates(docs: org.apache.spark.sql.DataFrame,
+      hashKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val gramStr = docs
+      .select(col("source"),
+        explode(graft.expressions.ShingleJoin(
+          split(col("text"), " "), 8, shortToUnigrams = false)).as("gram"))
+    val grams =
+      if (hashKeys) gramStr.select(col("source"), xxhash64(col("gram")).as("gram"))
+      else gramStr
+    grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_occurrences"), col("n_distinct"),
+        ((col("n_occurrences") - col("n_distinct")).cast("double") /
+          col("n_occurrences").cast("double")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
 
   /** Co-purchase edge list (p1 < p2, parts sharing ≥ 2 orders) — the
     * graph behind q_graph_triangles / q_graph_labelprop, shared by the

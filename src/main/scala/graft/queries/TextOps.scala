@@ -912,18 +912,28 @@ object TextOps extends QueryPack {
     * q_text_repetition's signal). Returns per doc (doc_id, n_windows,
     * n_repeated, repeat_ratio). Scale: windows shuffle once to count
     * distinct docs per window, once more to roll up per doc; the
-    * group key here is the window STRING so the DuckDB oracle runs the
-    * identical plan — a production corpus keys on xxhash64(window)
-    * (one-line swap) to shuffle 8-byte keys instead of ~50-byte
-    * strings. Docs shorter than k tokens have no windows and are
-    * absent by definition. */
-  def repeatedWindows(docs: DataFrame, k: Int): DataFrame = {
-    val wins = docs
+    * group key is the window STRING when `hashKeys = false` (the
+    * registered query's form, so the DuckDB oracle runs the identical
+    * plan) and xxhash64(window) when true — the production form, which
+    * shuffles 8-byte keys instead of ~50-byte strings; a collision
+    * only merges two windows' doc-counts (perturbing a ratio with
+    * probability ~2⁻⁶⁴ per distinct-window pair), and
+    * HashedGramKeySpec proves result parity on the fixture. Docs
+    * shorter than k tokens have no windows and are absent by
+    * definition. */
+  def repeatedWindows(docs: DataFrame, k: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    val winStrs = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
           i => array_join(slice(col("ws"), i, lit(k)), " "))).as("win"))
+    // the hash projects BEFORE either shuffle, so every exchange and
+    // both aggregations carry the 8-byte key
+    val wins =
+      if (hashKeys) winStrs.select(col("doc_id"), xxhash64(col("win")).as("win"))
+      else winStrs
     val rep = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
