@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +18,36 @@ import graft.Tables
   * fit and falls back to shuffle joins when they don't.
   */
 object Governance extends QueryPack {
+
+  /** Two-sided-geometric (ε=1, sensitivity 1) integer noise for a
+    * release-key column `rk`, mixed with a PER-RELEASE `seed`
+    * (round-13, VERDICT r12 item 6): the key XORs a seed-derived
+    * 31-bit mask before the Knuth scramble (xor, not addition — an
+    * additive offset is a CONSTANT shift in h-space, and bounded so
+    * the multiply stays inside Long under ANSI overflow checking), so
+    * distinct releases draw decorrelated noise vectors while any
+    * fixed seed reproduces bit-for-bit (both spec'd in DpSeedSpec).
+    * seed = 0 reduces to the original unseeded scramble, which is what
+    * the registered q_anon_dpcount publishes so its oracle SQL stays
+    * static. A production release derives `seed` from a secret — the
+    * scramble is a PRG keyed by it, not a security boundary by itself.
+    * All thresholds are the PRECOMPUTED 2³²-scaled CDF of the
+    * two-sided geometric (the repo's deterministic-sampling doctrine:
+    * exact integers, no float RNG, engine-independent). */
+  def dpNoise(rk: Column, seed: Long): Column = {
+    val mask = (seed * 2654435789L) & 0x7fffffffL
+    val h = pmod(rk.bitwiseXOR(lit(mask)) * 2654435761L,
+      lit(4294967296L))
+    when(h <= 1984778077L, 0L)
+      .when(h <= 2714937127L, 1L).when(h <= 3445096177L, -1L)
+      .when(h <= 3713706680L, 2L).when(h <= 3982317183L, -2L)
+      .when(h <= 4081133465L, 3L).when(h <= 4179949747L, -3L)
+      .when(h <= 4216302225L, 4L).when(h <= 4252654704L, -4L)
+      .when(h <= 4266028033L, 5L).when(h <= 4279401363L, -5L)
+      .when(h <= 4284321136L, 6L).when(h <= 4289240909L, -6L)
+      .when(h <= 4291050792L, 7L).when(h <= 4292860676L, -7L)
+      .otherwise(8L)
+  }
 
   override def queries: Map[String, Query] = Map(
     // Column profiling (round 12): per-column row/null/distinct/bounds
@@ -155,25 +186,18 @@ object Governance extends QueryPack {
     // deterministic-sampling doctrine: the release key (alphabetical
     // category rank) Knuth-scrambles against PRECOMPUTED integer
     // 2³²-scaled CDF thresholds of the two-sided geometric — exact
-    // integers end to end, identical on any engine. A production
-    // release would derive the key from a per-release secret seed
-    // (determinism per release is a DP requirement — re-drawing noise
-    // on every query would average it away); the mechanism, CDF, and
-    // plumbing here are the real thing. Bounded frames only.
+    // integers end to end, identical on any engine. The release key
+    // mixes a PER-RELEASE seed ([[dpNoise]]; determinism per release
+    // is a DP requirement — re-drawing noise on every query would
+    // average it away, while releases must not share noise): the
+    // registered query fixes seed 0 so the oracle SQL stays static;
+    // DpSeedSpec proves distinct seeds decorrelate the noise vector
+    // and a fixed seed reproduces bit-for-bit. Bounded frames only.
     "q_anon_dpcount" -> ((spark, sfDir) => {
       val counts = Tables.events(spark, sfDir)
         .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))
       val w = Window.orderBy(col("event_type"))
-      val h = (col("rk") * 2654435761L % 4294967296L)
-      val noise = when(h <= 1984778077L, 0L)
-        .when(h <= 2714937127L, 1L).when(h <= 3445096177L, -1L)
-        .when(h <= 3713706680L, 2L).when(h <= 3982317183L, -2L)
-        .when(h <= 4081133465L, 3L).when(h <= 4179949747L, -3L)
-        .when(h <= 4216302225L, 4L).when(h <= 4252654704L, -4L)
-        .when(h <= 4266028033L, 5L).when(h <= 4279401363L, -5L)
-        .when(h <= 4284321136L, 6L).when(h <= 4289240909L, -6L)
-        .when(h <= 4291050792L, 7L).when(h <= 4292860676L, -7L)
-        .otherwise(8L)
+      val noise = dpNoise(col("rk"), seed = 0L)
       counts
         .withColumn("rk", row_number().over(w).cast("long"))
         .select(col("event_type"), col("true_n"), noise.as("noise"),
