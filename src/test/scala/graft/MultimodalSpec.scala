@@ -89,6 +89,80 @@ class MultimodalSpec extends SparkSuite {
     assert(degraded.nonEmpty, "corrupt GIF should fall back, not vanish")
   }
 
+  test("AVI container (round 13): DIB streams decode to EXACT " +
+      "ground-truth pixels; MJPEG streams decode to exactly what their " +
+      "embedded JPEGs hold; corrupt AVIs degrade, never throw") {
+    val nFrames = 6
+    // ---- 'DIB ' (uncompressed, lossless): exact pixel equality
+    val dib = Multimodal.synthesizeAvi(spark, 8, nFrames, mjpeg = false)
+    dib.collect().foreach { r =>
+      assert(r.payload.take(4).map(_.toChar).mkString === "RIFF" &&
+        new String(r.payload, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          === "AVI ", s"media ${r.media_id} is not a RIFF/AVI container")
+    }
+    val dibFrames = Multimodal.frameSampleDecoded(dib, everyN = 2).collect()
+    assert(dibFrames.length === 8 * 3) // 6 frames sampled every 2nd
+    assert(dibFrames.forall(_.frame_idx % 2 == 0))
+    dibFrames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      assert(img.getWidth === 8 && img.getHeight === 8)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val gray = img.getRGB(x, y) & 0xff
+        val want = Multimodal.gifPixel(f.media_id, f.frame_idx, x, y)
+        assert(gray === want,
+          s"media ${f.media_id} frame ${f.frame_idx} pixel ($x,$y): " +
+            s"decoded $gray != synthesized $want")
+      }
+    }
+    // ---- 'MJPG': the container walk must hand each embedded JPEG to
+    // ImageIO verbatim — the pipeline's frame equals a local
+    // decode-of-encode of the same ground-truth frame EXACTLY (JPEG
+    // loss is the codec's, not the walk's)
+    val mj = Multimodal.synthesizeAvi(spark, 8, nFrames, mjpeg = true)
+    val mjFrames = Multimodal.frameSampleDecoded(mj, everyN = 2).collect()
+    assert(mjFrames.length === 8 * 3)
+    mjFrames.foreach { f =>
+      val got = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      val truth = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = Multimodal.gifPixel(f.media_id, f.frame_idx, x, y)
+        truth.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val jpg = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(truth, "jpg", jpg)
+      val expect = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg.toByteArray))
+      var sumErr = 0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        assert((got.getRGB(x, y) & 0xffffff) === (expect.getRGB(x, y) & 0xffffff),
+          s"media ${f.media_id} frame ${f.frame_idx} pixel ($x,$y) " +
+            "diverges from the embedded JPEG's own decode")
+        sumErr += math.abs((got.getRGB(x, y) & 0xff) -
+          Multimodal.gifPixel(f.media_id, f.frame_idx, x, y))
+      }
+      // and the lossy encode stays in the ground truth's ballpark
+      assert(sumErr / 64 <= 48,
+        s"media ${f.media_id} frame ${f.frame_idx} MAE ${sumErr / 64}")
+    }
+    // ---- corrupt containers degrade to the byte-block fallback
+    import spark.implicits._
+    val valid = dib.collect().head.payload
+    val corrupt = Seq(
+      Multimodal.MediaRecord(999998L, "video",
+        Multimodal.MediaMeta("avi-dib", 8, 8, 0, 2),
+        "RIFF".getBytes ++ Array[Byte](99, 0, 0, 0) ++ "AVI ".getBytes ++
+          Array.tabulate[Byte](64)(_.toByte)),
+      Multimodal.MediaRecord(999997L, "video",
+        Multimodal.MediaMeta("avi-dib", 8, 8, 0, 2),
+        valid.take(40))).toDS()
+    val degraded = Multimodal.frameSampleDecoded(corrupt, everyN = 1).collect()
+    assert(degraded.nonEmpty, "corrupt AVIs should fall back, not vanish")
+    assert(degraded.forall(_.frame.length <= Multimodal.FrameBytes))
+  }
+
   test("resizeMeta rewrites metadata without touching payloads") {
     val resized = Multimodal.resizeMeta(media.toDF(), 32, 32)
     assert(resized.select("meta.width").distinct().collect()
