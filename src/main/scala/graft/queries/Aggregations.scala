@@ -491,10 +491,102 @@ object Aggregations extends QueryPack {
           (((col("k") - 1).cast("double") * lit(4294967296.0) /
             col("theta").cast("double")) /
             col("true_distinct").cast("double")).as("err_ratio"))
+    }),
+
+    // KMV set ALGEBRA (round 13; Beyer et al., "On synopses for
+    // distinct-value estimation under multiset operations"): the
+    // reason KMV earns its place next to HLL is that two sketches
+    // built with the SAME hash compose — L = k smallest distinct
+    // hashes of K(A) ∪ K(B) is exactly the KMV sketch of A ∪ B, and
+    // the match fraction |L ∩ K(A) ∩ K(B)| / |L| estimates Jaccard,
+    // giving an intersection estimate with NO pass over A ∩ B.
+    // Fixture: A = returned lineitems' parts, B = accepted-return
+    // flag 'A' parts; both sketches are one bounded KmvAgg each
+    // (map-side mergeable, shuffle = k·partitions), every
+    // post-processing frame is k-row, and the whole estimate chain is
+    // order statistics — fully deterministic, hence ORACLE-CHECKED
+    // like q_sketch_kmv (the only sketch family where set algebra
+    // can be). Exact union/intersection run alongside for the
+    // self-reported ratios; a not-full buffer (kl < k) degenerates
+    // to the exact count, the standard KMV small-set branch.
+    "q_sketch_kmv_ops" -> ((spark, sfDir) => {
+      val k = 256
+      val li = Tables.lineitem(spark, sfDir)
+      def sketch(flag: String) = li
+        .filter(col("l_returnflag") === flag)
+        .select((col("l_partkey") * 2654435761L % 4294967296L).as("h"))
+        .agg(graft.operators.KmvAgg.udafColumn(k, col("h")).as("ks"))
+        .select(explode(col("ks")).as("h"))
+      val ka = sketch("R")
+      val kb = sketch("A")
+      val l = ka.unionAll(kb).distinct().orderBy(col("h")).limit(k)
+      val st = l.agg(count(lit(1)).as("kl"), max(col("h")).as("theta"))
+      val m = l.join(ka, Seq("h"), "left_semi")
+        .join(kb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val truth = li.filter(col("l_returnflag").isin("R", "A"))
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ra"),
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("rb"))
+        .agg(count(lit(1)).as("true_union"),
+          sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
+            .as("true_inter"))
+      val estUnion = when(col("kl") < k, col("kl").cast("double"))
+        .otherwise((col("kl") - 1).cast("double") * lit(4294967296.0) /
+          col("theta").cast("double"))
+      val jac = col("m").cast("double") / col("kl").cast("double")
+      st.crossJoin(broadcast(m)).crossJoin(broadcast(truth))
+        .select(col("kl"), col("theta"),
+          estUnion.as("est_union"),
+          jac.as("jaccard_est"),
+          (jac * estUnion).as("est_inter"),
+          col("true_union"), col("true_inter"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_sketch_kmv_ops" ->
+      """WITH ha AS (
+        |  SELECT h FROM (
+        |    SELECT DISTINCT l_partkey * 2654435761 % 4294967296 AS h
+        |    FROM lineitem WHERE l_returnflag = 'R') t
+        |  ORDER BY h LIMIT 256),
+        |hb AS (
+        |  SELECT h FROM (
+        |    SELECT DISTINCT l_partkey * 2654435761 % 4294967296 AS h
+        |    FROM lineitem WHERE l_returnflag = 'A') t
+        |  ORDER BY h LIMIT 256),
+        |l AS (
+        |  SELECT DISTINCT h FROM (
+        |    SELECT h FROM ha UNION ALL SELECT h FROM hb) t
+        |  ORDER BY h LIMIT 256),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS kl, MAX(h) AS theta
+        |       FROM l),
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM l
+        |  WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+        |tr AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS true_union,
+        |    CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS true_inter
+        |  FROM (
+        |    SELECT l_partkey,
+        |      MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ra,
+        |      MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS rb
+        |    FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |    GROUP BY 1) g)
+        |SELECT kl, theta,
+        |  CASE WHEN kl < 256 THEN CAST(kl AS DOUBLE)
+        |    ELSE CAST(kl - 1 AS DOUBLE) * 4294967296.0
+        |      / CAST(theta AS DOUBLE) END AS est_union,
+        |  CAST(m AS DOUBLE) / CAST(kl AS DOUBLE) AS jaccard_est,
+        |  (CAST(m AS DOUBLE) / CAST(kl AS DOUBLE))
+        |    * (CASE WHEN kl < 256 THEN CAST(kl AS DOUBLE)
+        |        ELSE CAST(kl - 1 AS DOUBLE) * 4294967296.0
+        |          / CAST(theta AS DOUBLE) END) AS est_inter,
+        |  true_union, true_inter
+        |FROM st, mm, tr""".stripMargin,
+
     "q_sketch_kmv" ->
       """WITH hashes AS (
         |  SELECT DISTINCT l_partkey * 2654435761 % 4294967296 AS h

@@ -703,8 +703,57 @@ object Curation extends QueryPack {
     // parity-proven by HashedGramKeySpec; the registered query keys on
     // the raw strings so the oracle hash-matches byte-for-byte.
     "q_text_dupgrams" -> ((spark, sfDir) =>
-      dupgramRates(Tables.documents(spark, sfDir)))
+      dupgramRates(Tables.documents(spark, sfDir))),
+
+    // k-CORE membership (round 13): the maximal subgraph where every
+    // node keeps degree ≥ k, by iterative peeling — the graph-family
+    // density filter (cores isolate the clusters worth mining;
+    // peripheral tendrils drop even when their nodes have high raw
+    // degree into the core). See [[kCore]]. No oracle (iterative
+    // fixpoint); KCoreSpec proves parity with a driver-side
+    // brute-force peel plus the degree-floor and subgraph invariants.
+    "q_graph_kcore" -> ((spark, sfDir) =>
+      kCore(coPurchaseEdges(spark, sfDir), 3))
   )
+
+  /** Iterative k-core peel over an undirected (p1, p2) edge list:
+    * each round computes degrees over the SURVIVING edges (node-pair-
+    * sized aggregates, never row-scale) and semi-joins away edges
+    * touching an under-k node, until a fixpoint. Each round's edge
+    * list pins via localCheckpoint and the predecessor releases
+    * (the coresetSelect discipline), so peak storage is two edge
+    * lists regardless of peel depth; rounds are bounded by the peel
+    * depth of the graph (the count() per round is the fixpoint test —
+    * one metadata-scale action on an already-materialized frame).
+    * Returns (node, core_degree) for the surviving nodes. */
+  def kCore(edges0: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
+    def und(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("p1").as("node"))
+        .unionAll(e.select(col("p2").as("node")))
+    var edges = edges0.localCheckpoint()
+    var n = edges.count()
+    var done = n == 0
+    while (!done) {
+      val keep = und(edges).groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+      val prev = edges
+      edges = edges
+        .join(keep.select(col("node").as("kn1")),
+          col("p1") === col("kn1"), "left_semi")
+        .join(keep.select(col("node").as("kn2")),
+          col("p2") === col("kn2"), "left_semi")
+        .localCheckpoint()
+      prev.unpersist()
+      val n2 = edges.count()
+      done = n2 == n
+      n = n2
+    }
+    und(edges).groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
 
   /** Per-source inter-document 8-gram duplication rates (see the
     * q_text_dupgrams registry comment). `hashKeys = true` is the

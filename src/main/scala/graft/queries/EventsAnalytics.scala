@@ -472,6 +472,41 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Theil–Sen robust trend (round 13): the MEDIAN of all pairwise
+    // day-slopes of the daily volume series per type — the
+    // outlier-immune trend estimator (Theil 1950 / Sen 1968) beside
+    // the OLS slope q_agg_linreg fits: one corrupted day drags OLS
+    // proportionally to its magnitude but moves a median-of-slopes by
+    // one rank (breakdown point ~29%). Scale: pairs form by self-join
+    // of the CALENDAR-bounded daily frame (≈ days²/2 per type —
+    // metadata-scale at any corpus size; only the daily rollup scans
+    // rows), and the median is the exact-discrete rank pick over a
+    // per-type window (bounded partitions) — no interpolation, so the
+    // chosen slope is one long/long division, identical on both
+    // engines.
+    "q_events_theilsen" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("d").as("d2"), col("c").as("c2"))
+      val pairs = daily
+        .join(b, col("event_type") === col("et2") && col("d") < col("d2"))
+        .select(col("event_type"), col("d"), col("d2"),
+          ((col("c2") - col("c")).cast("double") /
+            datediff(col("d2"), col("d")).cast("double")).as("slope"))
+      val byType = Window.partitionBy(col("event_type"))
+      pairs
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("slope"), col("d"), col("d2"))))
+        .withColumn("m", count(lit(1)).over(byType))
+        .filter(col("rn") ===
+          ceil(col("m").cast("double") / 2.0).cast("long"))
+        .select(col("event_type"), col("m").as("n_pairs"),
+          col("slope").as("theil_sen_slope"))
+        .orderBy(col("event_type"))
+    }),
+
     // Daily-volume autocorrelation (round 12): Pearson r of the daily
     // event-count series against itself at lags 1..7 — the weekly-
     // rhythm detector behind forecast-model selection (a strong lag-7
@@ -956,6 +991,27 @@ object EventsAnalytics extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
         |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
+    "q_events_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.d, b.d AS d2,
+        |    CAST(b.c - a.c AS DOUBLE)
+        |      / CAST(CAST(b.d - a.d AS BIGINT) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope, d, d2) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM pairs)
+        |SELECT event_type, m AS n_pairs, slope AS theil_sen_slope
+        |FROM r
+        |WHERE rn = CAST(CEIL(CAST(m AS DOUBLE) / 2.0) AS BIGINT)
+        |ORDER BY event_type""".stripMargin,
 
     "q_events_rolling_median" ->
       """WITH daily AS (

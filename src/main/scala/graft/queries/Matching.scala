@@ -52,16 +52,18 @@ object Matching extends QueryPack {
     * records that could BE this record under the declared noise
     * model, which is the blocking contract (Fellegi–Sunter blocking:
     * keys must be invariant under the corruption being resolved). */
-  def bestMatch(incoming: DataFrame, master: DataFrame,
-      confusion: Option[(String, String)] = None): DataFrame = {
-    val blockCond = confusion match {
+  private def blockCond(confusion: Option[(String, String)]) =
+    confusion match {
       case None => col("m_nk") === col("nk") && length(col("m_name")) === col("ln")
       case Some((corrupted, original)) =>
         col("m_nk") === col("nk") && length(col("m_name")) === col("ln") &&
           translate(col("m_name"), corrupted, original) ===
           translate(col("in_name"), corrupted, original)
     }
-    val cand = incoming.join(master, blockCond)
+
+  def bestMatch(incoming: DataFrame, master: DataFrame,
+      confusion: Option[(String, String)] = None): DataFrame = {
+    val cand = incoming.join(master, blockCond(confusion))
       .select(col("in_id"), col("m_id"),
         levenshtein(col("in_name"), col("m_name")).cast("long").as("dist"))
     val w = Window.partitionBy(col("in_id"))
@@ -69,6 +71,34 @@ object Matching extends QueryPack {
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("in_id"), col("m_id"), col("dist"))
+  }
+
+  /** Blocking-quality report (round 13) — the two numbers every
+    * blocking design is judged by (Fellegi–Sunter evaluation):
+    * PAIR COMPLETENESS (does each incoming record's true source make
+    * it into its candidate block? — here ground truth is in_id = m_id,
+    * the fixture's construction) and REDUCTION RATIO (what fraction
+    * of the |incoming| × |master| comparison space the blocking
+    * eliminates). Run BEFORE committing to a blocking key at 100 TB:
+    * completeness < 1 means the matcher cannot recover some sources
+    * no matter how good the scorer; a low reduction ratio means the
+    * block is a cross join in disguise. All-integer counts, two
+    * double divisions at the end. */
+  def blockingEval(incoming: DataFrame, master: DataFrame,
+      confusion: Option[(String, String)] = None): DataFrame = {
+    val stats = incoming.join(master, blockCond(confusion))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("in_id") === col("m_id"), 1L).otherwise(0L))
+          .as("n_true_found"))
+    val ni = incoming.agg(count(lit(1)).as("n_incoming"))
+    val nm = master.agg(count(lit(1)).as("n_master"))
+    stats.crossJoin(broadcast(ni)).crossJoin(broadcast(nm))
+      .select(col("n_incoming"), col("n_master"), col("n_candidates"),
+        (col("n_true_found").cast("double") /
+          col("n_incoming").cast("double")).as("pair_completeness"),
+        (lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_incoming").cast("double") * col("n_master").cast("double")))
+          .as("reduction_ratio"))
   }
 
   override def queries: Map[String, Query] = Map(
@@ -91,6 +121,19 @@ object Matching extends QueryPack {
         col("c_name").as("m_name"), col("c_nationkey").as("m_nk"))
       bestMatch(dirty, master, confusion = Some(("OIZE", "0123")))
         .orderBy(col("in_id"))
+    }),
+
+    // Blocking-quality report over the SAME dirty/master fixture and
+    // blocking keys as q_er_match — see [[blockingEval]].
+    "q_er_blocking_eval" -> ((spark, sfDir) => {
+      val cust = Tables.customer(spark, sfDir)
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("in_id"),
+          translate(col("c_name"), "0123", "OIZE").as("in_name"),
+          col("c_nationkey").as("nk"), length(col("c_name")).as("ln"))
+      val master = cust.select(col("c_custkey").as("m_id"),
+        col("c_name").as("m_name"), col("c_nationkey").as("m_nk"))
+      blockingEval(dirty, master, confusion = Some(("OIZE", "0123")))
     }),
 
     // Golden-record survivorship (round 12): AFTER matching links a
@@ -172,6 +215,33 @@ object Matching extends QueryPack {
         |  FROM cand)
         |SELECT in_id, m_id, dist FROM best WHERE rn = 1
         |ORDER BY in_id""".stripMargin,
+
+    "q_er_blocking_eval" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS in_id,
+        |    translate(c_name, '0123', 'OIZE') AS in_name,
+        |    c_nationkey AS nk, length(c_name) AS ln
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |cand AS (
+        |  SELECT d.in_id, c.c_custkey AS m_id
+        |  FROM dirty d JOIN customer c
+        |    ON c.c_nationkey = d.nk AND length(c.c_name) = d.ln
+        |    AND translate(c.c_name, 'OIZE', '0123')
+        |      = translate(d.in_name, 'OIZE', '0123')),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    CAST(SUM(CASE WHEN in_id = m_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_true_found
+        |  FROM cand),
+        |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming FROM dirty),
+        |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_master FROM customer)
+        |SELECT n_incoming, n_master, n_candidates,
+        |  CAST(n_true_found AS DOUBLE) / CAST(n_incoming AS DOUBLE)
+        |    AS pair_completeness,
+        |  1.0 - CAST(n_candidates AS DOUBLE)
+        |    / (CAST(n_incoming AS DOUBLE) * CAST(n_master AS DOUBLE))
+        |    AS reduction_ratio
+        |FROM s, ni, nm""".stripMargin,
 
     "q_er_survivorship" ->
       """WITH web AS (

@@ -190,6 +190,41 @@ object Windows extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // 2-D SKYLINE / Pareto-optimal frontier (round 13; Börzsönyi et
+    // al.'s skyline operator, ICDE 2001): the parts no other part
+    // dominates on (price ↓, demand ↑) — "cheaper AND at least as
+    // popular, or same price and strictly more popular". The naive
+    // plan is an all-pairs NOT EXISTS (quadratic nested loop); the
+    // scalable 2-D plan is algebraic: demand is one map-side-combined
+    // row-scale aggregate, then dominance reduces to per-price-cell
+    // maxima (groupBy cents) and ONE running max over the price
+    // DOMAIN — the cell frame is bounded by the distinct price grid
+    // (~120k cents values at any corpus size), so the global window
+    // is metadata-scale, not row-scale; survivors join back via a
+    // broadcast of the (tiny) frontier. Prices ride exact cents.
+    "q_skyline" -> ((spark, sfDir) => {
+      val demand = Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("long").as("demand"))
+      val pd = Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          (dec(col("p_retailprice")) * 100).cast("long").as("cents"))
+        .join(demand, col("p_partkey") === col("l_partkey"))
+        .select(col("p_partkey"), col("cents"), col("demand"))
+      val cells = pd.groupBy(col("cents")).agg(max(col("demand")).as("mx"))
+      val wLt = Window.orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val front = cells
+        .withColumn("mlt", max(col("mx")).over(wLt))
+        .filter(col("mlt").isNull || col("mlt") < col("mx"))
+        .select(col("cents").as("fc"), col("mx"))
+      pd.join(broadcast(front),
+          col("cents") === col("fc") && col("demand") === col("mx"))
+        .select(col("p_partkey"),
+          (col("cents").cast("double") / 100.0).as("price"), col("demand"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q_win_firstlast" -> ((spark, sfDir) => {
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(spark, sfDir)
@@ -316,6 +351,29 @@ object Windows extends QueryPack {
         |    PARTITION BY o_custkey ORDER BY o_orderkey
         |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_skyline" ->
+      """WITH demand AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS demand
+        |  FROM lineitem GROUP BY 1),
+        |pd AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    demand
+        |  FROM part JOIN demand ON l_partkey = p_partkey),
+        |cells AS (SELECT cents, MAX(demand) AS mx FROM pd GROUP BY 1),
+        |front AS (
+        |  SELECT cents, mx,
+        |    MAX(mx) OVER (ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+        |  FROM cells)
+        |SELECT p.p_partkey, CAST(p.cents AS DOUBLE) / 100.0 AS price,
+        |  p.demand
+        |FROM pd p JOIN front f ON p.cents = f.cents AND p.demand = f.mx
+        |WHERE f.mlt IS NULL OR f.mlt < f.mx
+        |ORDER BY p.p_partkey""".stripMargin,
 
     "q_pareto_share" ->
       """WITH o AS (

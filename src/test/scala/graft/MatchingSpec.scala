@@ -89,6 +89,23 @@ class MatchingSpec extends SparkSuite {
       s"${n - out.getLong(1)} of $n dirty records missed their source")
   }
 
+  test("blocking-quality report: completeness 1 on the fixture, " +
+      "near-total comparison-space reduction") {
+    val r = SparkEntry.queries("q_er_blocking_eval")(spark, Sf)
+      .collect() match {
+        case Array(row) => row
+        case other => fail(s"expected one report row, got ${other.length}")
+      }
+    val (nIn, nMaster, nCand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nIn > 0 && nMaster > nIn)
+    // every dirty record's true source must be inside its block —
+    // the property the confusion-normalized key exists to guarantee
+    assert(r.getDouble(3) === 1.0, s"pair completeness ${r.getDouble(3)}")
+    // and the block is a real cut of the |in|x|master| space
+    assert(nCand >= nIn)
+    assert(r.getDouble(4) > 0.99, s"reduction ratio ${r.getDouble(4)}")
+  }
+
   test("survivorship: field-wise priority wins with provenance, one golden row per key") {
     val golden = SparkEntry.queries("q_er_survivorship")(spark, Sf).collect()
     val master = Tables.customer(spark, Sf)

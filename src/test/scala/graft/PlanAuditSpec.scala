@@ -68,7 +68,16 @@ class PlanAuditSpec extends SparkSuite {
       "q_stats_permutation", "q_sample_neyman",
       // q_events_ttc: 1-row conversion-stats broadcast under the rate
       // close (same shape)
-      "q_events_ttc")
+      "q_events_ttc",
+      // q_sim_index_eval: the exact-recall side broadcasts the SAMPLED
+      // probe set against the vectors table by design (the declared
+      // eval price), plus 1-row report-aggregate joins;
+      // q_er_blocking_eval: two 1-row count aggregates cross-joined
+      // into the report row (q_dedup_lsh_eval shape)
+      "q_sim_index_eval", "q_er_blocking_eval",
+      // q_sketch_kmv_ops: three 1-row sketch/match/truth aggregates
+      // cross-joined into the report row (q_sketch_kmv shape)
+      "q_sketch_kmv_ops")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
