@@ -27,7 +27,12 @@ object Filters extends QueryPack {
           !(col("l_linestatus") === "O") &&
           col("l_linenumber").isin(1, 2, 3))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // ORDER BY every output column: the synthetic fixture carries
+        // duplicate (orderkey, linenumber) pairs, so the two-column
+        // sort was not a total order — engines tied differently at
+        // sf0.1 (round-13 cert caught two swapped rows)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
     }),
 
     "q_filter_like" -> ((spark, sfDir) => {
@@ -63,7 +68,8 @@ object Filters extends QueryPack {
         |  AND (l_discount >= 0.03 OR l_returnflag = 'R')
         |  AND NOT (l_linestatus = 'O')
         |  AND l_linenumber IN (1, 2, 3)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""
+        .stripMargin,
 
     "q_filter_like" ->
       """SELECT p_partkey, p_name, p_type, p_brand

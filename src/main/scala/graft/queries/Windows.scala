@@ -200,8 +200,10 @@ object Windows extends QueryPack {
     // maxima (groupBy cents) and ONE running max over the price
     // DOMAIN — the cell frame is bounded by the distinct price grid
     // (~120k cents values at any corpus size), so the global window
-    // is metadata-scale, not row-scale; survivors join back via a
-    // broadcast of the (tiny) frontier. Prices ride exact cents.
+    // is metadata-scale, not row-scale; the (tiny) frontier joins
+    // back UNHINTED — it derives from a grouped aggregate, so per the
+    // PlanAuditSpec doctrine AQE decides broadcast-vs-shuffle from
+    // its measured runtime size. Prices ride exact cents.
     "q_skyline" -> ((spark, sfDir) => {
       val demand = Tables.lineitem(spark, sfDir)
         .groupBy(col("l_partkey"))
@@ -218,7 +220,7 @@ object Windows extends QueryPack {
         .withColumn("mlt", max(col("mx")).over(wLt))
         .filter(col("mlt").isNull || col("mlt") < col("mx"))
         .select(col("cents").as("fc"), col("mx"))
-      pd.join(broadcast(front),
+      pd.join(front,
           col("cents") === col("fc") && col("demand") === col("mx"))
         .select(col("p_partkey"),
           (col("cents").cast("double") / 100.0).as("price"), col("demand"))
