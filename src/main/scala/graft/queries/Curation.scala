@@ -705,6 +705,16 @@ object Curation extends QueryPack {
     "q_text_dupgrams" -> ((spark, sfDir) =>
       dupgramRates(Tables.documents(spark, sfDir))),
 
+    // BFS hop distances (round 13): min-hop distance from the graph's
+    // min-id node to every node reachable within 8 hops — the
+    // reachability/radius primitive under "how far does influence
+    // propagate from X" questions, and the registry's first
+    // RECURSIVE-CTE-oracled iterative operator (DuckDB WITH RECURSIVE
+    // computes the same min-hop table, so unlike pagerank/labelprop
+    // this loop is hash-checked, not just spec'd). See [[bfsHops]].
+    "q_graph_bfs" -> ((spark, sfDir) =>
+      bfsHops(coPurchaseEdges(spark, sfDir), 8)),
+
     // k-CORE membership (round 13): the maximal subgraph where every
     // node keeps degree ≥ k, by iterative peeling — the graph-family
     // density filter (cores isolate the clusters worth mining;
@@ -715,6 +725,58 @@ object Curation extends QueryPack {
     "q_graph_kcore" -> ((spark, sfDir) =>
       kCore(coPurchaseEdges(spark, sfDir), 3))
   )
+
+  /** Frontier-expansion BFS over an undirected (p1, p2) edge list:
+    * min-hop distance from the MAX-DEGREE node (min id tiebreak —
+    * deterministic, and unlike the min-id node it stays a rich source
+    * as the co-purchase graph thins with SF), capped at `maxHop`.
+    * Returns (node, hop) including the source at hop 0; nodes beyond
+    * the cap (or disconnected) are absent — the oracle applies the
+    * identical cap, so the answer set matches exactly.
+    *
+    * Scale shape (the PageRank discipline): the adjacency list
+    * materializes ONCE, pre-partitioned on its join key, so every
+    * round's frontier-expansion join exchanges only the FRONTIER
+    * (hop-ring-sized) — the adjacency never reshuffles; visited/next
+    * frames pin via localCheckpoint with the predecessor released
+    * each round (coresetSelect discipline), so peak storage is one
+    * adjacency plus two node-sized frames at any depth. */
+  def bfsHops(edges0: org.apache.spark.sql.DataFrame, maxHop: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val und = edges0.select(col("p1").as("a"), col("p2").as("b"))
+      .unionAll(edges0.select(col("p2").as("a"), col("p1").as("b")))
+      .repartition(col("a"))
+      .localCheckpoint()
+    val srcRow = und.groupBy(col("a")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("a").asc).limit(1)
+      .collect().headOption
+    val src = srcRow match {
+      case None => return und.select(col("a").as("node"),
+        lit(0L).as("hop")).limit(0)
+      case Some(r) => r.getLong(0)
+    }
+    var visited = und.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 1
+    while (hop <= maxHop && !frontier.isEmpty) {
+      val next = frontier.select(col("node").as("f"))
+        .join(und, col("f") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node").as("v")),
+          col("node") === col("v"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("hop"))
+        .localCheckpoint()
+      val prevVisited = visited
+      visited = visited.unionAll(next).localCheckpoint()
+      prevVisited.unpersist()
+      if (!(frontier eq prevVisited)) frontier.unpersist()
+      frontier = next
+      hop += 1
+    }
+    visited.orderBy(col("node"))
+  }
 
   /** Iterative k-core peel over an undirected (p1, p2) edge list:
     * each round computes degrees over the SURVIVING edges (node-pair-
@@ -807,6 +869,29 @@ object Curation extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT p1 AS a, p2 AS b FROM e
+        |        UNION ALL SELECT p2, p1 FROM e),
+        |bfs(node, hop) AS (
+        |  SELECT (SELECT a FROM (
+        |      SELECT a, COUNT(*) AS c FROM und GROUP BY a) t
+        |    ORDER BY c DESC, a ASC LIMIT 1), 0
+        |  UNION
+        |  SELECT u.b, bfs.hop + 1
+        |  FROM bfs JOIN und u ON u.a = bfs.node
+        |  WHERE bfs.hop < 8),
+        |d AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node)
+        |SELECT node, CAST(hop AS BIGINT) AS hop FROM d
+        |WHERE node IS NOT NULL
+        |ORDER BY node""".stripMargin,
+
     "q_graph_degree" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
