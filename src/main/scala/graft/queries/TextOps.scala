@@ -946,6 +946,54 @@ object TextOps extends QueryPack {
         col("n_repeated").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** The REMOVAL half of exact-substring dedup (round 13):
+    * [[repeatedWindows]] reports which spans repeat across docs; this
+    * REBUILDS each document with every cross-doc-repeated k-token
+    * span deleted — the transformation Lee et al. actually apply to
+    * the training corpus (repeated spans are memorization fuel; the
+    * report alone doesn't clean anything). A token is removed iff ANY
+    * repeated window covers its position; survivors re-join in
+    * original order. Returns (doc_id, n_tokens, n_removed, cleaned).
+    *
+    * Scale: the (window → covered positions) explode multiplies rows
+    * by k, but every frame stays token-scale and every shuffle keys
+    * on (doc_id) or the window string (the [[repeatedWindows]] cost
+    * class; hashKeys applies the same way at 100 TB); reconstruction
+    * is one per-doc aggregate of (pos, token) structs — sorted
+    * in-plan (array_sort of collected structs), never a window sort
+    * over raw rows. */
+  def removeRepeatedWindows(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wp = toks.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("ws"), col("pos"), lit(k)), " ").as("win"))
+    val rep = wp.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("win"))
+    val covered = wp.join(rep, Seq("win"), "left_semi")
+      .select(col("doc_id").as("cd"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("tp"), col("col").as("tok"))
+      .join(covered,
+        col("doc_id") === col("cd") && col("tp") === col("cp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            s => s.getField("tok")), " ").as("cleaned"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, Query] = Map(
     // Exact-substring dedup at 8-token window granularity (round 12):
     // which spans of each doc also appear verbatim elsewhere in the
@@ -954,6 +1002,12 @@ object TextOps extends QueryPack {
       repeatedWindows(Tables.documents(spark, sfDir), 8)
         .orderBy(col("doc_id"))
     }),
+
+    // The removal half (round 13): documents REBUILT with every
+    // cross-doc-repeated 8-token span deleted — see
+    // [[removeRepeatedWindows]].
+    "q_dedup_substring_clean" -> ((spark, sfDir) =>
+      removeRepeatedWindows(Tables.documents(spark, sfDir), 8)),
 
     // Exact dedup on a normalized key (first 8 tokens — the fixture has
     // no full-text duplicates); deterministic survivor = min doc_id.
@@ -1916,6 +1970,37 @@ object TextOps extends QueryPack {
         |    / CAST(COUNT(*) AS DOUBLE) AS repeat_ratio
         |FROM wins w LEFT JOIN rep r ON w.win = r.win
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    "q_dedup_substring_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wp AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(ws, i, i + 7), ' ') AS win
+        |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |rep AS (
+        |  SELECT win FROM wp GROUP BY win
+        |  HAVING COUNT(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, c.cp
+        |  FROM wp w JOIN rep r ON w.win = r.win,
+        |    UNNEST(range(w.pos, w.pos + 8)) AS c(cp)),
+        |tk AS (
+        |  SELECT doc_id, tp, ws[tp] AS tok
+        |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(tp)),
+        |kept AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(t.tok ORDER BY t.tp), ' ') AS cleaned
+        |  FROM tk t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |    WHERE c.doc_id = t.doc_id AND c.cp = t.tp)
+        |  GROUP BY t.doc_id)
+        |SELECT x.doc_id, CAST(len(x.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(x.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.cleaned, '') AS cleaned
+        |FROM toks x LEFT JOIN kept k ON x.doc_id = k.doc_id
+        |ORDER BY x.doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_survivors FROM (

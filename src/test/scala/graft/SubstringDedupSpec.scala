@@ -57,6 +57,50 @@ class SubstringDedupSpec extends SparkSuite {
     assert(out === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("removal: exactly the covered positions vanish; short docs and " +
+      "within-doc repeats pass through untouched") {
+    val shared = "w x y z" // planted cross-doc 4-token run
+    val out = TextOps.removeRepeatedWindows(docs(
+      (1L, s"a b $shared c d"),
+      (2L, s"e f g $shared"),
+      (3L, "a b c"),                 // below k: no windows, untouched
+      (4L, "p q r s t p q r s t")), // within-doc repeat only: untouched
+      K)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((8L, 4L, "a b c d")))
+    assert(out(2L) === ((7L, 4L, "e f g")))
+    assert(out(3L) === ((3L, 0L, "a b c")))
+    assert(out(4L) === ((10L, 0L, "p q r s t p q r s t")))
+  }
+
+  test("removal: overlapping repeated windows delete the union of " +
+      "their spans, and a fully-repeated doc empties") {
+    val run = "r1 r2 r3 r4 r5" // L=5 shared run -> 2 overlapping windows
+    val out = TextOps.removeRepeatedWindows(docs(
+      (1L, s"a $run b"),
+      (2L, run)), K)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((7L, 5L, "a b")), "union of overlapping spans")
+    assert(out(2L) === ((5L, 5L, "")), "fully-repeated doc must empty")
+  }
+
+  test("removal conserves tokens: n_tokens - n_removed = cleaned length " +
+      "on the fixture, and removal only ever shrinks") {
+    val out = SparkEntry.queries("q_dedup_substring_clean")(spark, Sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, rm, cleaned) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val keptLen = if (cleaned.isEmpty) 0 else cleaned.split(" ").length
+      assert(n - rm === keptLen.toLong, s"doc ${r.getLong(0)} conservation")
+      assert(rm >= 0 && rm <= n)
+    }
+  }
+
   test("registry query returns sane ratios on the fixture") {
     val out = SparkEntry.queries("q_dedup_substring")(spark, Sf)
     val bad = out.filter(col("n_repeated") > col("n_windows") ||
