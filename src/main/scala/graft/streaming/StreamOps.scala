@@ -102,6 +102,31 @@ object StreamOps {
       }
 
 
+  /** [[upsertSink]] through [[graft.pipeline.VersionedTable]]: each
+    * micro-batch publishes the merged keep-latest state as a NEW
+    * version behind an atomic pointer — concurrent readers keep their
+    * resolved snapshot mid-scan while the stream advances (the swap
+    * sink's one remaining reader hazard), every applied batch is a
+    * time-travelable snapshot, and vacuum bounds retention. Same
+    * at-least-once idempotency story: a replayed batch re-merges to
+    * value-equal state (one redundant version, identical bytes — the
+    * version NUMBER is the only side effect of replay). */
+  def upsertSinkVersioned(updates: DataFrame, tableDir: String,
+      keys: Seq[String], versionCol: String,
+      tiebreak: Seq[org.apache.spark.sql.Column] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val base = graft.pipeline.VersionedTable.read(spark, tableDir)
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema))
+        graft.pipeline.VersionedTable.publish(
+          graft.operators.Upsert(base, batch.toDF(), keys, versionCol,
+            tiebreak),
+          tableDir): Unit
+      }
+
   /** foreachBatch SCD2 (type-2) dimension MAINTENANCE: the streaming
     * form of q_scd2_apply — each micro-batch of (key, value, eff_from)
     * changes is keep-latest PRE-COLLAPSED per key (ScdApply's enforced
