@@ -205,6 +205,65 @@ object Governance extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // t-CLOSENESS audit (round 13) — the third leg of the privacy
+    // trio: k-anonymity bounds cell SIZE, l-diversity bounds sensitive
+    // VARIETY, t-closeness bounds how far a cell's sensitive-value
+    // DISTRIBUTION drifts from the global one (an attacker who knows
+    // the QI cell learns at most t of distributional information —
+    // Li/Li/Venkatasubramanian). Per (event_type, day) QI cell: Earth
+    // Mover's Distance between the cell's and the corpus's value-
+    // bucket distributions over the ORDERED integer bucket domain
+    // [min_vb, max_vb] — EMD for ordered data = mean |cumulative
+    // difference|. Determinism: every cumulative term stays an exact
+    // integer cross-product (|cc·n_g − cg·n_c| in bounded decimals —
+    // the Mann-Whitney width rule), summed exactly; the only doubles
+    // are the final two divisions. Scale: one row-scale bucket
+    // aggregate; everything after is (cells × bucket-domain)-sized,
+    // with the bucket grid a broadcast of a 1-row min/max aggregate
+    // (the allowlisted BNLJ shape) and the cumsum windows partitioned
+    // per cell.
+    "q_anon_tcloseness" -> ((spark, sfDir) => {
+      val d130 = org.apache.spark.sql.types.DecimalType(13, 0)
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts").cast("date").as("d"),
+          floor(col("value") / 100).cast("long").as("vb"))
+      val dom = q.agg(min(col("vb")).as("lo"), max(col("vb")).as("hi"),
+        count(lit(1)).as("n_g"))
+      val buckets = dom.select(
+        explode(sequence(col("lo"), col("hi"))).as("vb"), col("n_g"))
+      val cc = q.groupBy(col("event_type"), col("d"), col("vb"))
+        .agg(count(lit(1)).as("c"))
+      val cells = cc.groupBy(col("event_type"), col("d"))
+        .agg(sum(col("c")).as("n_c"))
+      val gb = q.groupBy(col("vb")).agg(count(lit(1)).as("cg"))
+      val grid = cells.join(broadcast(buckets))
+        .join(cc, Seq("event_type", "d", "vb"), "left")
+        .join(gb.withColumnRenamed("vb", "gvb"),
+          col("vb") === col("gvb"), "left")
+        .select(col("event_type"), col("d"), col("vb"), col("n_c"),
+          col("n_g"), coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("cg"), lit(0L)).as("cg"))
+      val w = Window.partitionBy(col("event_type"), col("d"))
+        .orderBy(col("vb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val num = abs(
+        sum(col("c")).over(w).cast(d130) * col("n_g").cast(d130) -
+        sum(col("cg")).over(w).cast(d130) * col("n_c").cast(d130))
+      grid
+        .withColumn("num", num)
+        .groupBy(col("event_type"), col("d"), col("n_c"), col("n_g"))
+        .agg(sum(col("num").cast(d380)).as("sn"), count(lit(1)).as("m"))
+        .select(col("event_type"), col("d"), col("n_c").as("n_rows"),
+          col("m").as("m_buckets"),
+          when(col("m") > 1,
+            col("sn").cast("double") /
+              (col("n_c").cast("double") * col("n_g").cast("double")) /
+              (col("m") - 1).cast("double"))
+            .otherwise(lit(0.0)).as("emd_t"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
     // Retention-TTL audit (round 12): what a 14-day retention policy
     // would purge, per event type — row counts, payload bytes (the
     // props JSON is the weight), purge share, and the oldest retained
@@ -743,6 +802,51 @@ object Governance extends QueryPack {
         |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |  MIN(k) AS min_k
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_anon_tcloseness" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(FLOOR(value / 100) AS BIGINT) AS vb
+        |  FROM events),
+        |dom AS (SELECT MIN(vb) AS lo, MAX(vb) AS hi,
+        |        CAST(COUNT(*) AS BIGINT) AS n_g FROM q),
+        |buckets AS (
+        |  SELECT CAST(b AS BIGINT) AS vb, n_g
+        |  FROM dom, UNNEST(range(lo, hi + 1)) AS t(b)),
+        |cc AS (SELECT event_type, d, vb, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM q GROUP BY 1, 2, 3),
+        |cells AS (SELECT event_type, d, CAST(SUM(c) AS BIGINT) AS n_c
+        |          FROM cc GROUP BY 1, 2),
+        |gb AS (SELECT vb, CAST(COUNT(*) AS BIGINT) AS cg
+        |       FROM q GROUP BY 1),
+        |grid AS (
+        |  SELECT cl.event_type, cl.d, b.vb, cl.n_c, b.n_g,
+        |    COALESCE(cc.c, 0) AS c, COALESCE(gb.cg, 0) AS cg
+        |  FROM cells cl CROSS JOIN buckets b
+        |  LEFT JOIN cc ON cc.event_type = cl.event_type
+        |    AND cc.d = cl.d AND cc.vb = b.vb
+        |  LEFT JOIN gb ON gb.vb = b.vb),
+        |cum AS (
+        |  SELECT event_type, d, n_c, n_g,
+        |    ABS(CAST(SUM(c) OVER w AS DECIMAL(13,0))
+        |        * CAST(n_g AS DECIMAL(13,0))
+        |      - CAST(SUM(cg) OVER w AS DECIMAL(13,0))
+        |        * CAST(n_c AS DECIMAL(13,0))) AS num
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type, d ORDER BY vb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT event_type, d, n_c, n_g,
+        |    CAST(SUM(CAST(num AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sn,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM cum GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, d, n_c AS n_rows, m AS m_buckets,
+        |  CASE WHEN m > 1 THEN
+        |    CAST(sn AS DOUBLE)
+        |      / (CAST(n_c AS DOUBLE) * CAST(n_g AS DOUBLE))
+        |      / CAST(m - 1 AS DOUBLE)
+        |  ELSE 0.0 END AS emd_t
+        |FROM s ORDER BY event_type, d""".stripMargin,
 
     "q_table_diff" ->
       """WITH base AS (

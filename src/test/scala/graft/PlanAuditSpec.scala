@@ -77,7 +77,11 @@ class PlanAuditSpec extends SparkSuite {
       "q_sim_index_eval", "q_er_blocking_eval",
       // q_sketch_kmv_ops: three 1-row sketch/match/truth aggregates
       // cross-joined into the report row (q_sketch_kmv shape)
-      "q_sketch_kmv_ops")
+      "q_sketch_kmv_ops",
+      // q_anon_tcloseness: the cells × bucket-grid join, where the
+      // grid broadcasts from a 1-row min/max domain aggregate
+      // (bounded by the value domain, not the corpus)
+      "q_anon_tcloseness")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
