@@ -493,6 +493,30 @@ object Aggregations extends QueryPack {
             col("true_distinct").cast("double")).as("err_ratio"))
     }),
 
+    // Misra-Gries heavy hitters (round 13): the ≤ 64-entry mergeable
+    // counter summary over document tokens — "what are the hot
+    // tokens" WITHOUT a vocabulary-sized shuffle (partials map-side-
+    // combine; the exchange carries ≤ k rows per partition). Exact
+    // counts join alongside for the self-reported undercount (the
+    // q_sketch_kmv / q_dedup_lsh_eval report pattern); the guarantee
+    // — est ≤ exact ≤ est + n/(k+1), every >n/(k+1) item PRESENT —
+    // is asserted under multiple partitionings in HeavyHitterSpec.
+    // Declared no-oracle: counts are merge-order dependent; only the
+    // guarantees are deterministic.
+    "q_text_heavy_hitters" -> ((spark, sfDir) => {
+      val toks = graft.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val summary = toks
+        .agg(graft.operators.MgAgg.udafColumn(64, col("tok")).as("mg"))
+        .select(explode(col("mg")).as(Seq("token", "est")))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      summary.join(exact, col("token") === col("tok"))
+        .select(col("token"), col("est"), col("exact"),
+          (col("exact") - col("est")).as("undercount"))
+        .orderBy(col("exact").desc, col("token"))
+        .limit(20)
+    }),
+
     // KMV set ALGEBRA (round 13; Beyer et al., "On synopses for
     // distinct-value estimation under multiset operations"): the
     // reason KMV earns its place next to HLL is that two sketches
