@@ -846,6 +846,20 @@ object EventsAnalytics extends QueryPack {
                 * (1.0 / n_a + 1.0 / n_b)) end""").as("z"))
     }),
 
+    // Markov REMOVAL-EFFECT attribution (round 13): q_events_markov
+    // estimates the chain, q_events_attribution splits credit by
+    // position rules — this is the model-based split (Anderl et al.):
+    // each channel's credit is how much the corpus-level conversion
+    // probability DROPS when that channel's incoming traffic is
+    // redirected to the null absorber. See [[markovAttribution]].
+    // No oracle (absorption probabilities come from a driver-side
+    // fixed-point on the collected bounded transition matrix — state
+    // space = event types + START/NULL, the LogReg-weights class of
+    // driver state); MarkovAttributionSpec hand-computes a planted
+    // chain and pins the registry invariants.
+    "q_events_attribution_markov" -> ((spark, sfDir) =>
+      markovAttribution(Tables.events(spark, sfDir), "purchase")),
+
     // Event-type transition matrix (first-order Markov estimate) — the
     // sequence-modeling prep a behavior model trains on: per-user
     // time-ordered lag pairs, counted per (prev → next), row-normalized
@@ -870,6 +884,92 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("prev"), col("next"))
     })
   )
+
+  /** Markov removal-effect attribution. Per user, the time-ordered
+    * event sequence TRUNCATED at its first `convType` event defines an
+    * absorbing first-order chain — START enters the first event, the
+    * first conversion absorbs, a sequence that ends unconverted falls
+    * into the NULL absorber. A channel's removal effect is
+    * 1 − P(conv | channel's incoming edges redirected to NULL) /
+    * P(conv), and credit shares normalize the effects (Anderl et al.,
+    * "Mapping the customer journey", 2016 — the data-driven
+    * alternative to positional rules).
+    *
+    * Scale: ONE user-windowed pass builds transition counts; the
+    * collected matrix is (event types + 2)² — hyperparameter-bounded
+    * driver state (the LogReg/PQ-codebook class), and the fixed-point
+    * (200 synchronous sweeps, far past convergence for any stochastic
+    * matrix) plus the per-channel removals are O(channels · states²)
+    * driver arithmetic on that bounded table. Deterministic: fixed
+    * iteration count, one summation order. */
+  def markovAttribution(events: org.apache.spark.sql.DataFrame,
+      convType: String): org.apache.spark.sql.DataFrame = {
+    val Start = "__START__"
+    val Null = "__NULL__"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val evs = events.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"))
+    val convCut = evs.filter(col("event_type") === convType)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("cut"))
+    val kept = evs.join(convCut, Seq("user_id"), "left")
+      .filter(col("cut").isNull ||
+        struct(col("ts"), col("event_id")) <= col("cut"))
+    val steps = kept
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .select(coalesce(col("prev"), lit(Start)).as("prev"),
+        col("event_type").as("next"))
+    val terminals = kept.filter(col("cut").isNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("m"))
+      .select(col("m.event_type").as("prev"), lit(Null).as("next"))
+    val counts = steps.unionAll(terminals)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    def pConv(removed: Option[String]): Double = {
+      val t = counts.map { case ((s, d), n) =>
+        (s, if (removed.contains(d)) Null else d) -> n
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+      val outTotals = t.groupBy(_._1._1).map { case (s, vs) =>
+        s -> vs.values.sum.toDouble
+      }
+      val states = t.keysIterator.map(_._1).toSeq.distinct.sorted
+      var p: Map[String, Double] = Map(convType -> 1.0)
+      var i = 0
+      while (i < 200) {
+        val prev = p
+        p = states.filterNot(_ == convType).map { s =>
+          s -> t.iterator.collect { case ((`s`, d), n) =>
+            n / outTotals(s) * prev.getOrElse(d, 0.0)
+          }.sum
+        }.toMap + (convType -> 1.0)
+        i += 1
+      }
+      p.getOrElse(Start, 0.0)
+    }
+
+    val base = pConv(None)
+    val channels = counts.keysIterator.flatMap { case (s, d) => Seq(s, d) }
+      .filterNot(Set(Start, Null, convType)).toSeq.distinct.sorted
+    val rows = channels.map { c =>
+      val removed = pConv(Some(c))
+      val effect =
+        if (base <= 0.0) 0.0 else math.max(0.0, 1.0 - removed / base)
+      (c, base, removed, effect)
+    }
+    val totalEffect = rows.map(_._4).sum
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.map { case (c, b, r, e) =>
+      (c, b, r, e, if (totalEffect > 0) e / totalEffect else 0.0)
+    }.toDF("channel", "p_conv", "p_conv_without", "removal_effect",
+      "credit_share")
+      .orderBy(col("channel"))
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_events_funnel" ->
