@@ -217,6 +217,53 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Holt-WINTERS additive-seasonal smoothing (round 13): the triple
+    // of the family — q_events_ewma (level), q_events_holt
+    // (level+trend), and now level+trend+period-7 SEASONALS over the
+    // per-type daily series, the form that actually forecasts a
+    // weekly-rhythmed metric (q_events_autocorr detects the rhythm;
+    // this models it). State is a 9-element array [l, b, s1..s7]
+    // with the seasonal vector ROTATED each step (update s1, move it
+    // to the back) so slot 3 always holds the CURRENT step's season,
+    // and the same cross-engine determinism contract as Holt: first-
+    // element init ([x1, 0, 0×7] — DuckDB list_reduce's implicit-init
+    // form via a per-element transform), zero-seasonal start, and
+    // every l' recomputed INLINE on both engines so the IEEE ops run
+    // in one order. Per-type daily frames are calendar-bounded.
+    "q_events_holtwinters" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          transform(sort_array(collect_list(struct(col("d"), col("c")))),
+            s => s.getField("c")).as("vals"))
+      val lvl: (Column, Column) => Column = (acc, x) =>
+        lit(0.3) * (x - element_at(acc, 3)) +
+          lit(0.7) * (element_at(acc, 1) + element_at(acc, 2))
+      val zeros = (1 to 7).map(_ => lit(0.0))
+      val st = aggregate(
+        slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+        array(element_at(col("vals"), 1) +: lit(0.0) +: zeros: _*),
+        (acc, x) => concat(
+          array(
+            lvl(acc, x),
+            lit(0.1) * (lvl(acc, x) - element_at(acc, 1)) +
+              lit(0.9) * element_at(acc, 2)),
+          slice(acc, 4, 6),
+          array(lit(0.2) * (x - lvl(acc, x)) +
+            lit(0.8) * element_at(acc, 3))))
+      daily
+        .select(col("event_type"), col("n_days"), st.as("st"))
+        .select(col("event_type"), col("n_days"),
+          element_at(col("st"), 1).as("level"),
+          element_at(col("st"), 2).as("trend"),
+          element_at(col("st"), 3).as("s_next"),
+          (element_at(col("st"), 1) + element_at(col("st"), 2) +
+            element_at(col("st"), 3)).as("forecast"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-weighted average value per user (round 12): each event's
     // value weighted by how long it remained current (lead(ts) closes
     // the interval; the open last interval is excluded) — the
@@ -1310,6 +1357,33 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events, st[1] AS cusum_final,
         |  CAST(st[2] AS BIGINT) AS n_alarm
         |FROM f ORDER BY user_id""".stripMargin,
+
+    "q_events_holtwinters" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    list(c ORDER BY d) AS vals
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_transform(vals,
+        |        x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        |      (acc, x) -> [
+        |        0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+        |        0.1 * ((0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]))
+        |          - acc[1]) + 0.9 * acc[2]
+        |      ] || acc[4:9] || [
+        |        0.2 * (x[1] - (0.3 * (x[1] - acc[3])
+        |          + 0.7 * (acc[1] + acc[2]))) + 0.8 * acc[3]
+        |      ]) AS st
+        |  FROM o)
+        |SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+        |  st[3] AS s_next, st[1] + st[2] + st[3] AS forecast
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q_events_holt" ->
       """WITH o AS (
