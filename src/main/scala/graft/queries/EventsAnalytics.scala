@@ -264,6 +264,117 @@ object EventsAnalytics extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // CROSTON intermittent-demand forecast (round 13): the smoothing
+    // family member for SPARSE series — ewma/holt/holtwinters all
+    // assume a dense signal, but a slow-moving metric (spare parts,
+    // long-tail SKUs, rare event types) is mostly zeros, where naive
+    // smoothing decays toward 0 between demands. Croston (1972)
+    // smooths two streams instead: demand SIZE over active days only,
+    // and the INTER-ARRIVAL interval between them; the rate forecast
+    // is size/interval. Structure falls out of the daily rollup for
+    // free (absent days ARE the gaps). Same fold contract as Holt:
+    // per-type calendar-bounded list, element-array implicit init
+    // ([c1, 1.0, day1]), no shared intermediates to inline.
+    "q_events_croston" -> ((spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), to_date(lit("1970-01-01")))
+            .cast("double").as("day"), col("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_active_days"),
+          transform(sort_array(collect_list(struct(col("day"), col("c")))),
+            s => array(s.getField("c"), lit(1.0), s.getField("day")))
+            .as("vals"))
+      val st = aggregate(
+        slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+        element_at(col("vals"), 1),
+        (acc, x) => array(
+          lit(0.2) * element_at(x, 1) + lit(0.8) * element_at(acc, 1),
+          lit(0.2) * (element_at(x, 3) - element_at(acc, 3)) +
+            lit(0.8) * element_at(acc, 2),
+          element_at(x, 3)))
+      daily
+        .select(col("event_type"), col("n_active_days"), st.as("st"))
+        .select(col("event_type"), col("n_active_days"),
+          element_at(col("st"), 1).as("demand_size"),
+          element_at(col("st"), 2).as("demand_interval"),
+          (element_at(col("st"), 1) / element_at(col("st"), 2))
+            .as("rate_forecast"))
+        .orderBy(col("event_type"))
+    }),
+
+    // INTERRUPTED time series / segmented regression (round 13): the
+    // causal-inference member WITHOUT a control group — q_events_did
+    // needs a parallel control; when an intervention hits everything
+    // (price change, policy, outage), the estimate is the LEVEL and
+    // SLOPE discontinuity of the series at the pivot: one OLS per
+    // segment, report b_post − b_pre and the fitted-value gap at the
+    // pivot day. Pivot = midpoint of the observed range (deterministic
+    // from data; a real analysis passes the intervention date).
+    // Determinism: the five sufficient statistics per (type, segment)
+    // are EXACT decimal integer sums folded in one conditional-
+    // aggregate pass; the closes convert those exactly-representable
+    // integers (< 2^53 at any bounded calendar) to doubles and run ONE
+    // fixed arithmetic chain per coefficient — identical IEEE on both
+    // engines (the q_agg_linreg discipline). Calendar-bounded frames
+    // after the daily rollup; the 1-row pivot broadcast is the
+    // allowlisted shape.
+    "q_events_its" -> ((spark, sfDir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d60 = org.apache.spark.sql.types.DecimalType(6, 0)
+      val d140 = org.apache.spark.sql.types.DecimalType(14, 0)
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val piv = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(col("lo"),
+          (datediff(col("hi"), col("lo")) / 2).cast("long").as("tp"))
+      val base = daily.crossJoin(broadcast(piv))
+        .select(col("event_type"),
+          datediff(col("d"), col("lo")).cast("long").as("t"),
+          col("c"), col("tp"))
+      val stats = base.groupBy(col("event_type"), col("tp"))
+        .agg(
+          sum(when(col("t") < col("tp"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t") < col("tp"), col("t")).otherwise(0L)).as("st1"),
+          sum(when(col("t") < col("tp"), col("c")).otherwise(0L)).as("sy1"),
+          sum(when(col("t") < col("tp"),
+            col("t").cast(d60) * col("c").cast(d140))
+            .otherwise(lit(0).cast(d380))).as("sty1"),
+          sum(when(col("t") < col("tp"),
+            col("t").cast(d60) * col("t").cast(d60))
+            .otherwise(lit(0).cast(d380))).as("stt1"),
+          sum(when(col("t") >= col("tp"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("t") >= col("tp"), col("t")).otherwise(0L)).as("st2"),
+          sum(when(col("t") >= col("tp"), col("c")).otherwise(0L)).as("sy2"),
+          sum(when(col("t") >= col("tp"),
+            col("t").cast(d60) * col("c").cast(d140))
+            .otherwise(lit(0).cast(d380))).as("sty2"),
+          sum(when(col("t") >= col("tp"),
+            col("t").cast(d60) * col("t").cast(d60))
+            .otherwise(lit(0).cast(d380))).as("stt2"))
+      def dd(c: String): Column = col(c).cast("double")
+      def slope(n: String, st: String, sy: String, sty: String,
+          stt: String): Column =
+        (dd(n) * dd(sty) - dd(st) * dd(sy)) /
+          (dd(n) * dd(stt) - dd(st) * dd(st))
+      def icept(n: String, st: String, sy: String, b: Column): Column =
+        (dd(sy) - b * dd(st)) / dd(n)
+      val b1 = slope("n1", "st1", "sy1", "sty1", "stt1")
+      val b2 = slope("n2", "st2", "sy2", "sty2", "stt2")
+      val a1 = icept("n1", "st1", "sy1", b1)
+      val a2 = icept("n2", "st2", "sy2", b2)
+      stats.select(col("event_type"),
+          col("n1").as("n_pre"), col("n2").as("n_post"),
+          b1.as("slope_pre"), b2.as("slope_post"),
+          (b2 - b1).as("slope_change"),
+          ((a2 + b2 * dd("tp")) - (a1 + b1 * dd("tp")))
+            .as("level_change_at_pivot"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-weighted average value per user (round 12): each event's
     // value weighted by how long it remained current (lead(ts) closes
     // the interval; the open last interval is excluded) — the
@@ -1357,6 +1468,102 @@ object EventsAnalytics extends QueryPack {
         |SELECT user_id, n_events, st[1] AS cusum_final,
         |  CAST(st[2] AS BIGINT) AS n_alarm
         |FROM f ORDER BY user_id""".stripMargin,
+
+    "q_events_its" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT MIN(d) AS lo,
+        |    CAST(MAX(d) - MIN(d) AS BIGINT) // 2 AS tp
+        |  FROM daily),
+        |base AS (
+        |  SELECT event_type, CAST(d - lo AS BIGINT) AS t, c, tp
+        |  FROM daily, piv),
+        |s AS (
+        |  SELECT event_type, tp,
+        |    CAST(SUM(CASE WHEN t < tp THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t < tp THEN t ELSE 0 END) AS BIGINT) AS st1,
+        |    CAST(SUM(CASE WHEN t < tp THEN c ELSE 0 END) AS BIGINT) AS sy1,
+        |    CAST(SUM(CASE WHEN t < tp THEN CAST(t AS DECIMAL(6,0))
+        |      * CAST(c AS DECIMAL(14,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+        |      AS DECIMAL(38,0)) AS sty1,
+        |    CAST(SUM(CASE WHEN t < tp THEN CAST(t AS DECIMAL(6,0))
+        |      * CAST(t AS DECIMAL(6,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+        |      AS DECIMAL(38,0)) AS stt1,
+        |    CAST(SUM(CASE WHEN t >= tp THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN t >= tp THEN t ELSE 0 END) AS BIGINT) AS st2,
+        |    CAST(SUM(CASE WHEN t >= tp THEN c ELSE 0 END) AS BIGINT) AS sy2,
+        |    CAST(SUM(CASE WHEN t >= tp THEN CAST(t AS DECIMAL(6,0))
+        |      * CAST(c AS DECIMAL(14,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+        |      AS DECIMAL(38,0)) AS sty2,
+        |    CAST(SUM(CASE WHEN t >= tp THEN CAST(t AS DECIMAL(6,0))
+        |      * CAST(t AS DECIMAL(6,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+        |      AS DECIMAL(38,0)) AS stt2
+        |  FROM base GROUP BY 1, 2)
+        |SELECT event_type, n1 AS n_pre, n2 AS n_post,
+        |  (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+        |     - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+        |   / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+        |     - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) AS slope_pre,
+        |  (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+        |     - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+        |   / (CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+        |     - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE)) AS slope_post,
+        |  (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+        |     - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+        |   / (CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+        |     - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE))
+        |  - (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+        |     - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+        |   / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+        |     - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) AS slope_change,
+        |  ((CAST(sy2 AS DOUBLE)
+        |      - (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+        |         - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+        |        / (CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+        |         - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE))
+        |        * CAST(st2 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+        |    + (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+        |       - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+        |       - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE))
+        |      * CAST(tp AS DOUBLE))
+        |  - ((CAST(sy1 AS DOUBLE)
+        |      - (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+        |         - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+        |         - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE))
+        |        * CAST(st1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        |    + (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+        |       - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+        |       - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE))
+        |      * CAST(tp AS DOUBLE)) AS level_change_at_pivot
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_events_croston" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_active_days,
+        |    list([c, 1.0, CAST(d - DATE '1970-01-01' AS DOUBLE)]
+        |      ORDER BY d) AS vals
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_active_days,
+        |    list_reduce(vals,
+        |      (acc, x) -> [
+        |        0.2 * x[1] + 0.8 * acc[1],
+        |        0.2 * (x[3] - acc[3]) + 0.8 * acc[2],
+        |        x[3]]) AS st
+        |  FROM o)
+        |SELECT event_type, n_active_days,
+        |  st[1] AS demand_size, st[2] AS demand_interval,
+        |  st[1] / st[2] AS rate_forecast
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q_events_holtwinters" ->
       """WITH daily AS (
