@@ -35,7 +35,14 @@ object Bench {
     // drift series), which made round-over-round isolated diffs flag
     // phantom regressions; benchguard divides each isolated diff by
     // the calib ratio before applying the +30% gate, so only genuine
-    // plan changes flag. One discarded JIT run, then min of two.
+    // plan changes flag. One discarded JIT run, then the MEDIAN of
+    // five (round 13: min-of-two once caught an outlier-FAST sample —
+    // 0.091 s on a box whose steady probe reads 0.13-0.17 s — which
+    // deflated the divisor and inflated every normalized diff 1.8×,
+    // manufacturing flags on queries whose raw costs were BELOW the
+    // prior; the median absorbs single-sample outliers in BOTH
+    // directions, while the min across the two bench ENDS below still
+    // protects against a sustained-slow end).
     def calibrate(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -43,7 +50,8 @@ object Bench {
           .selectExpr("sum(id * 2654435761 % 1000)").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      once(); math.min(once(), once())
+      once()
+      Seq.fill(5)(once()).sorted.apply(2)
     }
     // SECOND calibration probe (round-13, VERDICT r12 item 1): a
     // MANY-SHORT-STAGE job — 12 sequential tiny shuffle aggregates —
@@ -56,7 +64,7 @@ object Bench {
     // round-12 drift notes). benchguard normalizes its declared
     // iterative-class queries by THIS probe's ratio when both
     // artifacts carry it. Same discipline as calibrate(): one
-    // discarded JIT run, then min of two.
+    // discarded JIT run, then the median of three.
     def calibrate2(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -70,7 +78,8 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      once(); math.min(once(), once())
+      once()
+      Seq.fill(3)(once()).sorted.apply(1)
     }
     val calibStart = calibrate()
     val calib2Start = calibrate2()
