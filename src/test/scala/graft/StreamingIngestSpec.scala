@@ -258,8 +258,42 @@ class StreamingIngestSpec extends SparkSuite {
       mem.addData(Up(4, 2, "d2"))
       q4.processAllAvailable()
     } finally q4.stop()
-    assert(table() == v4 + (4L -> ((2L, "d2"))),
+    val v5 = v4 + (4L -> ((2L, "d2")))
+    assert(table() == v5,
       "post-heal batch must merge onto the healed state")
+
+    // WINDOW D (round-13 ADVICE, medium) — crash MIDWAY through the
+    // recursive delete of the live directory: the marker is gone but a
+    // PARTIAL remnant of the old table still exists on disk (directory
+    // delete is not atomic). Validity is the _SUCCESS marker, so the
+    // remnant must be discarded and the complete tmp adopted — the old
+    // existence-gated heal served the partial state as live and the
+    // replayed merge then committed the corruption.
+    val nextD = graft.operators.Upsert(spark.read.parquet(dir),
+      Seq(Up(5, 1, "e")).toDF(), Seq("k"), "ver")
+        .localCheckpoint() // pin: the source files are mutilated next
+    nextD.write.mode("overwrite").parquet(tmp.toString)
+    assert(fs.delete(new Path(dir, "_SUCCESS"), false),
+      "window D: marker invalidated first")
+    val dataFiles = fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+    assert(dataFiles.nonEmpty)
+    // delete SOME data files, keep others: the mid-delete remnant
+    dataFiles.take(math.max(1, dataFiles.size / 2))
+      .foreach(f => assert(fs.delete(f.getPath, false)))
+    assert(fs.exists(new Path(dir)), "window D needs a partial remnant")
+    val v6 = v5 + (5L -> ((1L, "e")))
+    assert(AtomicPublish.read(spark, dir).get.as[Up].collect()
+      .map(u => u.k -> ((u.ver, u.v))).toMap == v6,
+      "read must discard the partial remnant and adopt the complete tmp")
+    assert(fs.exists(new Path(dir, "_SUCCESS")) && !fs.exists(tmp))
+    val q5 = start()
+    try {
+      mem.addData(Up(5, 2, "e2"))
+      q5.processAllAvailable()
+    } finally q5.stop()
+    assert(table() == v6 + (5L -> ((2L, "e2"))),
+      "post-heal batch must merge onto the healed state, not the remnant")
   }
 
   test("foreachBatch incremental dedup: micro-batches probe a FROZEN " +
@@ -438,7 +472,9 @@ class StreamingIngestSpec extends SparkSuite {
       .option("checkpointLocation", s"$root/stream_scd2_ck")
       .start()
     def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
-    def dim() = spark.read.parquet(dir)
+    // the dimension now lives in a VersionedTable (round 14) — read the
+    // current committed snapshot
+    def dim() = graft.pipeline.VersionedTable.read(spark, dir).get
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
         r.getAs[java.sql.Timestamp]("eff_from"),
         Option(r.getAs[java.sql.Timestamp]("eff_to")))).toSet
@@ -502,6 +538,104 @@ class StreamingIngestSpec extends SparkSuite {
       assert(state() === Map(1L -> 11.0, 3L -> 3.0),
         "an out-of-order older batch mutated CDC state")
     } finally q.stop()
+  }
+
+  test("versioned sink crash matrix: the cdc and scd2 sinks survive " +
+      "every interrupted-publish window; each applied batch is " +
+      "time-travelable") {
+    // Round-14 (VERDICT r13 item 3): cdcSink/scd2Sink publish through
+    // VersionedTable, so their crash windows are the versioned
+    // protocol's — injected here ON THE SINKS' OWN TABLES, the
+    // analogue of the swap-sink window test above.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.hadoop.fs.Path
+    import graft.pipeline.VersionedTable
+    val dir = s"$root/stream_cdc_versioned"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mem = MemoryStream[CdcOp](spark)
+    def start() = StreamOps.cdcSink(mem.toDF(), dir, "k", "seq", "op")
+      .option("checkpointLocation", s"$root/stream_cdc_versioned_ck").start()
+    def state() = StreamOps.readCdcTable(spark, dir, "op")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    val q = start()
+    try {
+      mem.addData(CdcOp(1L, 10L, "I", 1.0))
+      q.processAllAvailable()
+      mem.addData(CdcOp(2L, 11L, "I", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(state() === Map(1L -> 1.0, 2L -> 2.0))
+    // every applied micro-batch is a time-travelable snapshot
+    assert(VersionedTable.versions(spark, dir) === Seq(1L, 2L))
+    assert(VersionedTable.readVersion(spark, dir, 1)
+      .collect().map(_.getAs[Long]("k")).toSeq === Seq(1L))
+
+    // WINDOW 1 — crash while writing the next version: claim burned,
+    // junk dir, no _SUCCESS. Reads are unaffected; the restarted
+    // stream's next batch claims the NEXT number and commits.
+    fs.create(new Path(s"$dir/_v/000000000003.claim"), true).close()
+    val junkDir = new Path(s"$dir/_v/000000000003")
+    fs.mkdirs(junkDir)
+    val junk = fs.create(new Path(junkDir, "part-00000.parquet"))
+    junk.write(Array[Byte](7)); junk.close()
+    assert(state() === Map(1L -> 1.0, 2L -> 2.0))
+    val q2 = start()
+    try {
+      mem.addData(CdcOp(3L, 12L, "I", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(state() === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assert(VersionedTable.currentVersion(spark, dir) === Some(4L),
+      "the burned claim must not be reused")
+
+    // WINDOW 2 — crash between the data commit and the marker write:
+    // a committed-but-unpublished orphan. Reads keep serving the
+    // published version; the next batch lands above the orphan.
+    fs.create(new Path(s"$dir/_v/000000000005.claim"), true).close()
+    VersionedTable.readVersion(spark, dir, 4)
+      .write.mode("overwrite").parquet(s"$dir/_v/000000000005")
+    assert(state() === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    val q3 = start()
+    try {
+      mem.addData(CdcOp(2L, 20L, "D", 0.0))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(state() === Map(1L -> 1.0, 3L -> 3.0))
+    assert(VersionedTable.currentVersion(spark, dir) === Some(6L))
+
+    // scd2Sink rides the same publish path — one window proves the
+    // wiring: an injected incomplete version leaves the dimension
+    // readable and the next change batch commits above it.
+    val sdir = s"$root/stream_scd2_versioned"
+    val smem = MemoryStream[Ch](spark)
+    def sstart() = StreamOps.scd2Sink(smem.toDF(), sdir, "k", "v",
+        "eff_from", "eff_to")
+      .option("checkpointLocation", s"$root/stream_scd2_versioned_ck").start()
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def sdim() = VersionedTable.read(spark, sdir).get
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        Option(r.getAs[java.sql.Timestamp]("eff_to")).isEmpty)).toSet
+    val sq = sstart()
+    try {
+      smem.addData(Ch(1L, 10.0, t(1)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(sdim() === Set((1L, 10.0, true)))
+    val sfs = new Path(sdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sfs.create(new Path(s"$sdir/_v/000000000002.claim"), true).close()
+    sfs.mkdirs(new Path(s"$sdir/_v/000000000002"))
+    assert(sdim() === Set((1L, 10.0, true)))
+    val sq2 = sstart()
+    try {
+      smem.addData(Ch(1L, 20.0, t(3)))
+      sq2.processAllAvailable()
+    } finally sq2.stop()
+    assert(sdim() === Set((1L, 10.0, false), (1L, 20.0, true)))
+    assert(VersionedTable.currentVersion(spark, sdir) === Some(3L))
+    // time travel reaches the pre-change dimension
+    assert(VersionedTable.readVersion(spark, sdir, 1)
+      .collect().map(_.getAs[Double]("v")).toSeq === Seq(10.0))
   }
 
   test("foreachBatch ANN ingest: micro-batches of vectors enter the " +

@@ -6,6 +6,28 @@ import org.apache.hadoop.fs.Path
 
 import graft.pipeline.VersionedTable
 
+/** A local filesystem that RECORDS every rename it is asked to
+  * perform — the shim behind the object-store-safety test: a publish
+  * protocol is rename-free exactly when every rename observed during
+  * it belongs to Spark's file committer INSIDE the version directory
+  * being written (which an object-store deployment swaps for a
+  * manifest committer), never to the table's commit metadata. Must be
+  * top-level with a no-arg constructor — Hadoop instantiates it
+  * reflectively from `fs.audit.impl`. */
+class RenameAuditFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "audit"
+  override def getUri: java.net.URI = java.net.URI.create("audit:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    RenameAuditFs.renames.add(src.toString -> dst.toString): Unit
+    super.rename(src, dst)
+  }
+}
+
+object RenameAuditFs {
+  val renames =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+}
+
 /** [[VersionedTable]] — atomic pointer publish, time travel, vacuum,
   * and the full crash matrix (every window self-heals because the
   * source of truth is "max version directory with _SUCCESS", the
@@ -45,35 +67,92 @@ class VersionedTableSpec extends SparkSuite {
     }
   }
 
-  test("crash matrix: incomplete version invisible; lagging pointer " +
-      "heals; torn pointer falls back to max-complete") {
+  test("crash matrix: incomplete version invisible; committed-but-" +
+      "unpublished orphan stays invisible; torn pointer falls back") {
     val t = s"$root/t2"
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     VersionedTable.publish(df(1L -> "a"), t)
     VersionedTable.publish(df(1L -> "b"), t)
 
-    // window 1 — crash while writing version 3: dir exists, no _SUCCESS
+    // window 1 — crash while writing version 3 (claim taken, dir has
+    // junk, no _SUCCESS): invisible to both resolution paths
     val v3 = new Path(s"$t/_v/000000000003")
+    fs.create(new Path(s"$t/_v/000000000003.claim"), true).close()
     fs.mkdirs(v3)
     val junk = fs.create(new Path(v3, "part-00000.parquet"))
     junk.write(Array[Byte](9, 9)); junk.close()
     assert(VersionedTable.versions(spark, t) === Seq(1L, 2L))
     assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "b"))
-    // the retry overwrites the junk and commits
-    assert(VersionedTable.publish(df(1L -> "c"), t) === 3L)
+    // the retry cannot reuse the burned claim — it lands at 4
+    assert(VersionedTable.publish(df(1L -> "c"), t) === 4L)
     assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "c"))
 
-    // window 2 — version 4 committed but pointer never advanced
-    df(1L -> "d").write.mode("overwrite").parquet(s"$t/_v/000000000004")
-    assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "d"),
-      "resolution must take max(pointer, max-complete)")
-    // and the next publish lands ABOVE the unpointed version
-    assert(VersionedTable.publish(df(1L -> "e"), t) === 5L)
+    // window 2 — crash between the data commit and the marker write:
+    // version 5 claimed + committed but never published. Readers keep
+    // serving the last PUBLISHED version (consistent snapshot
+    // semantics, round-13 ADVICE fast path); the orphan stays
+    // reachable via versions()/time travel; the next publish lands
+    // above it.
+    fs.create(new Path(s"$t/_v/000000000005.claim"), true).close()
+    df(1L -> "d").write.mode("overwrite").parquet(s"$t/_v/000000000005")
+    assert(VersionedTable.versions(spark, t) === Seq(1L, 2L, 4L, 5L))
+    assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "c"),
+      "an unpublished orphan must not become current")
+    assert(readMap(VersionedTable.readVersion(spark, t, 5)) === Map(1L -> "d"))
+    assert(VersionedTable.publish(df(1L -> "e"), t) === 6L)
+    assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "e"))
 
-    // window 3 — torn/garbage pointer: fall back to max-complete
+    // window 3 — torn/garbage legacy pointer: ignored, markers win
     val out = fs.create(new Path(s"$t/_CURRENT"), true)
     out.write("garbage".getBytes); out.close()
     assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "e"))
+
+    // window 4 — markers vacuumed/absent entirely: fall back to the
+    // max-complete scan (legacy-table read compatibility)
+    fs.delete(new Path(s"$t/_ptr"), true)
+    assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "e"))
+
+    // window 5 — a LEGACY _CURRENT pointer (round-13 table, no
+    // markers) naming a committed version resolves through it
+    val ptr = fs.create(new Path(s"$t/_CURRENT"), true)
+    ptr.write("4".getBytes); ptr.close()
+    assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "c"),
+      "legacy pointer must still resolve")
+  }
+
+  test("two concurrent publishers serialize on the version claim: " +
+      "both snapshots survive, distinct versions, loser retries up") {
+    val t = s"$root/t6"
+    VersionedTable.publish(df(1L -> "base"), t)
+    // deterministic loser path: the next version number is pre-claimed
+    // (a concurrent publisher got there first) — publish must skip it
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(s"$t/_v/000000000002.claim"), true).close()
+    assert(VersionedTable.publish(df(1L -> "skip"), t) === 3L)
+    // true interleaving: two threads publish from the same base
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("x", "y").map { tag =>
+      new Thread(() =>
+        try results.add(VersionedTable.publish(df(2L -> tag), t)): Unit
+        catch { case e: Throwable => errs.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent publish failed: ${errs.peek()}")
+    val vs = results.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    assert(vs.length === 2 && vs(0) != vs(1),
+      s"publishers did not serialize: ${vs.toSeq}")
+    // both snapshots committed intact — nothing clobbered
+    assert(readMap(VersionedTable.readVersion(spark, t, vs(0))).keySet
+      === Set(2L))
+    assert(readMap(VersionedTable.readVersion(spark, t, vs(1))).keySet
+      === Set(2L))
+    assert(Set(
+      readMap(VersionedTable.readVersion(spark, t, vs(0)))(2L),
+      readMap(VersionedTable.readVersion(spark, t, vs(1)))(2L))
+      === Set("x", "y"))
+    // current = the max version
+    assert(VersionedTable.currentVersion(spark, t) === Some(vs(1)))
   }
 
   test("vacuum drops old versions only; the current one always survives") {
@@ -125,6 +204,30 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.versions(spark, t) === Seq(1L, 2L, 3L))
     assert(m(VersionedTable.readVersion(spark, t, 3)) ===
       m(VersionedTable.readVersion(spark, t, 2)))
+  }
+
+  test("the commit protocol is rename-free (VERDICT r13 item 5): every " +
+      "rename during publish is the committer's, inside the version dir") {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.audit.impl", classOf[RenameAuditFs].getName)
+    val t = s"audit://${new File(root).getAbsolutePath}/t7"
+    RenameAuditFs.renames.clear()
+    assert(VersionedTable.publish(df(1L -> "a"), t) === 1L)
+    assert(VersionedTable.publish(df(1L -> "b"), t) === 2L)
+    assert(readMap(VersionedTable.read(spark, t).get) === Map(1L -> "b"))
+    assert(VersionedTable.vacuum(spark, t, keep = 1) === Seq(1L))
+    val protocolRenames = RenameAuditFs.renames.asScala.toSeq.filterNot {
+      case (src, dst) =>
+        // Spark's FileOutputCommitter moves task attempts into place
+        // WITHIN the version directory being written; an object-store
+        // deployment replaces exactly that committer. Everything else
+        // — claims, _ptr markers, vacuum — must never rename.
+        src.contains("/_v/000000000") && dst.contains("/_v/000000000")
+    }
+    assert(protocolRenames.isEmpty,
+      s"table-protocol rename observed (not object-store safe): " +
+        s"$protocolRenames")
   }
 
   test("a reader's resolved snapshot survives a concurrent publish " +
