@@ -1949,10 +1949,121 @@ object TextOps extends QueryPack {
         .tokenFrequenciesRanked(Tables.documents(spark, sfDir), DemoMergeTable)
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
+    }),
+
+    // HTML/markup text extraction (round 14, VERDICT r13 item 7) — the
+    // curation stage a crawl pipeline runs FIRST. The fixture docs are
+    // plain prose, so the page is constructed deterministically from
+    // each row (title/heading/paragraph plus script, style, comment,
+    // and entity traps — identical construction in the oracle SQL),
+    // then stripped. This row is the ORACLE-CHECKABLE member: a
+    // regexp-chain strip whose every step has identical semantics in
+    // Spark (Java regex) and DuckDB (RE2) — element drops, comment
+    // drop, tag strip, the six common entities, whitespace collapse.
+    // Map-side only (regexp chains fuse into one codegen'd projection);
+    // the only exchange is the output ORDER BY.
+    "q_text_html_strip" -> ((spark, sfDir) => {
+      val stripped = stripHtml(demoHtml)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), stripped.as("text_clean"))
+        .select(col("doc_id"), col("text_clean"),
+          length(col("text_clean")).cast("long").as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The PRODUCTION extractor over the same constructed pages: the
+    // codegen'd single-pass tokenizer [[graft.expressions.HtmlText]] —
+    // block tags become newlines (structure the regexp chain cannot
+    // keep), script/style/comment content drops, attributes skip
+    // quote-aware, entities decode, malformed input degrades instead
+    // of throwing. A full tokenizer is not one SQL statement —
+    // declared no-oracle; HtmlExtractSpec pins exact planted ground
+    // truth including the traps beyond the regexp chain (quoted '>'
+    // in attributes, tags inside script strings, unclosed elements),
+    // plus strip-vs-extract word agreement on the registry pages.
+    "q_text_html_extract" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.expressions.HtmlText(demoHtml).as("text_clean"))
+        .select(col("doc_id"), col("text_clean"),
+          size(split(col("text_clean"), "\n")).cast("long").as("n_blocks"))
+        .orderBy(col("doc_id"))
     })
   )
 
+  /** The deterministic markup page built from a documents row — shared
+    * by q_text_html_strip / q_text_html_extract and mirrored verbatim
+    * in the strip oracle SQL. Carries the traps a real page has:
+    * a script with comparison operators and quotes, a style block, a
+    * comment containing tags, pre-encoded entities, and an &nbsp;. */
+  private def demoHtml: Column = concat(
+    lit("<html><head><title>"), col("source"), lit("</title>"),
+    lit("<style>p { color: red; }</style>"),
+    lit("<script>if (1 < 2) { alert(\"a&b\"); }</script>"),
+    lit("<!-- comment with <tags> inside -->"),
+    lit("</head><body><h1>"), col("lang"), lit("</h1><p>"),
+    col("text"), lit("</p><div>id &amp; "),
+    col("doc_id").cast("string"), lit("&nbsp;end</div></body></html>"))
+
+  /** The oracle-expressible strip chain (see q_text_html_strip): each
+    * step's pattern avoids everything RE2 lacks (no backreferences, no
+    * lookaround), so the DuckDB mirror is semantically identical. */
+  private def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    // entity decode, &amp; LAST so "&amp;lt;" decodes to the literal
+    // "&lt;" a correct decoder produces, never doubly
+    val ent = org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(
+              org.apache.spark.sql.functions.replace(
+                noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q_text_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || '</title>'
+        |    || '<style>p { color: red; }</style>'
+        |    || '<script>if (1 < 2) { alert("a&b"); }</script>'
+        |    || '<!-- comment with <tags> inside -->'
+        |    || '</head><body><h1>' || lang || '</h1><p>' || text
+        |    || '</p><div>id &amp; ' || CAST(doc_id AS VARCHAR)
+        |    || '&nbsp;end</div></body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html,
+        |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_clean
+        |  FROM h)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -81,9 +81,9 @@ class PlanAuditSpec extends SparkSuite {
       // q_anon_tcloseness: the cells × bucket-grid join, where the
       // grid broadcasts from a 1-row min/max domain aggregate
       // (bounded by the value domain, not the corpus);
-      // q_events_its: 1-row pivot-date broadcast under the daily
-      // frame (q_retention_ttl shape)
-      "q_anon_tcloseness", "q_events_its")
+      // q_events_its / q_events_its_pivot: 1-row pivot-date broadcast
+      // under the daily frame (q_retention_ttl shape)
+      "q_anon_tcloseness", "q_events_its", "q_events_its_pivot")
 
   test("no CartesianProduct anywhere; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
