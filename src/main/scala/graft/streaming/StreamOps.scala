@@ -110,10 +110,18 @@ object StreamOps {
     * time-travelable snapshot, and vacuum bounds retention. Same
     * at-least-once idempotency story: a replayed batch re-merges to
     * value-equal state (one redundant version, identical bytes — the
-    * version NUMBER is the only side effect of replay). */
+    * version NUMBER is the only side effect of replay).
+    *
+    * `keepVersions` (round 14) bounds retention: a versioned sink
+    * writes one snapshot per micro-batch, which is unbounded storage
+    * on a long-lived stream; > 0 vacuums down to the newest N after
+    * each publish (N must cover the longest concurrent reader — the
+    * snapshot-isolation horizon is a RETENTION policy, exactly as in
+    * any log-structured table format). 0 = keep everything. */
   def upsertSinkVersioned(updates: DataFrame, tableDir: String,
       keys: Seq[String], versionCol: String,
-      tiebreak: Seq[org.apache.spark.sql.Column] = Nil)
+      tiebreak: Seq[org.apache.spark.sql.Column] = Nil,
+      keepVersions: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -125,6 +133,9 @@ object StreamOps {
           graft.operators.Upsert(base, batch.toDF(), keys, versionCol,
             tiebreak),
           tableDir): Unit
+        if (keepVersions > 0)
+          graft.pipeline.VersionedTable
+            .vacuum(spark, tableDir, keepVersions): Unit
       }
 
   /** foreachBatch SCD2 (type-2) dimension MAINTENANCE: the streaming
@@ -144,7 +155,7 @@ object StreamOps {
     * state; the version NUMBER is the only side effect of replay
     * (StreamingIngestSpec). */
   def scd2Sink(changes: DataFrame, tableDir: String, key: String,
-      value: String, from: String, to: String)
+      value: String, from: String, to: String, keepVersions: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -159,6 +170,9 @@ object StreamOps {
         graft.pipeline.VersionedTable.publish(
           graft.operators.ScdApply(base, collapsed, key, value, from, to),
           tableDir): Unit
+        if (keepVersions > 0)
+          graft.pipeline.VersionedTable
+            .vacuum(spark, tableDir, keepVersions): Unit
       }
 
   /** Streaming CDC apply — the foreachBatch form of q_cdc_apply: each
@@ -178,7 +192,7 @@ object StreamOps {
     * — no reader-mid-swap window, every applied batch a
     * time-travelable snapshot). */
   def cdcSink(ops: DataFrame, tableDir: String, key: String, seq: String,
-      op: String)
+      op: String, keepVersions: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ops.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -190,6 +204,9 @@ object StreamOps {
           graft.operators.CdcApply
             .winners(base.unionByName(batch.toDF()), key, seq, op),
           tableDir): Unit
+        if (keepVersions > 0)
+          graft.pipeline.VersionedTable
+            .vacuum(spark, tableDir, keepVersions): Unit
       }
 
   /** Live (non-tombstone) rows of a [[cdcSink]]-maintained table —

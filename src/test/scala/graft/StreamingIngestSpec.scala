@@ -604,6 +604,24 @@ class StreamingIngestSpec extends SparkSuite {
     assert(state() === Map(1L -> 1.0, 3L -> 3.0))
     assert(VersionedTable.currentVersion(spark, dir) === Some(6L))
 
+    // retention: a long-lived stream writes one snapshot per batch —
+    // keepVersions bounds it (vacuum after each publish), with the
+    // newest snapshots still time-travelable
+    val rdir = s"$root/stream_cdc_retained"
+    val rmem = MemoryStream[CdcOp](spark)
+    val rq = StreamOps.cdcSink(rmem.toDF(), rdir, "k", "seq", "op",
+        keepVersions = 2)
+      .option("checkpointLocation", s"$root/stream_cdc_retained_ck").start()
+    try {
+      (1 to 4).foreach { i =>
+        rmem.addData(CdcOp(i.toLong, 10L + i, "I", i.toDouble))
+        rq.processAllAvailable()
+      }
+    } finally rq.stop()
+    val kept = VersionedTable.versions(spark, rdir)
+    assert(kept === Seq(3L, 4L), s"retention must keep the newest 2: $kept")
+    assert(StreamOps.readCdcTable(spark, rdir, "op").count() === 4L)
+
     // scd2Sink rides the same publish path — one window proves the
     // wiring: an injected incomplete version leaves the dimension
     // readable and the next change batch commits above it.
