@@ -148,9 +148,12 @@ object ScaleBench {
     "q_graph_pagerank",     // pre-partitioned edge probes per round
     "q_graph_labelprop",    // per-round equi-join + argmax
     "q_graph_triangles",    // oriented wedge join
-    "q_sim_join",           // embedding LSH blocked join
+    "q_sim_join",           // EXACT within-label top-1 (quadratic by contract)
     "q_sim_topk",           // brute-force cosine top-k (linear by design)
-    "q_dedup_embed",        // embedding LSH buckets
+    "q_dedup_embed",        // EXACT within-label pairs (quadratic by contract)
+    "q_dedup_embed_e2e",    // the guarded twin: LSH buckets + cellCap
+    "q_dedup_semantic",     // the guarded twin: k-means cluster blocking
+    "q_sim_knn_join",       // the guarded twin: IVF+PQ batched serve
     "q_text_tfidf",         // token-keyed df join
     "q_text_token_budget",  // GlobalRank two-pass ranking
     "q_events_sessions")    // user-partitioned sessionization

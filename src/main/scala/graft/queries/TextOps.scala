@@ -308,8 +308,15 @@ object TextOps extends QueryPack {
   def editDistancePairs(docs: DataFrame, maxDist: Int,
       bucketCap: Int = graft.operators.BandGuard.DefaultCap): DataFrame = {
     val binWidth = maxDist + 2
+    // The histogram is computed ONCE per row here (O(len), row scale)
+    // and compared packed per pair (O(256), length-independent) — the
+    // per-pair CharHistL1 string walk was the superlinear term the
+    // round-14 k=30 scaling run caught (37.7× cost at 30× rows:
+    // within-cap bin populations grow linearly, pairs quadratically,
+    // and each pair re-walked the full text).
     val base = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("__len"),
+      graft.expressions.CharHistPack.pack(col("text")).as("__hist"),
       (length(col("text")).cast("long") / binWidth).cast("long").as("bin"))
     val bw = Window.partitionBy(col("bin"))
     val right = base
@@ -317,7 +324,7 @@ object TextOps extends QueryPack {
       .withColumn("__bmin", min(col("doc_id")).over(bw))
       .as("eb")
     val left = base
-      .select(col("doc_id"), col("text"), col("__len"),
+      .select(col("doc_id"), col("text"), col("__len"), col("__hist"),
         explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
       .as("ea")
     // The DP test lives INSIDE the join condition, as the LAST
@@ -329,16 +336,18 @@ object TextOps extends QueryPack {
     // ~10 s at sf0.1, flat no matter what the prunes rejected).
     // Conjunct order is preserved and And short-circuits in codegen,
     // so here the DP touches only pairs that survive id/length/L1 —
-    // the char-histogram L1 ≤ 2·dist bound (see CharHistL1) rejects
-    // nearly every non-dup pair of a same-domain corpus for O(len).
-    // The output projection re-evaluates levenshtein only on final
-    // survivors.
+    // the char-histogram L1 ≤ 2·dist bound (see CharHistPack; same
+    // bound as CharHistL1, but over the per-ROW precomputed packed
+    // histograms, so a rejected pair costs O(256) instead of a full
+    // re-walk of both texts) rejects nearly every non-dup pair of a
+    // same-domain corpus. The output projection re-evaluates
+    // levenshtein only on final survivors.
     left.join(right, col("ea.k") === col("eb.bin") &&
         col("ea.doc_id") < col("eb.doc_id") &&
         abs(col("ea.__len") - col("eb.__len")) <= maxDist &&
         (col("eb.__bsz") <= bucketCap ||
           col("ea.doc_id") === col("eb.__bmin")) &&
-        graft.expressions.CharHistL1.charL1(col("ea.text"), col("eb.text"))
+        graft.expressions.CharHistPack.packedL1(col("ea.__hist"), col("eb.__hist"))
           <= 2 * maxDist &&
         levenshtein(col("ea.text"), col("eb.text"), maxDist) >= 0)
       .select(col("ea.doc_id").as("d1"), col("eb.doc_id").as("d2"),

@@ -69,7 +69,7 @@ class EditDistSpec extends SparkSuite {
       .getOrElse(fail("no join node carries the levenshtein conjunct\n" +
         plan.take(3000)))
     val lenBand = joinLine.indexOf("abs(")
-    val l1 = joinLine.indexOf("char_hist_l1")
+    val l1 = joinLine.indexOf("packed_hist_l1")
     val lev = joinLine.indexOf("levenshtein")
     assert(lenBand >= 0 && l1 >= 0 && lev >= 0,
       "expected all three prune conjuncts in the join condition\n" + joinLine)

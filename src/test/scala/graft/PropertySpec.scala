@@ -178,7 +178,24 @@ class PropertySpec extends SparkSuite {
       val l1 = graft.expressions.CharHist.l1(
         UTF8String.fromString(a), UTF8String.fromString(b))
       assert(l1 <= 2 * lev(a, b), s"bound violated for '$a' vs '$b'")
+      // the packed per-row form (round 14) must agree exactly away
+      // from saturation (these strings are far below 65535/bin) and
+      // therefore inherit the same lossless bound
+      val packed = graft.expressions.CharHistKernels.l1(
+        graft.expressions.CharHistKernels.pack(UTF8String.fromString(a)),
+        graft.expressions.CharHistKernels.pack(UTF8String.fromString(b)))
+      assert(packed === l1, s"packed L1 diverged for '$a' vs '$b'")
     }
+    // saturation is a 1-Lipschitz contraction: the packed L1 only
+    // under-estimates, keeping the prune lossless for any input
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val big = "x" * 70000 // cnt('x') saturates at 65535
+    val small = "x" * 100
+    val packedSat = graft.expressions.CharHistKernels.l1(
+      graft.expressions.CharHistKernels.pack(u8(big)),
+      graft.expressions.CharHistKernels.pack(u8(small)))
+    val trueSat = graft.expressions.CharHist.l1(u8(big), u8(small))
+    assert(packedSat <= trueSat && packedSat === 65535 - 100)
   }
 
   /** The q_dedup_prefix length formula, extracted (integer-exact
