@@ -1997,8 +1997,38 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("text_clean"),
           size(split(col("text_clean"), "\n")).cast("long").as("n_blocks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Link extraction (round 14) — the crawl stage AFTER text
+    // extraction and the INPUT to the link graph (host-level PageRank,
+    // spam-neighborhood screens): pull every href target out of the
+    // page, absolute or relative, single- or double-quoted, and derive
+    // the host. One regexp_extract_all + explode — map-side only, the
+    // single exchange is the output ORDER BY. The pattern avoids every
+    // RE2-missing feature, so the DuckDB oracle is semantically
+    // identical; hosts of relative links are '' in both engines
+    // (regexp_extract's documented no-match value).
+    "q_text_html_links" -> ((spark, sfDir) => {
+      Tables.documents(spark, sfDir)
+        .withColumn("__h", anchorHtml)
+        .select(col("doc_id"),
+          explode(expr(
+            "regexp_extract_all(__h, 'href=[\"\\']([^\"\\']*)[\"\\']', 1)"))
+            .as("url"))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+        .orderBy(col("doc_id"), col("url"))
     })
   )
+
+  /** The deterministic anchor-bearing page for q_text_html_links —
+    * one absolute double-quoted link and one relative single-quoted
+    * link per doc, mirrored verbatim in the oracle SQL. */
+  private def anchorHtml: Column = concat(
+    lit("<p>see <a href=\"https://example.com/"), col("source"),
+    lit("/"), col("doc_id").cast("string"),
+    lit("\">here</a> and <a href='/"), col("lang"),
+    lit("/idx'>local</a></p>"))
 
   /** The deterministic markup page built from a documents row — shared
     * by q_text_html_strip / q_text_html_extract and mirrored verbatim
@@ -2072,6 +2102,22 @@ object TextOps extends QueryPack {
         |SELECT doc_id, text_clean,
         |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_html_links" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<p>see <a href="https://example.com/' || source || '/'
+        |    || CAST(doc_id AS VARCHAR) || '">here</a> and <a href=''/'
+        |    || lang || '/idx''>local</a></p>' AS html
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html,
+        |      'href=["'']([^"'']*)["'']', 1)) AS url
+        |  FROM h)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https?://([^/]+)', 1) AS host
+        |FROM u ORDER BY doc_id, url""".stripMargin,
 
     "q_dedup_substring" ->
       """WITH toks AS (
