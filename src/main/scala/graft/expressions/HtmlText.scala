@@ -129,13 +129,27 @@ object HtmlText {
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
+        // a '/>'-terminated script/style is an EMPTY element: hunting a
+        // '</script' that never comes would silently drop the rest of
+        // the document (round-15 ADVICE). `end` is the index AFTER the
+        // open tag's '>'; whitespace may sit between '/' and '>'.
+        def selfClosed(end: Int): Boolean =
+          end <= n && end >= 2 && html.charAt(end - 1) == '>' && {
+            var k = end - 2
+            while (k >= 0 && Character.isWhitespace(html.charAt(k))) k -= 1
+            k >= 0 && html.charAt(k) == '/'
+          }
         if (matches(i, "<!--")) i = skipPast(i + 4, "-->")
         else if (matches(i, "<script") &&
-          (i + 7 >= n || !Character.isLetterOrDigit(html.charAt(i + 7))))
-          i = skipElement(skipTag(i + 7), "script")
+          (i + 7 >= n || !Character.isLetterOrDigit(html.charAt(i + 7)))) {
+          val end = skipTag(i + 7)
+          i = if (selfClosed(end)) end else skipElement(end, "script")
+        }
         else if (matches(i, "<style") &&
-          (i + 6 >= n || !Character.isLetterOrDigit(html.charAt(i + 6))))
-          i = skipElement(skipTag(i + 6), "style")
+          (i + 6 >= n || !Character.isLetterOrDigit(html.charAt(i + 6)))) {
+          val end = skipTag(i + 6)
+          i = if (selfClosed(end)) end else skipElement(end, "style")
+        }
         else if (i + 1 < n && (Character.isLetter(html.charAt(i + 1)) ||
           html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
           html.charAt(i + 1) == '?')) {

@@ -84,10 +84,14 @@ object BandGuard {
     * Cost: one window count over the SAME key the caller's self-join
     * shuffles on — linear, and the check rides the n input rows, so an
     * oversized block fails in O(n) before the n² pair stream forms
-    * (measured at 30×: refusal in seconds vs the uncapped form's 246×
-    * blow-up — tools/scalecurve_r15_k30.json). The guard is folded
-    * into the block-key projection (when/raise_error on the key
-    * itself) so column pruning can never drop it. */
+    * (measured at 30×, where the label blocks pass the cap: refusal in
+    * seconds vs the 246× blow-up the uncapped form measured in round
+    * 14 — tools/scalecurve_r16_k30.json). The guard is folded into
+    * the block-key projection (when/raise_error on the key itself):
+    * any plan that CONSUMES the key — which the guarded self-joins
+    * always do, in their join condition — cannot prune the check
+    * away. Call sites: q_sim_join and q_dedup_embed (SimOps.scala);
+    * both behaviors pinned by ExactCapSpec. */
   def exactBlockGuard(df: DataFrame, block: String, cap: Int): DataFrame = {
     val w = Window.partitionBy(col(block))
     df.withColumn("__bsz", count(lit(1)).over(w))

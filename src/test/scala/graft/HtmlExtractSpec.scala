@@ -37,6 +37,18 @@ class HtmlExtractSpec extends SparkSuite {
     assert(x("<scripts>kept</scripts>") === "kept")
   }
 
+  test("self-closing script/style are empty elements — the document " +
+      "tail survives (round-15 ADVICE)") {
+    assert(x("""a<script src="x"/>b""") === "ab")
+    assert(x("""a<script src="x" />b""") === "ab",
+      "whitespace before the closing '/>'")
+    assert(x("""a<style media="print"/>b<p>tail</p>""") === "ab\ntail")
+    // a '/' inside a quoted attribute value is NOT self-closing
+    assert(x("""a<script src="x/">s()</script>b""") === "ab")
+    // an OPEN (non-self-closing) tag still drops to the real close
+    assert(x("""a<script src="x">s()</script>b""") === "ab")
+  }
+
   test("attributes skip quote-aware: a '>' inside a quoted value does " +
       "not end the tag") {
     assert(x("""<a href="x>y">link</a> end""") === "link end")

@@ -61,6 +61,51 @@ class ScaleBenchSpec extends SparkSuite {
     }
   }
 
+  test("the affine letter family is injective across copies: pairwise " +
+      "distinct tables, agreement on at most one letter (round-15 " +
+      "VERDICT #6 — the Caesar family aliased copy 26 onto copy 1)") {
+    val tables = (1 to ScaleBench.MaxK - 1).map(ScaleBench.affineTable)
+    assert(tables.distinct.size === tables.size,
+      "two copies share a permutation table")
+    // mod 26 is not a field: two affine maps agree where Δa·x ≡ Δb,
+    // which has gcd(Δa, 26) ≤ 2 solutions for this family (Δa is even
+    // and never a multiple of 13) — so aliasing would need a text
+    // whose ENTIRE alphabet sits inside a ≤2-letter agreement set; no
+    // fixture document is a one-or-two-distinct-letter text, and the
+    // corpus-level disjointness is asserted directly below and by
+    // ScaleVerify's exact k× dup counts
+    for (i <- tables.indices; j <- (i + 1) until tables.size) {
+      val agree = tables(i).zip(tables(j)).count { case (a, b) => a == b }
+      assert(agree <= 2,
+        s"copies ${i + 1} and ${j + 1} agree on $agree letters — any " +
+          "text over that alphabet subset would alias across copies")
+    }
+    // no table is the identity (copy i must never equal copy 0)
+    assert(!tables.contains("abcdefghijklmnopqrstuvwxyz"))
+    // each table is a true permutation (bijective on the alphabet)
+    tables.foreach(t => assert(t.sorted === "abcdefghijklmnopqrstuvwxyz"))
+  }
+
+  test("copy 26 no longer aliases copy 1: cross-copy texts stay disjoint " +
+      "at the old Caesar period boundary") {
+    val d = Tables.documents(spark, base).select(col("doc_id"), col("text"))
+    def texts(i: Int) = ScaleBench.copyOf(d, "documents", i)
+      .select(col("text")).collect().map(_.getString(0)).toSet
+    val t1 = texts(1)
+    val t26 = texts(26)
+    assert(t1.intersect(t26).isEmpty,
+      "copies 1 and 26 share texts — the bijection family has a period")
+    assert(t1.intersect(texts(27)).isEmpty && texts(2).intersect(t26).isEmpty)
+  }
+
+  test("synthesize refuses k beyond the injective range") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleBench.synthesize(spark, base, s"$root/x-overflow",
+        ScaleBench.MaxK + 1)
+    }
+    assert(e.getMessage.contains("injective"))
+  }
+
   test("x1 is the base fixture verbatim (copy 0 identity)") {
     val (one, _) = dirs
     val a = Tables.documents(spark, base).orderBy(col("doc_id")).collect()

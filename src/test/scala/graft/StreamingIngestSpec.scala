@@ -208,7 +208,8 @@ class StreamingIngestSpec extends SparkSuite {
     fs.mkdirs(tmp)
     val junk = fs.create(new Path(tmp, "part-00000.parquet"))
     junk.write(Array[Byte](1, 2, 3)); junk.close()
-    assert(!AtomicPublish.heal(spark, dir), "heal must not adopt an incomplete tmp")
+    assert(!AtomicPublish.pendingSwap(spark, dir),
+      "an incomplete tmp is not a pending swap")
     assert(AtomicPublish.read(spark, dir).get.as[Up].collect()
       .map(u => u.k -> ((u.ver, u.v))).toMap == v1)
     val q2 = start()
@@ -240,8 +241,9 @@ class StreamingIngestSpec extends SparkSuite {
     assert(!fs.exists(tmp))
 
     // WINDOW C — crash between the delete and the rename: live dir
-    // MISSING, tmp complete. The next read heals (adopts tmp), and a
-    // restarted stream batch merges onto the healed state.
+    // MISSING, tmp complete. Reads serve the tmp IN PLACE (pure — no
+    // reader-side mutation; round-15 ADVICE high), and a restarted
+    // stream batch merges onto it, its publish completing the swap.
     val nextC = graft.operators.Upsert(spark.read.parquet(dir),
       Seq(Up(4, 1, "d")).toDF(), Seq("k"), "ver")
         .localCheckpoint() // pin: the source files are deleted next
@@ -251,8 +253,10 @@ class StreamingIngestSpec extends SparkSuite {
     val v4 = v3 + (4L -> ((1L, "d")))
     assert(AtomicPublish.read(spark, dir).get.as[Up].collect()
       .map(u => u.k -> ((u.ver, u.v))).toMap == v4,
-      "read must heal the unswapped publish")
-    assert(fs.exists(new Path(dir)) && !fs.exists(tmp))
+      "read must serve the unswapped tmp state")
+    assert(AtomicPublish.pendingSwap(spark, dir))
+    assert(!fs.exists(new Path(dir)) && fs.exists(tmp),
+      "read must be pure: no reader-side rename or delete")
     val q4 = start()
     try {
       mem.addData(Up(4, 2, "d2"))
@@ -260,15 +264,17 @@ class StreamingIngestSpec extends SparkSuite {
     } finally q4.stop()
     val v5 = v4 + (4L -> ((2L, "d2")))
     assert(table() == v5,
-      "post-heal batch must merge onto the healed state")
+      "post-crash batch must merge onto the tmp-served state")
+    assert(fs.exists(new Path(dir, "_SUCCESS")) && !fs.exists(tmp),
+      "the replayed batch's publish must complete the pending swap")
 
     // WINDOW D (round-13 ADVICE, medium) — crash MIDWAY through the
     // recursive delete of the live directory: the marker is gone but a
     // PARTIAL remnant of the old table still exists on disk (directory
-    // delete is not atomic). Validity is the _SUCCESS marker, so the
-    // remnant must be discarded and the complete tmp adopted — the old
-    // existence-gated heal served the partial state as live and the
-    // replayed merge then committed the corruption.
+    // delete is not atomic). Validity is the _SUCCESS marker, so
+    // reads must ignore the remnant and serve the complete tmp — the
+    // old existence-gated heal served the partial state as live and
+    // the replayed merge then committed the corruption.
     val nextD = graft.operators.Upsert(spark.read.parquet(dir),
       Seq(Up(5, 1, "e")).toDF(), Seq("k"), "ver")
         .localCheckpoint() // pin: the source files are mutilated next
@@ -285,15 +291,67 @@ class StreamingIngestSpec extends SparkSuite {
     val v6 = v5 + (5L -> ((1L, "e")))
     assert(AtomicPublish.read(spark, dir).get.as[Up].collect()
       .map(u => u.k -> ((u.ver, u.v))).toMap == v6,
-      "read must discard the partial remnant and adopt the complete tmp")
-    assert(fs.exists(new Path(dir, "_SUCCESS")) && !fs.exists(tmp))
+      "read must ignore the partial remnant and serve the complete tmp")
+    assert(fs.exists(new Path(dir)) && fs.exists(tmp),
+      "read must be pure: the remnant and tmp stay as the crash left them")
     val q5 = start()
     try {
       mem.addData(Up(5, 2, "e2"))
       q5.processAllAvailable()
     } finally q5.stop()
     assert(table() == v6 + (5L -> ((2L, "e2"))),
-      "post-heal batch must merge onto the healed state, not the remnant")
+      "post-crash batch must merge onto the tmp state, not the remnant")
+    assert(fs.exists(new Path(dir, "_SUCCESS")) && !fs.exists(tmp) &&
+      !fs.exists(new Path(dir + ".publish-tmp2")),
+      "the replayed batch's publish must complete the swap through the " +
+        "tmp2 aside and consume both aside dirs")
+  }
+
+  test("a reader racing EVERY window of a live publish never destroys " +
+      "the table (round-15 ADVICE high: the heal/publish interleaving)") {
+    // The old reader-side heal deleted the target and renamed the tmp
+    // in while the publisher sat between its marker delete and its
+    // recursive delete — the publisher then destroyed the just-healed
+    // table with the tmp already consumed: total loss. Reads are now
+    // PURE, so the interleaving is driven at both injection points and
+    // must observe correct data while mutating nothing.
+    import spark.implicits._
+    import graft.streaming.AtomicPublish
+    import org.apache.hadoop.fs.Path
+    val dir = s"$root/atomic_publish_race"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snap(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.as[Long].collect().toSet
+    AtomicPublish.publish(Seq(1L, 2L).toDF("v"), dir)
+    assert(snap(AtomicPublish.read(spark, dir).get) === Set(1L, 2L))
+
+    val newState = Seq(1L, 2L, 3L).toDF("v")
+    var sawAfterInvalidate: Set[Long] = null
+    var sawAfterClear: Set[Long] = null
+    AtomicPublish.publishWithHooks(newState, dir,
+      afterInvalidate = () => {
+        // marker gone, old dir still on disk: the reader must resolve
+        // to the complete tmp (the new state) and mutate NOTHING
+        sawAfterInvalidate = snap(AtomicPublish.read(spark, dir).get)
+        assert(fs.exists(new Path(dir)), "reader must not delete the old dir")
+        assert(fs.exists(new Path(dir + ".publish-tmp", "_SUCCESS")),
+          "reader must not consume the tmp mid-publish")
+      },
+      afterClear = () => {
+        // old dir deleted, rename not yet done: same pure tmp read —
+        // under the old heal this was the window that lost the table
+        sawAfterClear = snap(AtomicPublish.read(spark, dir).get)
+        assert(!fs.exists(new Path(dir)))
+        assert(fs.exists(new Path(dir + ".publish-tmp", "_SUCCESS")),
+          "reader must not rename the tmp away from the publisher")
+      })
+    assert(sawAfterInvalidate === Set(1L, 2L, 3L))
+    assert(sawAfterClear === Set(1L, 2L, 3L))
+    assert(snap(AtomicPublish.read(spark, dir).get) === Set(1L, 2L, 3L),
+      "publish must complete despite the racing reader")
+    assert(fs.exists(new Path(dir, "_SUCCESS")) &&
+      !fs.exists(new Path(dir + ".publish-tmp")),
+      "the swap must consume the tmp exactly once")
   }
 
   test("foreachBatch incremental dedup: micro-batches probe a FROZEN " +

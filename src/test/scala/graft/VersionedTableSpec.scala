@@ -155,6 +155,56 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.currentVersion(spark, t) === Some(vs(1)))
   }
 
+  test("two concurrent READ-MODIFY-WRITE publishers lose neither merge " +
+      "(round-15 ADVICE: the lost-update hole)") {
+    val t = s"$root/t9"
+    VersionedTable.publish(df(0L -> "base"), t)
+    // both writers start from the same base; through blind publish the
+    // earlier merge would be silently shadowed — publishRmw's
+    // claim-exactly-base+1 makes the loser rebase and re-merge
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(1L -> "x", 2L -> "y").map { case (k, tag) =>
+      new Thread(() =>
+        try {
+          barrier.await()
+          VersionedTable.publishRmw(spark, t) { baseOpt =>
+            baseOpt.get.unionByName(df(k -> tag))
+          }: Unit
+        } catch { case e: Throwable => errs.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent RMW failed: ${errs.peek()}")
+    val finalState = readMap(VersionedTable.read(spark, t).get)
+    assert(finalState === Map(0L -> "base", 1L -> "x", 2L -> "y"),
+      s"a merge was lost: $finalState")
+    assert(VersionedTable.currentVersion(spark, t).exists(_ >= 3L),
+      "the rebased loser must publish a version above the winner's")
+  }
+
+  test("an abandoned claim wedges RMW with a NAMED error instead of " +
+      "silently dropping a merge") {
+    val t = s"$root/t10"
+    VersionedTable.publish(df(0L -> "base"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's burned claim at base+1, never to be committed
+    fs.create(new Path(s"$t/_v/000000000002.claim"), true).close()
+    val e = intercept[java.io.IOException] {
+      VersionedTable.publishRmw(spark, t, wedgeTimeoutMs = 300L) { baseOpt =>
+        baseOpt.get.unionByName(df(1L -> "x"))
+      }
+    }
+    assert(e.getMessage.contains("wedged") && e.getMessage.contains(".claim"),
+      s"wedge error must name the stale claim: ${e.getMessage}")
+    // recovery: delete the stale claim, RMW proceeds
+    assert(fs.delete(new Path(s"$t/_v/000000000002.claim"), false))
+    VersionedTable.publishRmw(spark, t) { baseOpt =>
+      baseOpt.get.unionByName(df(1L -> "x"))
+    }: Unit
+    assert(readMap(VersionedTable.read(spark, t).get)
+      === Map(0L -> "base", 1L -> "x"))
+  }
+
   test("vacuum drops old versions only; the current one always survives") {
     val t = s"$root/t3"
     (1 to 5).foreach(i => VersionedTable.publish(df(i.toLong -> s"v$i"), t))
