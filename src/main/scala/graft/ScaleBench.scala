@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * by i·10^m (m above the fixture's key ceiling) and applies a
   * per-copy content BIJECTION so cross-copy rows never alias:
   *
-  *  - documents: letters rotated by a per-copy Caesar shift
-  *    (`translate`, 1:1 so lengths and token boundaries hold). Within
+  *  - documents: letters mapped through a per-copy AFFINE permutation
+  *    (`translate`, 1:1 so lengths and token boundaries hold — see
+  *    [[affineTable]]). Within
   *    a copy every dedup/similarity relation is isomorphic to the
   *    base corpus; across copies no shingle matches, so true-pair
   *    volume scales exactly k× — the shape a real crawl grows with
@@ -218,10 +219,16 @@ object ScaleBench {
       }
       false
     }
+    // the noop sink, NOT count(): under count() Catalyst prunes the
+    // final sort for every query and GUTS global-aggregate plans
+    // entirely (q_events_sessions' window never executed — each scan
+    // task emitted a count partial; caught round 16 by the per-task
+    // debug dump). noop evaluates every output column of the full plan.
     def run(name: String, dir: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, dir).count()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
         ((System.nanoTime() - t0) / 1e9, false)
       } catch {
         case t: Throwable if isRefusal(t) =>
@@ -256,6 +263,129 @@ object ScaleBench {
   }
 }
 
+/** SKEW × SCALE measurement (round-15 VERDICT #5: the hub/straggler
+  * story rested only on SkewSoakSpec's listener bound at spec size) —
+  * one hot key absorbing ~20% OF ALL ROWS, at 1× and k× volume:
+  *
+  *  - events: every 5th event lands on ONE user — the hot partition
+  *    of every user-windowed plan (sessionization, interval union);
+  *  - documents: every 5th doc lands in ONE source — the hot block of
+  *    every source-blocked dedup plan (token join, rate report).
+  *
+  * A user-partitioned window is inherently serial per key, so the hot
+  * task's share grows k× with volume — the pass bar is the worst TASK
+  * cost staying ~LINEAR in k (a quadratic per-key term — e.g. an
+  * unguarded within-block self-join — would blow up k²; BandGuard and
+  * the distinct-token join shapes are what keep it linear). Per query
+  * the artifact records wall seconds, the max single-task duration,
+  * and the max per-task shuffle-write records at both volumes, plus
+  * their ratios. Output: target/skewcurve.json.
+  *
+  * Env: SPARK_GRAFT_SCALE_K (default 10), SPARK_GRAFT_SCALE_BASE,
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_ONLY. */
+object SkewBench {
+
+  /** The skewed-corpus transform: re-key ~20% of rows onto one hot
+    * key. Volume, schema, and all other tables are untouched — the
+    * k× skewed corpus is the k× corpus with the SAME key surgery, so
+    * cross-volume ratios isolate the hot key's growth. */
+  def skewify(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    val marker = Paths.get(outDir, "_SKEW_DONE")
+    val stamp = s"$inDir|hot20-r16"
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim == stamp)
+      return
+    val all = ScaleBench.ScaledTables ++ ScaleBench.DimTables
+    for (t <- all) {
+      val base = spark.read.parquet(s"$inDir/$t.parquet")
+      val skewed = t match {
+        case "events" => base.withColumn("user_id",
+          when(col("event_id") % 5 === 0, lit(77L)).otherwise(col("user_id")))
+        case "documents" => base.withColumn("source",
+          when(col("doc_id") % 5 === 0, lit("hotsrc")).otherwise(col("source")))
+        case _ => base
+      }
+      skewed.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The skew-sensitive targets: user-windowed plans (the hot user)
+    * and source-blocked dedup plans (the hot source). */
+  val Targets: Seq[String] = Seq(
+    "q_events_sessions",      // user-partitioned sessionization window
+    "q_interval_union",       // user-partitioned islands merge
+    "q_dedup_exact",          // text hash agg (hot source irrelevant — control)
+    "q_dedup_jaccard",        // source-blocked distinct-token join
+    "q_dedup_rate_by_source") // the per-source report over the same join
+
+  private class TaskStatsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val maxMs = new java.util.concurrent.atomic.AtomicLong
+    val maxRec = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null)
+        maxMs.getAndAccumulate(t.taskInfo.duration, math.max): Unit
+      if (t.taskMetrics != null)
+        maxRec.getAndAccumulate(
+          t.taskMetrics.shuffleWriteMetrics.recordsWritten, math.max): Unit
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val spark = GraftSession.local(cpus)
+
+    ScaleBench.synthesize(spark, baseDir, "target/scale/x1", 1)
+    ScaleBench.synthesize(spark, baseDir, s"target/scale/x$k", k)
+    val s1 = "target/scale/xs1"
+    val sk = s"target/scale/xs$k"
+    skewify(spark, "target/scale/x1", s1)
+    skewify(spark, s"target/scale/x$k", sk)
+
+    def run(name: String, dir: String): (Double, Long, Long) = {
+      val l = new TaskStatsListener
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val t0 = System.nanoTime()
+        // noop sink, not count() — see ScaleBench.run's rationale
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // task-end events post async; drain
+        (sec, l.maxMs.get, l.maxRec.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val targets = Targets.filter(q => only.forall(_.contains(q)))
+    val rows = targets.map { q =>
+      run(q, s1) // discard: JIT + scan cache warm
+      val (t1, ms1, rec1) = run(q, s1)
+      val (tk, msk, reck) = run(q, sk)
+      val r = tk / t1
+      val rms = msk.toDouble / math.max(1L, ms1)
+      println(f"[skew] $q%-24s t1=$t1%7.2fs t$k=$tk%7.2fs ratio=$r%5.2f " +
+        f"maxtask ${ms1}ms -> ${msk}ms (x$rms%4.2f) " +
+        f"maxrec $rec1 -> $reck")
+      f"""\"$q\":{\"t1\":$t1%.3f,\"t$k\":$tk%.3f,\"ratio\":$r%.3f,""" +
+        f"""\"max_task_ms_1\":$ms1,\"max_task_ms_$k\":$msk,""" +
+        f"""\"max_task_ratio\":$rms%.3f,\"max_rec_1\":$rec1,\"max_rec_$k\":$reck}"""
+    }
+    val doc = s"""{"base":"$baseDir","k":$k,"hot_share":0.2,""" +
+      s""""queries":${rows.mkString("{", ",", "}")}}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/skewcurve.json"),
+      doc.getBytes(StandardCharsets.UTF_8))
+    println(doc)
+    spark.stop()
+  }
+}
+
 /** ANSWER verification at scale (round-15 VERDICT #3: "answers are
   * never verified at scale" — ScaleBench measures COST at k×, this
   * asserts CORRECTNESS there). The synthesis bijection makes exact k×
@@ -282,7 +412,6 @@ object ScaleVerify {
   /** Queries whose RESULT ROW COUNT must be exactly k× the base run's
     * (answers are bijection-exact and copy-local). */
   val RowInvariants: Seq[String] = Seq(
-    "q_dedup_exact",       // survivors of exact text dedup
     "q_dedup_substring",   // survivors after containment removal
     "q_dedup_prefix",      // AllPairs prefix-filter pairs (exact)
     "q_dedup_containment", // containment pairs (exact)
@@ -297,6 +426,16 @@ object ScaleVerify {
     * columns must be exactly k× their 1× values. */
   val ValueInvariants: Seq[(String, Seq[String])] = Seq(
     "q_events_sessions" -> Seq("n_sessions", "n_events"))
+
+  /** Queries returning a small grouped summary whose named BIGINT
+    * column must SUM to exactly k× its 1× total (the group keys — a
+    * lang set, a source set — are fixture constants, so row counts
+    * do not scale; the counted population does). */
+  val SumInvariants: Seq[(String, Seq[String])] = Seq(
+    "q_dedup_exact" -> Seq("n_survivors"), // exact-dup survivors per lang
+    // dedup-rate report per source: both the doc denominators and the
+    // near-dup pair volumes must scale k×
+    "q_dedup_rate_by_source" -> Seq("n_docs", "n_pairs"))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
@@ -329,7 +468,24 @@ object ScaleVerify {
         f"""\"$q.$c\":{\"kind\":\"value\",\"n1\":$v1,\"nk\":$vk,\"expected\":${k * v1},\"pass\":$pass}"""
       }
     }
-    val all = rowChecks ++ valChecks
+    val sumChecks = SumInvariants.flatMap { case (q, cols) =>
+      def sums(dir: String): Map[String, Long] = {
+        val agg = SparkEntry.queries(q)(spark, dir)
+          .agg(org.apache.spark.sql.functions.sum(cols.head),
+            cols.tail.map(c => org.apache.spark.sql.functions.sum(c)): _*)
+          .collect()(0)
+        cols.zipWithIndex.map { case (c, i) => c -> agg.getLong(i) }.toMap
+      }
+      val s1 = sums(oneDir)
+      val sk = sums(kDir)
+      cols.map { c =>
+        val pass = sk(c) == k * s1(c)
+        println(f"[scaleverify] $q.$c%-20s sum:   s1=${s1(c)}%8d s$k=${sk(c)}%9d " +
+          f"expected=${k * s1(c)}%9d ${if (pass) "PASS" else "FAIL"}")
+        f"""\"$q.$c\":{\"kind\":\"sum\",\"n1\":${s1(c)},\"nk\":${sk(c)},\"expected\":${k * s1(c)},\"pass\":$pass}"""
+      }
+    }
+    val all = rowChecks ++ valChecks ++ sumChecks
     val allPass = !all.exists(_.contains("\"pass\":false"))
     val doc = s"""{"base":"$baseDir","k":$k,"all_pass":$allPass,""" +
       s""""checks":${all.mkString("{", ",", "}")}}"""

