@@ -270,6 +270,17 @@ object TextOps extends QueryPack {
         .groupBy(col("id")).agg(min(col("comp")).as("comp")),
         ckpt, eager = false)
     }
+    // Per-round fixpoint probing. Round 16 A/B'd BOTH of the verdict's
+    // stage-trim levers with graft.StageCount and REJECTED both:
+    //  - stride-2 jump: 44 → 53 stages, zero rounds saved (above);
+    //  - probe cadence 2 (two rounds per probe): stage-NEUTRAL on the
+    //    registry graph (under AQE each shuffle stage is its own job,
+    //    so merging probe actions saves only the probe aggregations)
+    //    and up to TWO EXTRA ROUNDS on graphs converging at odd
+    //    parity — q_dedup_editdist_e2e's components pass regressed
+    //    +64% in the round-16 bench before this was reverted.
+    // The ~44-stage shape is the query's real cost; the loop stays
+    // per-round probed.
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
@@ -278,27 +289,16 @@ object TextOps extends QueryPack {
         throw new IllegalStateException(
           s"connectedComponents still unconverged after $rounds rounds " +
             "(label sum decreasing) — pathological input?")
-      // PROBE CADENCE 2 (round-16, VERDICT r15 #10): two update rounds
-      // chain into ONE fixpoint-probe action — the lazy checkpoints
-      // materialize transitively when the probe runs, so the scheduler
-      // sees one job where the per-round probing of rounds ≤ 15 paid
-      // two (measured: 44 → 31 jobs on the sf0.1 registry graph). The
-      // label sums are monotone non-increasing per node, so a block
-      // with no sum decrease means BOTH rounds were no-ops — the same
-      // fixpoint, detected two rounds at a time, at worst one
-      // already-converged round of extra compute.
       val prev = labels
-      val mid = step(labels)
-      labels = step(mid)
+      labels = step(labels)
       prevSum = curSum
-      // the probe materializes the two lazy checkpoints; only THEN is
-      // the superseded storage (node-count-sized each) dead — the
+      // the probe materializes the lazy checkpoint; only THEN is the
+      // superseded round's storage (node-count-sized each) dead — the
       // release must stay after the action, or the new state would
       // recompute from an already-freed lineage-less checkpoint
       curSum = labelSum(labels)
       Ckpt.release(prev, ckpt)
-      Ckpt.release(mid, ckpt)
-      rounds += 2
+      rounds += 1
     }
     Ckpt.release(edges, ckpt)
     labels
