@@ -69,6 +69,19 @@ object BandGuard {
   /** Marker string of the refusal error, pinned by ExactCapSpec. */
   val ExactCapError = "GRAFT_EXACT_BLOCK_CAP"
 
+  /** True when `t`'s cause chain carries [[ExactCapError]] — the
+    * designed refusal of an exact member, not a crash (the scale
+    * harnesses record it as a measured outcome). */
+  def isRefusal(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.getMessage != null && c.getMessage.contains(ExactCapError))
+        return true
+      c = c.getCause
+    }
+    false
+  }
+
   /** Refusal guard for EXACT all-pairs self-joins (round 15, VERDICT
     * r14 weak marks): unlike the hub-star degrade above — which is
     * sound for candidate generation because downstream transitive
@@ -92,7 +105,9 @@ object BandGuard {
     * always do, in their join condition — cannot prune the check
     * away. Call sites: q_sim_join and q_dedup_embed (SimOps.scala);
     * both behaviors pinned by ExactCapSpec. */
-  def exactBlockGuard(df: DataFrame, block: String, cap: Int): DataFrame = {
+  def exactBlockGuard(df: DataFrame, block: String, cap: Int,
+      twins: String =
+        "q_dedup_embed_e2e / q_dedup_semantic / q_sim_knn_join"): DataFrame = {
     val w = Window.partitionBy(col(block))
     df.withColumn("__bsz", count(lit(1)).over(w))
       .withColumn(block,
@@ -100,8 +115,7 @@ object BandGuard {
           lit(s"$ExactCapError: block "), col(block).cast("string"),
           lit(" holds "), col("__bsz").cast("string"),
           lit(s" rows > cap $cap — exact all-pairs refused; use the " +
-            "guarded twins (q_dedup_embed_e2e / q_dedup_semantic / " +
-            "q_sim_knn_join)"))))
+            s"guarded twins ($twins)"))))
           .otherwise(col(block)))
       .drop("__bsz")
   }

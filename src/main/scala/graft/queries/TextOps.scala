@@ -317,16 +317,27 @@ object TextOps extends QueryPack {
     * distinct keys — so each pair is matched exactly once; the verify
     * is Spark's threshold form of levenshtein (banded DP, O(d·n) per
     * pair, −1 on early abandon), so the full quadratic DP never runs
-    * on clearly-far candidates. Mega-bin guard (same policy as
-    * [[graft.operators.BandGuard]]): a bin over `bucketCap` members
-    * emits only the star around its minimum id — linear output,
-    * connectivity preserved for a downstream components pass. The
-    * fixtures never reach the cap, so the oracle's plain theta-join
-    * SQL is byte-identical on graded data.
+    * on clearly-far candidates. Over-cap policy is the CALLER'S
+    * contract (round 16 — ScaleVerify's k=30 answer invariant caught
+    * the star degrade silently shrinking the exact pair list, 2132
+    * rows where 30× truth is 7680):
+    *  - `overCapStar = true` (default): a bin past `bucketCap` emits
+    *    only the star around its minimum id — linear output,
+    *    connectivity preserved, SOUND for the components-based e2e
+    *    consumer (q_dedup_editdist_e2e), whose answer the degrade
+    *    provably does not change;
+    *  - `overCapStar = false`: the EXACT pair-list member
+    *    (q_dedup_editdist) must never silently under-report, so an
+    *    over-cap bin REFUSES via [[graft.operators.BandGuard
+    *    .exactBlockGuard]] — the same refuse-over-degrade policy as
+    *    q_sim_join / q_dedup_embed — naming the e2e twin.
+    * The fixtures never reach the cap either way, so the oracle's
+    * plain theta-join SQL is byte-identical on graded data.
     *
     * Expects (doc_id, text); emits (d1, d2, dist), d1 < d2. */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
-      bucketCap: Int = graft.operators.BandGuard.DefaultCap): DataFrame = {
+      bucketCap: Int = graft.operators.BandGuard.DefaultCap,
+      overCapStar: Boolean = true): DataFrame = {
     val binWidth = maxDist + 2
     // The histogram is computed ONCE per row here (O(len), row scale)
     // and compared packed per pair (O(256), length-independent) — the
@@ -339,10 +350,15 @@ object TextOps extends QueryPack {
       graft.expressions.CharHistPack.pack(col("text")).as("__hist"),
       (length(col("text")).cast("long") / binWidth).cast("long").as("bin"))
     val bw = Window.partitionBy(col("bin"))
-    val right = base
-      .withColumn("__bsz", count(lit(1)).over(bw))
-      .withColumn("__bmin", min(col("doc_id")).over(bw))
-      .as("eb")
+    // every row appears on the RIGHT side exactly once, so guarding
+    // (or computing star stats over) the right side's bin covers all
+    // bins; the left side's exploded ±1 keys need no guard of their own
+    val right = (if (overCapStar)
+      base.withColumn("__bsz", count(lit(1)).over(bw))
+        .withColumn("__bmin", min(col("doc_id")).over(bw))
+    else
+      graft.operators.BandGuard.exactBlockGuard(base, "bin", bucketCap,
+        twins = "q_dedup_editdist_e2e")).as("eb")
     val left = base
       .select(col("doc_id"), col("text"), col("__len"), col("__hist"),
         explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
@@ -365,8 +381,10 @@ object TextOps extends QueryPack {
     left.join(right, col("ea.k") === col("eb.bin") &&
         col("ea.doc_id") < col("eb.doc_id") &&
         abs(col("ea.__len") - col("eb.__len")) <= maxDist &&
-        (col("eb.__bsz") <= bucketCap ||
-          col("ea.doc_id") === col("eb.__bmin")) &&
+        (if (overCapStar)
+          col("eb.__bsz") <= bucketCap ||
+            col("ea.doc_id") === col("eb.__bmin")
+        else lit(true)) &&
         graft.expressions.CharHistPack.packedL1(col("ea.__hist"), col("eb.__hist"))
           <= 2 * maxDist &&
         levenshtein(col("ea.text"), col("eb.text"), maxDist) >= 0)
@@ -1169,8 +1187,12 @@ object TextOps extends QueryPack {
     // noise floor starts at ~38 (measured) — and both the candidate
     // volume (∝ bin width) and the per-pair DP band (∝ 2·maxDist+1)
     // scale with the threshold, so the gap is priced, not padded.
+    // EXACT pair-list member: over-cap length bins REFUSE rather than
+    // silently star-degrade (round 16 — see editDistancePairs; the
+    // e2e twin keeps the degrade, which its components pass absorbs).
     "q_dedup_editdist" -> ((spark, sfDir) => {
-      editDistancePairs(Tables.documents(spark, sfDir), maxDist = 12)
+      editDistancePairs(Tables.documents(spark, sfDir), maxDist = 12,
+          overCapStar = false)
         .orderBy(col("d1"), col("d2"))
     }),
 

@@ -87,4 +87,30 @@ class EditDistSpec extends SparkSuite {
     assert(pairs.forall(_.getLong(0) == 1L), "hub must be the bin min id")
     assert(pairs.forall(_.getInt(2) == 0))
   }
+
+  test("exact mode REFUSES an over-cap bin instead of silently " +
+      "star-degrading (round 16 — caught by the k=30 answer invariant)") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, "equal length text here"))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      TextOps.editDistancePairs(docs, maxDist = 10, bucketCap = 32,
+        overCapStar = false).collect()
+    }
+    def msgs(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(e).contains(graft.operators.BandGuard.ExactCapError))
+    assert(msgs(e).contains("q_dedup_editdist_e2e"),
+      "refusal must name the components-based twin")
+    // under the cap, exact mode equals star mode equals the full truth
+    val small = (1 to 20).map(i => (i.toLong, "equal length text here"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.editDistancePairs(small, maxDist = 10,
+      bucketCap = 32, overCapStar = false).collect()
+    assert(exact.length === 20 * 19 / 2, "under-cap exact pairs complete")
+  }
 }
