@@ -83,9 +83,23 @@ object Bench {
     }
     val calibStart = calibrate()
     val calib2Start = calibrate2()
+    // Default action is count() — every BENCH_r* artifact since round
+    // 1 measured it, and benchguard's round-over-round gate needs the
+    // action held constant. count() is a KNOWN under-measure for some
+    // plans (Catalyst prunes final sorts everywhere and guts
+    // global-aggregate plans — round-16 finding, see ScaleBench.run);
+    // SPARK_GRAFT_BENCH_ACTION=noop opts into the full-plan noop sink
+    // for methodology A/Bs, whose artifacts must never be compared
+    // against count-action artifacts.
+    val noopAction = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("noop")
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { selected(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        val df = selected(name)(spark, sfDir)
+        if (noopAction) df.write.mode("overwrite").format("noop").save()
+        else df.count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -202,7 +216,7 @@ object Bench {
     val isoDetail = isolated.map { case (k, v) =>
       s"\"$k\":{\"sec\":${v.sec},\"load_before\":${v.loadBefore},\"load_after\":${v.loadAfter},\"contended\":${v.contended}}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isoSec)},"isolated_detail":$isoDetail,"best_total":$bestTotal,"calib_sec":$calibSec,"calib2_sec":$calib2Sec,"nproc":$nproc,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"steady":${json(steady)},"steady_total":$steadyTotal,"isolated":${json(isoSec)},"isolated_detail":$isoDetail,"best_total":$bestTotal,"calib_sec":$calibSec,"calib2_sec":$calib2Sec,"nproc":$nproc,"action":"${if (noopAction) "noop" else "count"}","sf":"$sfDir"}"""
     // The driver's artifact keeps only a stdout tail, which has truncated
     // the per-query map three rounds running — the file twin is the
     // durable copy a grader can always read in full. Every run ALSO
@@ -213,11 +227,12 @@ object Bench {
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd_HHmmss")
         .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
-      val suffix = if (only.isDefined) "_subset" else ""
+      val suffix = (if (only.isDefined) "_subset" else "") +
+        (if (noopAction) "_noop" else "")
       val stamped = java.nio.file.Paths.get(s"target/bench_$stamp$suffix.json")
       java.nio.file.Files.createDirectories(stamped.getParent)
       java.nio.file.Files.write(stamped, line.getBytes("UTF-8"))
-      if (only.isEmpty)
+      if (only.isEmpty && !noopAction)
         java.nio.file.Files.write(
           java.nio.file.Paths.get("target/bench.json"), line.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
