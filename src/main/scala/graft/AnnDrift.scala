@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** ANN recall at VOLUME with frozen build-time quantizers (round 17,
+  * VERDICT r16 missing #6 / next #7): the serving index's lifecycle is
+  * train-once + append-forever-until-retrain, and `appendToAnnIndex`'s
+  * scaladoc promises that recall drift — appended vectors straying
+  * from the frozen coarse/PQ quantizers — is "a retrain decision"
+  * measured by the indexEval report. Through round 16 that report was
+  * only ever priced at fixture scale, where nothing has drifted;
+  * this harness measures it at the scale the story exists for:
+  *
+  *  1. train the IVF×PQ quantizers on the 1× corpus (2,000 vectors at
+  *     sf0.1) and build the index — the deployment's day-0 state;
+  *  2. append the remaining (k−1)/k of the k× corpus through the
+  *     frozen-quantizer append path (copies are rotation-isometries,
+  *     so the appended population is exactly the "new content, same
+  *     geometry per copy, decorrelated across copies" shape a growing
+  *     embedding corpus has);
+  *  3. indexEval against exact brute force with probes sampled from
+  *     the FULL k× corpus — the frozen-at-volume recall row;
+  *  4. control: retrain the quantizers on the full k× corpus and eval
+  *     the same probes — what a retrain would buy today.
+  *
+  * The RETRAIN TRIGGER this repo declares: retrain when the periodic
+  * report's recall_at_k falls below 0.9 × the build-time recall
+  * (step 1's own-corpus eval), or when any probe drops below half
+  * recall (n_probes_below_half > 0 on the sampled set). The artifact
+  * records both inputs and whether the trigger fired at k×.
+  *
+  * Env: SPARK_GRAFT_SCALE_K (default 10), SPARK_GRAFT_SCALE_BASE,
+  * SPARK_GRAFT_CPUS. Output: target/anndrift.json (also printed).
+  */
+object AnnDrift {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus)
+
+    val oneDir = "target/scale/x1"
+    val kDir = s"target/scale/x$k"
+    ScaleBench.synthesize(spark, baseDir, oneDir, 1)
+    ScaleBench.synthesize(spark, baseDir, kDir, k)
+
+    val m = 4; val cells = 16; val dim = 64
+    val nprobe = 4; val rerank = 50; val topK = 5
+    def embOf(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val emb1 = embOf(oneDir)
+    val embK = embOf(kDir)
+
+    // day-0 index: quantizers AND payload from the 1× corpus
+    val frozenDir = s"target/scale/ann_frozen_x$k"
+    graft.queries.SimOps.saveAnnIndex(emb1, frozenDir, m, cells, dim)
+
+    // build-time anchor: recall on the index's own corpus
+    def evalWith(dir: String, probes: org.apache.spark.sql.DataFrame) =
+      graft.queries.SimOps.indexEval(spark, dir, probes, m, dim,
+        nprobe, rerank, topK).collect()(0)
+    def probesOf(emb: org.apache.spark.sql.DataFrame, every: Int) =
+      emb.filter(col("vec_id") % every === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val day0 = evalWith(frozenDir, probesOf(emb1, 37))
+
+    // append the (k−1) new copies through the FROZEN quantizers —
+    // copy 0 is the 1× corpus verbatim, so the new population is
+    // exactly the ids the 1× index does not hold
+    graft.queries.SimOps.appendToAnnIndex(spark,
+      embK.join(emb1.select(col("vec_id").as("__old")),
+        col("vec_id") === col("__old"), "left_anti")
+        .select(col("vec_id"), col("embedding")),
+      frozenDir, m, dim)
+
+    // probes sampled from the FULL k× corpus (every copy represented:
+    // the sample stride is coprime to the copy offset)
+    val probesK = probesOf(embK, 251)
+    val frozen = evalWith(frozenDir, probesK)
+
+    // control: quantizers retrained on the full k× corpus
+    val retrainDir = s"target/scale/ann_retrain_x$k"
+    graft.queries.SimOps.saveAnnIndex(embK, retrainDir, m, cells, dim)
+    val retrained = evalWith(retrainDir, probesK)
+
+    def row(r: org.apache.spark.sql.Row): String =
+      f"""{"n_probes":${r.getAs[Long]("n_probes")},""" +
+        f""""recall_at_k":${r.getAs[Double]("recall_at_k")}%.6f,""" +
+        f""""min_recall":${r.getAs[Double]("min_recall")}%.6f,""" +
+        f""""n_probes_below_half":${r.getAs[Long]("n_probes_below_half")}}"""
+    val trigger = frozen.getAs[Double]("recall_at_k") <
+        0.9 * day0.getAs[Double]("recall_at_k") ||
+      frozen.getAs[Long]("n_probes_below_half") > 0
+    val doc = s"""{"base":"$baseDir","k":$k,""" +
+      s""""m":$m,"cells":$cells,"nprobe":$nprobe,"rerank":$rerank,"topk":$topK,""" +
+      s""""day0_1x":${row(day0)},""" +
+      s""""frozen_at_kx":${row(frozen)},""" +
+      s""""retrained_at_kx":${row(retrained)},""" +
+      s""""retrain_trigger":"recall_at_k < 0.9 x day0 (${
+        0.9 * day0.getAs[Double]("recall_at_k")}) or n_probes_below_half > 0",""" +
+      s""""trigger_fired":$trigger}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/anndrift.json"),
+      doc.getBytes(StandardCharsets.UTF_8))
+    println(doc)
+    spark.stop()
+  }
+}

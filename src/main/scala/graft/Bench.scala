@@ -83,15 +83,19 @@ object Bench {
     }
     val calibStart = calibrate()
     val calib2Start = calibrate2()
-    // Default action is count() — every BENCH_r* artifact since round
-    // 1 measured it, and benchguard's round-over-round gate needs the
-    // action held constant. count() is a KNOWN under-measure for some
-    // plans (Catalyst prunes final sorts everywhere and guts
-    // global-aggregate plans — round-16 finding, see ScaleBench.run);
-    // SPARK_GRAFT_BENCH_ACTION=noop opts into the full-plan noop sink
-    // for methodology A/Bs, whose artifacts must never be compared
-    // against count-action artifacts.
-    val noopAction = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("noop")
+    // Default action is the full-plan noop sink (round 17; count-series
+    // EOL declared in BASELINE.md). count() — the action every
+    // BENCH_r1..r16 artifact measured — is a KNOWN under-measure:
+    // Catalyst prunes final sorts everywhere and guts global-aggregate
+    // plans (round-16 finding, quantified at ~24% aggregate /
+    // up to 18x on pure-projection plans — tools/bench_r16c_noop.json
+    // vs bench_r16b_local.json). The noop sink executes the COMPLETE
+    // plan (every column materialized, final sort included) and
+    // discards rows at the sink, so the series now prices what a real
+    // consumer pays. SPARK_GRAFT_BENCH_ACTION=count opts back into the
+    // legacy series for bridge comparisons only; benchguard refuses
+    // cross-action diffs and bridges via tools/bench_r16c_noop.json.
+    val noopAction = !sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -228,11 +232,11 @@ object Bench {
         .ofPattern("yyyyMMdd_HHmmss")
         .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
       val suffix = (if (only.isDefined) "_subset" else "") +
-        (if (noopAction) "_noop" else "")
+        (if (noopAction) "" else "_count")
       val stamped = java.nio.file.Paths.get(s"target/bench_$stamp$suffix.json")
       java.nio.file.Files.createDirectories(stamped.getParent)
       java.nio.file.Files.write(stamped, line.getBytes("UTF-8"))
-      if (only.isEmpty && !noopAction)
+      if (only.isEmpty && noopAction)
         java.nio.file.Files.write(
           java.nio.file.Paths.get("target/bench.json"), line.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

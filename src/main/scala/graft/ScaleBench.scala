@@ -312,10 +312,53 @@ object SkewBench {
     "q_dedup_jaccard",        // source-blocked distinct-token join
     "q_dedup_rate_by_source") // the per-source report over the same join
 
+  /** VIRAL-duplicate-cluster corpus (round 17, VERDICT r16 next #4):
+    * every 5th document's text is replaced by ONE shared boilerplate
+    * string — a duplicate cluster holding 20% of the corpus, the
+    * worst case for banded-LSH members (the whole cluster lands in
+    * the SAME (band, hash) bucket in every band; pair volume inside
+    * it is quadratic in cluster size — m²/2 ≈ 0.5M pairs at 1×,
+    * 50M at 10× — unless BandGuard's hub-star cap holds). Distinct
+    * from the hot-KEY transform above: the skew here is in CONTENT,
+    * invisible to any partitioning key, which is precisely what the
+    * mega-bucket guard exists for. The pass bar at k× volume is the
+    * max single-task cost staying ~linear in k (the cluster crosses
+    * the 4096 cap between 1× — 1,000 members — and 10× — 10,000 —
+    * so the 10× reading measures the guard ACTIVE). */
+  def viralify(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    val marker = Paths.get(outDir, "_VIRAL_DONE")
+    val stamp = s"$inDir|viral20-r17"
+    if (Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim == stamp)
+      return
+    val boiler = (1 to 40).map(i => s"boilerplate token$i clause").mkString(" ")
+    val all = ScaleBench.ScaledTables ++ ScaleBench.DimTables
+    for (t <- all) {
+      val base = spark.read.parquet(s"$inDir/$t.parquet")
+      val out = t match {
+        case "documents" => base.withColumn("text",
+          when(col("doc_id") % 5 === 0, lit(boiler)).otherwise(col("text")))
+        case _ => base
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The banded-LSH members the viral cluster stresses, plus the
+    * exact-dedup control (a viral EXACT cluster map-side-combines in
+    * the hash aggregate — it should stay flat by construction). */
+  val ViralTargets: Seq[String] = Seq(
+    "q_dedup_exact",   // control: min(struct) hash agg collapses the cluster
+    "q_dedup_minhash", // banded signature join through BandGuard
+    "q_dedup_e2e")     // candidates → verify → components → survivors
+
   private class TaskStatsListener
       extends org.apache.spark.scheduler.SparkListener {
     val maxMs = new java.util.concurrent.atomic.AtomicLong
     val maxRec = new java.util.concurrent.atomic.AtomicLong
+    val nEnded = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       if (t.taskInfo != null)
@@ -323,6 +366,23 @@ object SkewBench {
       if (t.taskMetrics != null)
         maxRec.getAndAccumulate(
           t.taskMetrics.shuffleWriteMetrics.recordsWritten, math.max): Unit
+      nEnded.incrementAndGet(): Unit
+    }
+
+    /** Task-end events post on the async listener bus — a fixed sleep
+      * can read the counters while events are still arriving on a
+      * loaded box, silently under-reporting the exact metrics the skew
+      * bar judges (round 17, ADVICE r16 low). Poll until the event
+      * count is STABLE across two consecutive checks (bounded at 10 s;
+      * the action has already returned, so only queued events remain). */
+    def drain(): Unit = {
+      var prev = -1L
+      var waited = 0L
+      while (nEnded.get != prev && waited < 10000L) {
+        prev = nEnded.get
+        Thread.sleep(250)
+        waited += 250
+      }
     }
   }
 
@@ -349,16 +409,15 @@ object SkewBench {
         SparkEntry.queries(name)(spark, dir)
           .write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500) // task-end events post async; drain
+        l.drain() // poll until the async bus goes quiet (see drain)
         (sec, l.maxMs.get, l.maxRec.get)
       } finally spark.sparkContext.removeSparkListener(l)
     }
 
-    val targets = Targets.filter(q => only.forall(_.contains(q)))
-    val rows = targets.map { q =>
-      run(q, s1) // discard: JIT + scan cache warm
-      val (t1, ms1, rec1) = run(q, s1)
-      val (tk, msk, reck) = run(q, sk)
+    def measure(q: String, d1: String, dk: String): String = {
+      run(q, d1) // discard: JIT + scan cache warm
+      val (t1, ms1, rec1) = run(q, d1)
+      val (tk, msk, reck) = run(q, dk)
       val r = tk / t1
       val rms = msk.toDouble / math.max(1L, ms1)
       println(f"[skew] $q%-24s t1=$t1%7.2fs t$k=$tk%7.2fs ratio=$r%5.2f " +
@@ -368,8 +427,19 @@ object SkewBench {
         f"""\"max_task_ms_1\":$ms1,\"max_task_ms_$k\":$msk,""" +
         f"""\"max_task_ratio\":$rms%.3f,\"max_rec_1\":$rec1,\"max_rec_$k\":$reck}"""
     }
+    val targets = Targets.filter(q => only.forall(_.contains(q)))
+    val rows = targets.map(q => measure(q, s1, sk))
+    // viral duplicate cluster over the banded members (round 17)
+    val v1 = "target/scale/xv1"
+    val vk = s"target/scale/xv$k"
+    viralify(spark, "target/scale/x1", v1)
+    viralify(spark, s"target/scale/x$k", vk)
+    val viralRows = ViralTargets.filter(q => only.forall(_.contains(q)))
+      .map(q => measure(q, v1, vk))
     val doc = s"""{"base":"$baseDir","k":$k,"hot_share":0.2,""" +
-      s""""queries":${rows.mkString("{", ",", "}")}}"""
+      s""""queries":${rows.mkString("{", ",", "}")},""" +
+      s""""viral_share":0.2,""" +
+      s""""viral":${viralRows.mkString("{", ",", "}")}}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/skewcurve.json"),
       doc.getBytes(StandardCharsets.UTF_8))
@@ -412,7 +482,13 @@ object ScaleVerify {
     "q_dedup_ngram",       // n-gram Jaccard pairs above threshold
     "q_dedup_components",  // members of duplicate components
     "q_er_match",          // matched dirty records (OffCust ≡ 0 mod 3)
-    "q_er_survivorship")   // golden records, one per entity key
+    "q_er_survivorship",   // golden records, one per entity key
+    // round 17 (VERDICT r16 next #3 — the editdist lesson: answer
+    // checks find what cost curves cannot)
+    "q_dedup_substring_clean", // one rebuilt doc per input doc
+    "q_win_sessionize",        // one row per (user, session) — copy-local
+    "q_events_streak",         // one row per active user — copy-local
+    "q_pareto_share")          // one row per order through GlobalRank
 
   /** Queries returning ONE global-aggregate row; the named BIGINT
     * columns must be exactly k× their 1× values. */
@@ -420,14 +496,47 @@ object ScaleVerify {
     "q_events_sessions" -> Seq("n_sessions", "n_events"))
 
   /** Queries returning a small grouped summary whose named BIGINT
-    * column must SUM to exactly k× its 1× total (the group keys — a
-    * lang set, a source set — are fixture constants, so row counts
-    * do not scale; the counted population does). */
+    * columns must SUM to exactly k× their 1× totals (the group keys —
+    * a lang set, a source set, a decile id — are fixture constants, so
+    * row counts do not scale; the counted population does). */
   val SumInvariants: Seq[(String, Seq[String])] = Seq(
-    "q_dedup_exact" -> Seq("n_survivors"), // exact-dup survivors per lang
-    // dedup-rate report per source: both the doc denominators and the
-    // near-dup pair volumes must scale k×
-    "q_dedup_rate_by_source" -> Seq("n_docs", "n_pairs"))
+    "q_win_sessionize" -> Seq("n_events"),  // session events cover the input
+    "q_events_streak" -> Seq("n_streaks"),  // islands are copy-local
+    // the GlobalRank decile report must cover every doc exactly once:
+    // a dropped range partition or a double-counted offset shows here
+    "q_text_curriculum" -> Seq("n_docs", "sum_chars"))
+
+  /** Grouped invariants (round 17 — strictly stronger than the sum
+    * form these queries carried through r16): per GROUP, the named
+    * BIGINT columns must be exactly k× their 1× values, and the group
+    * key sets must be identical at both scales. Copies preserve lang /
+    * source / decile populations exactly (affine translate keeps
+    * lengths; sources and langs are copied verbatim; the doc count is
+    * 10-divisible at both scales so decile boundaries land on tie-free
+    * multiples of the copy count). */
+  val GroupedInvariants: Seq[(String, String, Seq[String])] = Seq(
+    ("q_dedup_exact", "lang", Seq("n_survivors")),
+    ("q_dedup_rate_by_source", "source", Seq("n_docs", "n_pairs")),
+    ("q_text_curriculum", "decile", Seq("n_docs")))
+
+  /** Max block population of a refusable exact member's blocking key
+    * at `dir`, with the member's cap — the arithmetic that decides
+    * whether a k× refusal is EXPECTED (round 17, ADVICE r16 medium:
+    * scoring ANY refusal as PASS would auto-certify the exact
+    * bug class this verifier exists to catch, e.g. a bijection
+    * regression collapsing copies into one oversized block). Blocks
+    * here are length bins and the affine translate preserves lengths,
+    * so a 1× bin of m rows holds exactly m·k at k× — the refusal is
+    * expected iff maxBlock·k > cap and a bug iff not. */
+  val RefusalArith: Map[String, (SparkSession, String) => (Long, Int)] = Map(
+    // binWidth = maxDist + 2 = 14 for the registry's maxDist = 12
+    // (TextOps.editDistancePairs); cap = BandGuard.DefaultCap
+    "q_dedup_editdist" -> ((spark, dir) => {
+      val mx = graft.Tables.documents(spark, dir)
+        .groupBy((length(col("text")).cast("long") / 14).cast("long").as("bin"))
+        .count().agg(max(col("count"))).collect()(0).getLong(0)
+      (mx, graft.operators.BandGuard.DefaultCap)
+    }))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
@@ -441,9 +550,11 @@ object ScaleVerify {
     ScaleBench.synthesize(spark, baseDir, kDir, k)
 
     // an exact member REFUSING on an over-cap block at kx is its
-    // designed scale behavior, recorded as such — the invariant it
-    // retires is "never a silently shrunk exact answer", which the
-    // refusal upholds by construction
+    // designed scale behavior — but only when the refusal is
+    // ARITHMETICALLY EXPECTED from the 1× run (ADVICE r16 medium: an
+    // unconditional refusal-PASS would auto-certify a scale bug that
+    // inflates block sizes, the exact aliasing class this verifier
+    // caught in round 16). RefusalArith supplies the expectation.
     def countOr(q: String, dir: String): Option[Long] =
       try Some(SparkEntry.queries(q)(spark, dir).count())
       catch {
@@ -457,8 +568,21 @@ object ScaleVerify {
             f"expected=${k * a}%9d ${if (pass) "PASS" else "FAIL"}")
           f"""\"$q\":{\"kind\":\"rows\",\"n1\":$a,\"nk\":$b,\"expected\":${k * a},\"pass\":$pass}"""
         case (Some(a), None) =>
-          println(f"[scaleverify] $q%-22s rows: n1=$a%8d n$k=REFUSED(cap) PASS")
-          f"""\"$q\":{\"kind\":\"rows\",\"n1\":$a,\"refused\":true,\"pass\":true}"""
+          RefusalArith.get(q) match {
+            case Some(arith) =>
+              val (maxBlock, cap) = arith(spark, oneDir)
+              val pass = maxBlock * k > cap
+              val why = if (pass) s"expected (${maxBlock}·$k > $cap)"
+                else s"UNEXPECTED (${maxBlock}·$k <= $cap — block inflation bug?)"
+              println(f"[scaleverify] $q%-22s rows: n1=$a%8d n$k=REFUSED(cap) " +
+                f"$why ${if (pass) "PASS" else "FAIL"}")
+              f"""\"$q\":{\"kind\":\"rows\",\"n1\":$a,\"refused\":true,""" +
+                f"""\"max_block_1\":$maxBlock,\"cap\":$cap,\"expected_refusal\":$pass,\"pass\":$pass}"""
+            case None =>
+              println(f"[scaleverify] $q%-22s rows: n1=$a%8d n$k=REFUSED(cap) " +
+                "but no refusal arithmetic declared for this query FAIL")
+              f"""\"$q\":{\"kind\":\"rows\",\"n1\":$a,\"refused\":true,\"expected_refusal\":false,\"pass\":false}"""
+          }
         case _ =>
           println(f"[scaleverify] $q%-22s REFUSED at 1x (cap below fixture scale) FAIL")
           f"""\"$q\":{\"kind\":\"rows\",\"refused_1\":true,\"pass\":false}"""
@@ -493,7 +617,76 @@ object ScaleVerify {
         f"""\"$q.$c\":{\"kind\":\"sum\",\"n1\":${s1(c)},\"nk\":${sk(c)},\"expected\":${k * s1(c)},\"pass\":$pass}"""
       }
     }
-    val all = rowChecks ++ valChecks ++ sumChecks
+    // Grouped invariants: per group key, every named count exactly k×,
+    // and the key sets identical at both scales.
+    val groupChecks = GroupedInvariants.flatMap { case (q, key, cols) =>
+      def byKey(dir: String): Map[String, Map[String, Long]] =
+        SparkEntry.queries(q)(spark, dir).collect().map { r =>
+          String.valueOf(r.getAs[Any](key)) ->
+            cols.map(c => c -> r.getAs[Long](c)).toMap
+        }.toMap
+      val m1 = byKey(oneDir)
+      val mk = byKey(kDir)
+      val keysMatch = m1.keySet == mk.keySet
+      val keyCheck = {
+        println(f"[scaleverify] $q.$key%-20s groups: " +
+          f"${m1.size} vs ${mk.size} ${if (keysMatch) "PASS" else "FAIL"}")
+        f"""\"$q.$key.groups\":{\"kind\":\"groupkeys\",\"n1\":${m1.size},\"nk\":${mk.size},\"pass\":$keysMatch}"""
+      }
+      val cellChecks = cols.map { c =>
+        val bad = m1.keySet.intersect(mk.keySet)
+          .filter(g => mk(g)(c) != k * m1(g)(c))
+        val pass = keysMatch && bad.isEmpty
+        println(f"[scaleverify] $q.$c%-20s per-$key: " +
+          f"${m1.size - bad.size}/${m1.size} groups exact-k× " +
+          f"${if (pass) "PASS" else s"FAIL (${bad.take(3).mkString(",")})"}")
+        f"""\"$q.$c.by_$key\":{\"kind\":\"grouped\",\"groups\":${m1.size},\"bad\":${bad.size},\"pass\":$pass}"""
+      }
+      keyCheck +: cellChecks
+    }
+    // GlobalRank prefix-sum exactness at volume: the cumulative share
+    // of the LAST element must be exactly 1.0 (cum == total as equal
+    // decimals, whose double division is exactly 1.0) — a dropped or
+    // doubled partition offset in the two-pass running sum breaks it.
+    val unitChecks = Seq(oneDir -> "1", kDir -> s"$k").map { case (dir, tag) =>
+      val mx = SparkEntry.queries("q_pareto_share")(spark, dir)
+        .agg(max(col("cum_share"))).collect()(0).getDouble(0)
+      val pass = mx == 1.0
+      println(f"[scaleverify] q_pareto_share.max@${tag}x       unit: " +
+        f"max(cum_share)=$mx%.17f ${if (pass) "PASS" else "FAIL"}")
+      f"""\"q_pareto_share.unit_$tag\":{\"kind\":\"unit\",\"max\":$mx,\"pass\":$pass}"""
+    } :+ {
+      // per-priority variant: every group's final share must be 1.0
+      val mn = SparkEntry.queries("q_pareto_by_priority")(spark, kDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("cum_share")).as("mx"))
+        .agg(min(col("mx"))).collect()(0).getDouble(0)
+      val pass = mn == 1.0
+      println(f"[scaleverify] q_pareto_by_priority.unit@${k}x  unit: " +
+        f"min-of-group-max(cum_share)=$mn%.17f ${if (pass) "PASS" else "FAIL"}")
+      f"""\"q_pareto_by_priority.unit_$k\":{\"kind\":\"unit\",\"min_of_max\":$mn,\"pass\":$pass}"""
+    }
+    // PageRank mass conservation at volume (VERDICT r16 next #3): with
+    // a symmetrized edge list nothing dangles, so total rank equals
+    // the node count at every iteration up to the per-node
+    // decimal→double close (rel. error ~1e-15/node; a single dropped
+    // node or edge block shifts mass by ≥ the teleport floor 0.15, ten
+    // orders above the bar). Runs the operator on the FULL k× trade
+    // graph — the registry query's top-20 limit hides the mass.
+    val massChecks = Seq(oneDir -> "1", kDir -> s"$k").map { case (dir, tag) =>
+      val edges = graft.queries.Curation.tradeEdges(spark, dir)
+      val n = edges.select(col("src")).distinct().count()
+      val mass = graft.operators.PageRank(edges, iterations = 10)
+        .agg(sum(col("rank").cast(
+          org.apache.spark.sql.types.DecimalType(38, 18))))
+        .collect()(0).getDecimal(0).doubleValue()
+      val pass = math.abs(mass - n) <= 1e-6 * n
+      println(f"[scaleverify] pagerank.mass@${tag}x           mass: " +
+        f"$mass%.9f nodes=$n ${if (pass) "PASS" else "FAIL"}")
+      f"""\"pagerank.mass_$tag\":{\"kind\":\"mass\",\"mass\":$mass,\"nodes\":$n,\"pass\":$pass}"""
+    }
+    val all = rowChecks ++ valChecks ++ sumChecks ++ groupChecks ++
+      unitChecks ++ massChecks
     val allPass = !all.exists(_.contains("\"pass\":false"))
     val doc = s"""{"base":"$baseDir","k":$k,"all_pass":$allPass,""" +
       s""""checks":${all.mkString("{", ",", "}")}}"""

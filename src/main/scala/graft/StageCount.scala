@@ -56,14 +56,26 @@ object StageCount {
     def exec(): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+    // events post on the async listener bus: a fixed sleep can read
+    // the counters mid-drain on a loaded box (ADVICE r16 low) — poll
+    // until the task counter is stable across two consecutive checks
+    def drain(): Unit = {
+      var prev = -1
+      var waited = 0
+      while (tasks.get != prev && waited < 10000) {
+        prev = tasks.get
+        Thread.sleep(250)
+        waited += 250
+      }
+    }
     exec()
     val out = (1 to reps).map { _ =>
-      Thread.sleep(500)
+      drain()
       jobs.set(0); stages.set(0); tasks.set(0); maxMs.set(0); maxRec.set(0)
       val t0 = System.nanoTime()
       exec()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the listener bus drain
+      drain()
       f"""{"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},"max_task_ms":${maxMs.get},"max_shuffle_rec":${maxRec.get},"sec":$sec%.3f}"""
     }
     println(s"""{"query":"$name","sf":"$sfDir","runs":[${out.mkString(",")}]}""")

@@ -129,26 +129,61 @@ object HtmlText {
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
-        // a '/>'-terminated script/style is an EMPTY element: hunting a
-        // '</script' that never comes would silently drop the rest of
-        // the document (round-15 ADVICE). `end` is the index AFTER the
-        // open tag's '>'; whitespace may sit between '/' and '>'.
-        def selfClosed(end: Int): Boolean =
-          end <= n && end >= 2 && html.charAt(end - 1) == '>' && {
-            var k = end - 2
-            while (k >= 0 && Character.isWhitespace(html.charAt(k))) k -= 1
-            k >= 0 && html.charAt(k) == '/'
+        // A '/>'-terminated script/style is treated as an EMPTY
+        // element. This diverges DELIBERATELY from HTML5 in one way
+        // and matches it in another (round 17, ADVICE r16 low):
+        //  - divergence: a real parser IGNORES the self-closing slash
+        //    on non-void elements (<script src="x"/> stays OPEN and a
+        //    browser hunts </script>). Honoring it is the lesser evil
+        //    for a text cleaner — treating the tag as open when no
+        //    close tag follows would silently drop the rest of the
+        //    document (the round-15 EOF-drop bug this predicate
+        //    exists to avoid).
+        //  - spec-matched: an UNQUOTED attribute value consumes a
+        //    trailing '/' (<script data-x=a/> has value "a/" and the
+        //    tag is NOT self-closed), so the '/' only counts when it
+        //    follows the tag name, a bare attribute name, or a quoted
+        //    value end — decided by a forward scan over the tag body.
+        // `tagStart` is the index after the tag name, `end` the index
+        // AFTER the open tag's '>'; whitespace may sit between '/'
+        // and '>' (lenient, like the rest of this degrader).
+        def selfClosed(tagStart: Int, end: Int): Boolean = {
+          if (end > n || end < 2 || html.charAt(end - 1) != '>') return false
+          var k = end - 2
+          while (k >= tagStart && Character.isWhitespace(html.charAt(k))) k -= 1
+          if (k < tagStart || html.charAt(k) != '/') return false
+          // is that '/' inside an unquoted attribute value?
+          var j = tagStart
+          var inUnquoted = false
+          var afterEq = false
+          while (j < k) {
+            val ch = html.charAt(j)
+            if (inUnquoted) {
+              if (Character.isWhitespace(ch)) inUnquoted = false
+            } else if ((ch == '"' || ch == '\'') && afterEq) {
+              var q = j + 1
+              while (q < k && html.charAt(q) != ch) q += 1
+              j = q
+              afterEq = false
+            } else if (ch == '=') afterEq = true
+            else if (!Character.isWhitespace(ch) && afterEq) {
+              inUnquoted = true
+              afterEq = false
+            }
+            j += 1
           }
+          !inUnquoted
+        }
         if (matches(i, "<!--")) i = skipPast(i + 4, "-->")
         else if (matches(i, "<script") &&
           (i + 7 >= n || !Character.isLetterOrDigit(html.charAt(i + 7)))) {
           val end = skipTag(i + 7)
-          i = if (selfClosed(end)) end else skipElement(end, "script")
+          i = if (selfClosed(i + 7, end)) end else skipElement(end, "script")
         }
         else if (matches(i, "<style") &&
           (i + 6 >= n || !Character.isLetterOrDigit(html.charAt(i + 6)))) {
           val end = skipTag(i + 6)
-          i = if (selfClosed(end)) end else skipElement(end, "style")
+          i = if (selfClosed(i + 6, end)) end else skipElement(end, "style")
         }
         else if (i + 1 < n && (Character.isLetter(html.charAt(i + 1)) ||
           html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||

@@ -262,7 +262,15 @@ object VersionedTable {
       (merge: Option[DataFrame] => DataFrame): Long = {
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(vRoot(tableDir))
-    val deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
+    // The wedge deadline measures STALLED time, not total time (round
+    // 17, ADVICE r16 medium): it resets whenever the head advances —
+    // a loser that rebases several times under sustained live
+    // contention is making the protocol's intended progress, and
+    // burning a shared whole-call budget would throw the misleading
+    // "abandoned claim?" error at a perfectly live contender,
+    // directing the operator to delete a claim that is in use. Only
+    // wedgeTimeoutMs with NO head movement is a wedge.
+    var deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
     @scala.annotation.tailrec
     def attempt(): Long = {
       val base = currentVersion(spark, tableDir)
@@ -279,7 +287,8 @@ object VersionedTable {
       }
       if (won && currentVersion(spark, tableDir) != base) {
         // the head moved between our read and our claim: this claim's
-        // number is burned and the merge must rebase
+        // number is burned and the merge must rebase — progress
+        deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
         attempt()
       } else if (won) {
         val baseDf = base.map(v =>
@@ -303,6 +312,8 @@ object VersionedTable {
             "but unpublished (abandoned claim after a writer crash?); " +
             "refusing last-published-wins. Delete " +
             s"${claim(tableDir, next)} to recover.")
+        // the contender published — head movement resets the stall clock
+        deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
         attempt()
       }
     }

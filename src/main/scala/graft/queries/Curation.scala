@@ -22,6 +22,26 @@ import graft.operators.GlobalRank
   */
 object Curation extends QueryPack {
 
+  /** Symmetrized customer–supplier trade edge list (who buys from
+    * whom via lineitem ⋈ orders; node ids namespaced customer = 2k,
+    * supplier = 2k+1 so the bipartite sides never collide). Shared by
+    * q_graph_pagerank and ScaleVerify's k× mass-conservation check.
+    * Lazy localCheckpoint: the mat-vec rounds each re-reference the
+    * edge list — materialize the join build once (the coPurchaseEdges
+    * lesson). */
+  def tradeEdges(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(false)
+  }
+
   override def queries: Map[String, Query] = Map(
     // Deterministic train/val/test split (90/5/5) — the reproducible
     // alternative to rand()-based splitting: bucket = Knuth
@@ -72,19 +92,7 @@ object Curation extends QueryPack {
     // (decimal contribution sums) and PageRankSpec pins known-graph
     // values, mass conservation, and partitioning-independence.
     "q_graph_pagerank" -> ((spark, sfDir) => {
-      val pairs = Tables.lineitem(spark, sfDir)
-        .join(Tables.orders(spark, sfDir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-        // lazy localCheckpoint: ten mat-vec rounds each re-reference
-        // the edge list — materialize the lineitem⋈orders build once
-        // (the coPurchaseEdges lesson)
-        .localCheckpoint(false)
-      graft.operators.PageRank(edges, iterations = 10)
+      graft.operators.PageRank(tradeEdges(spark, sfDir), iterations = 10)
         .orderBy(col("rank").desc, col("id").asc)
         .limit(20)
     }),

@@ -47,6 +47,13 @@ class HtmlExtractSpec extends SparkSuite {
     assert(x("""a<script src="x/">s()</script>b""") === "ab")
     // an OPEN (non-self-closing) tag still drops to the real close
     assert(x("""a<script src="x">s()</script>b""") === "ab")
+    // an UNQUOTED attribute value consumes a trailing '/' per HTML5
+    // (value is "a/", the tag is OPEN) — round 17, ADVICE r16 low
+    assert(x("""a<script data-x=a/>s()</script>b""") === "ab")
+    // ...but a bare attribute NAME before '/>' is still self-closing
+    assert(x("""a<script defer/>b""") === "ab")
+    // and a quoted value directly before '/>' is self-closing
+    assert(x("""a<script src="x" type="t"/>b""") === "ab")
   }
 
   test("attributes skip quote-aware: a '>' inside a quoted value does " +

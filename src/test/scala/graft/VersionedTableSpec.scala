@@ -205,6 +205,46 @@ class VersionedTableSpec extends SparkSuite {
       === Map(0L -> "base", 1L -> "x"))
   }
 
+  test("sustained LIVE contention never wedges: the stall clock resets " +
+      "on every head advance (round-17 ADVICE)") {
+    val t = s"$root/t11"
+    VersionedTable.publish(df(0L -> "base"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def claimP(v: Long) = new Path(f"$t/_v/$v%012d.claim")
+    def vDir(v: Long) = f"$t/_v/$v%012d"
+    def ptrP(v: Long) = new Path(f"$t/_ptr/$v%012d")
+    // A contender that beats the loser to every claim, seven times in
+    // a row: per cycle it holds the claim ~600ms then publishes. The
+    // loser's TOTAL wait (≥ 4.2s of contender sleeps alone) far
+    // exceeds the 2s wedge budget — a whole-call deadline would throw
+    // the misleading "abandoned claim?" error at a live contender —
+    // but every cycle ADVANCES the head, so the stall clock (reset on
+    // progress) never fires. Claim v+1 is created BEFORE ptr v, so
+    // the loser deterministically loses every cycle.
+    val cycles = 2L to 8L
+    fs.create(claimP(cycles.head), false).close()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val contender = new Thread(() =>
+      try for (v <- cycles) {
+        Thread.sleep(600)
+        df(v -> s"c$v").write.mode("overwrite").parquet(vDir(v))
+        if (v < cycles.last) fs.create(claimP(v + 1), false).close()
+        fs.mkdirs(new Path(s"$t/_ptr"))
+        fs.create(ptrP(v), false).close()
+      } catch { case e: Throwable => errs.add(e): Unit })
+    contender.start()
+    val v = VersionedTable.publishRmw(spark, t, wedgeTimeoutMs = 2000L) {
+      baseOpt => baseOpt.get.unionByName(df(99L -> "merge"))
+    }
+    contender.join()
+    assert(errs.isEmpty, s"contender failed: ${errs.peek()}")
+    assert(v === cycles.last + 1,
+      "the loser must publish above the contender's last version")
+    assert(readMap(VersionedTable.read(spark, t).get)
+      === Map(cycles.last -> s"c${cycles.last}", 99L -> "merge"),
+      "the merge must base on the contender's final head")
+  }
+
   test("vacuum drops old versions only; the current one always survives") {
     val t = s"$root/t3"
     (1 to 5).foreach(i => VersionedTable.publish(df(i.toLong -> s"v$i"), t))

@@ -56,6 +56,19 @@ ISO_RE = re.compile(
     r'"load_after":[0-9.eE+-]+,"contended":(true|false)\}')
 CALIB_RE = re.compile(r'"calib_sec":([0-9.eE+-]+)')
 CALIB2_RE = re.compile(r'"calib2_sec":([0-9.eE+-]+)')
+ACTION_RE = re.compile(r'"action":"(\w+)"')
+
+# Round 17: the canonical bench series migrated from count() to the
+# full-plan noop sink (count measurably under-prices projection and
+# global-aggregate plans — up to 18x on q_cast; see BASELINE.md
+# count-series EOL note). Artifacts from the two actions are NOT
+# comparable: a noop-vs-count diff would flag every projection-shaped
+# query as a phantom regression. When the two sides' actions differ the
+# gate automatically swaps the prior for the designated same-action
+# bridge anchor (--bridge-prior, default the committed round-16 noop
+# artifact) and gates noop-vs-noop; if no usable bridge exists it fails
+# loudly rather than emitting meaningless flags.
+DEFAULT_BRIDGE = os.path.join(os.path.dirname(__file__), "bench_r16c_noop.json")
 
 # Round 14: the former ITERATIVE-class special case (normalize the
 # in-session trainers by calib2 instead of calib) is subsumed by the
@@ -66,7 +79,11 @@ CALIB2_RE = re.compile(r'"calib2_sec":([0-9.eE+-]+)')
 
 
 def load_isolated(path):
-    """-> ({query: (sec, contended)}, calib_sec|None, calib2_sec|None)."""
+    """-> ({query: (sec, contended)}, calib_sec|None, calib2_sec|None, action).
+
+    `action` is "count" for artifacts predating the round-16 action
+    stamp — every BENCH_r1..r16 artifact measured count().
+    """
     with open(path) as f:
         raw = f.read()
     try:
@@ -76,15 +93,18 @@ def load_isolated(path):
     if isinstance(doc, dict) and "isolated_detail" in doc:
         return ({q: (v["sec"], v["contended"])
                  for q, v in doc["isolated_detail"].items()},
-                doc.get("calib_sec"), doc.get("calib2_sec"))
+                doc.get("calib_sec"), doc.get("calib2_sec"),
+                doc.get("action", "count"))
     # driver wrapper: regex-recover from the (possibly truncated) tail
     text = doc.get("tail", raw) if isinstance(doc, dict) else raw
     calib = CALIB_RE.search(text)
     calib2 = CALIB2_RE.search(text)
+    action = ACTION_RE.search(text)
     return ({q: (float(sec), flag == "true")
              for q, sec, flag in ISO_RE.findall(text)},
             float(calib.group(1)) if calib else None,
-            float(calib2.group(1)) if calib2 else None)
+            float(calib2.group(1)) if calib2 else None,
+            action.group(1) if action else "count")
 
 
 def waivers(baseline_md):
@@ -101,10 +121,29 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.30)
     ap.add_argument("--baseline-md",
                     default=os.path.join(os.path.dirname(__file__), "..", "BASELINE.md"))
+    ap.add_argument("--bridge-prior", default=DEFAULT_BRIDGE,
+                    help="same-action prior substituted when current/prior "
+                         "actions differ (default: the committed r16 noop anchor)")
     args = ap.parse_args()
 
-    cur, cur_calib, cur_calib2 = load_isolated(args.current)
-    prev, prev_calib, prev_calib2 = load_isolated(args.prior)
+    cur, cur_calib, cur_calib2, cur_action = load_isolated(args.current)
+    prev, prev_calib, prev_calib2, prev_action = load_isolated(args.prior)
+    if cur_action != prev_action:
+        print(f"benchguard: ACTION MISMATCH — current={cur_action} vs "
+              f"prior={prev_action}; these series are not comparable "
+              f"(count under-prices projection plans up to 18x).")
+        if not os.path.exists(args.bridge_prior):
+            print(f"benchguard: no bridge prior at {args.bridge_prior} — "
+                  f"cannot gate", file=sys.stderr)
+            return 1
+        prev, prev_calib, prev_calib2, prev_action = load_isolated(args.bridge_prior)
+        if cur_action != prev_action:
+            print(f"benchguard: bridge prior {args.bridge_prior} is "
+                  f"action={prev_action}, still mismatched — cannot gate",
+                  file=sys.stderr)
+            return 1
+        print(f"benchguard: gating {cur_action}-vs-{cur_action} against the "
+              f"bridge anchor {args.bridge_prior} instead")
     if not cur or not prev:
         print(f"benchguard: no isolated samples parsed "
               f"(current={len(cur)}, prior={len(prev)}) — cannot gate", file=sys.stderr)
