@@ -87,6 +87,17 @@ object AnnDrift {
     graft.queries.SimOps.saveAnnIndex(embK, retrainDir, m, cells, dim)
     val retrained = evalWith(retrainDir, probesK)
 
+    // Serving-budget-scaled rows: at k× volume a FIXED rerank serves
+    // k× less of the corpus, so the unscaled rows conflate candidate
+    // starvation with quantizer drift. Holding the served FRACTION
+    // constant (rerank·k; nprobe unchanged — the cell count is fixed)
+    // isolates what retraining itself buys.
+    def evalScaled(dir: String) =
+      graft.queries.SimOps.indexEval(spark, dir, probesK, m, dim,
+        nprobe, rerank * k, topK).collect()(0)
+    val frozenScaled = evalScaled(frozenDir)
+    val retrainedScaled = evalScaled(retrainDir)
+
     def row(r: org.apache.spark.sql.Row): String =
       f"""{"n_probes":${r.getAs[Long]("n_probes")},""" +
         f""""recall_at_k":${r.getAs[Double]("recall_at_k")}%.6f,""" +
@@ -100,6 +111,8 @@ object AnnDrift {
       s""""day0_1x":${row(day0)},""" +
       s""""frozen_at_kx":${row(frozen)},""" +
       s""""retrained_at_kx":${row(retrained)},""" +
+      s""""frozen_at_kx_scaled_rerank":${row(frozenScaled)},""" +
+      s""""retrained_at_kx_scaled_rerank":${row(retrainedScaled)},""" +
       s""""retrain_trigger":"recall_at_k < 0.9 x day0 (${
         0.9 * day0.getAs[Double]("recall_at_k")}) or n_probes_below_half > 0",""" +
       s""""trigger_fired":$trigger}"""

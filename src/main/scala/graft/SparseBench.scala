@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *    shares and a long rare tail that makes prefixes selective);
   *  - doc lengths 60–179 tokens; everything derived from splitmix64
   *    of (doc, position) — deterministic, no rand(), engine-free;
-  *  - planted near-dups at a 5% rate: doc d with d ≡ 7 (mod 20)
-  *    copies doc d−5 (same source block — sources cycle mod 5) with 3
-  *    token replacements, so unigram Jaccard ≈ (n−3)/(n+3) ≥ 0.8 and
-  *    the planted pair is IN the truth set of both A/B members.
+  *  - planted near-dups at a 5% rate: doc d with d ≡ 27 (mod 40)
+  *    copies doc d−20, and d ≡ 13 (mod 40) copies d−60 — both
+  *    partners share d's source block (sources cycle mod 20, the
+  *    graded fixture's granularity) and NEITHER partner residue is
+  *    itself planted, so plants never chain into one giant cluster;
+  *    3 token replacements keep unigram Jaccard ≈ (n−3)/(n+3) ≥ 0.8,
+  *    so every planted pair is IN the truth set of both A/B members.
   *
   * Answer checks ride along: q_dedup_jaccard and q_dedup_prefix
   * compute the SAME pair set by contract (exact source-blocked
@@ -59,21 +62,28 @@ object SparseBench {
   private def baseTokens(doc: Long): Array[String] =
     Array.tabulate(lenOf(doc))(j => word(doc, j))
 
+  /** Planted-dup partner for `doc`, if any: same source block
+    * (offsets are multiples of 20), non-chaining residues. */
+  def partnerOf(doc: Long): Option[Long] =
+    if (doc % 40 == 27 && doc >= 20) Some(doc - 20)
+    else if (doc % 40 == 13 && doc >= 60) Some(doc - 60)
+    else None
+
   /** One document row: (doc_id, text, lang, source, n_chars). */
   def docRow(doc: Long): (Long, String, String, String, Long) = {
-    val toks =
-      if (doc % 20 == 7 && doc >= 5) {
-        // planted near-dup of doc−5 (same source: sources cycle mod 5)
-        val t = baseTokens(doc - 5)
+    val toks = partnerOf(doc) match {
+      case Some(p) =>
+        val t = baseTokens(p)
         for (i <- 0 until 3)
           t(((splitmix(doc * 31L + i) & 0x7fffffffL) % t.length).toInt) =
             word(doc, 100000 + i)
         t
-      } else baseTokens(doc)
+      case None => baseTokens(doc)
+    }
     val text = toks.mkString(" ")
     val lang = Seq("en", "de", "fr", "es", "zh")(
       ((splitmix(doc * 13L + 3L) & 0x7fffffffL) % 5).toInt)
-    (doc, text, lang, s"src${doc % 5}", text.length.toLong)
+    (doc, text, lang, s"src${doc % 20}", text.length.toLong)
   }
 
   /** Writes `outDir/documents.parquet` with `n` sparse docs (marker-
@@ -81,7 +91,7 @@ object SparseBench {
   def synthesize(spark: org.apache.spark.sql.SparkSession,
       outDir: String, n: Long): Unit = {
     val marker = Paths.get(outDir, "_SPARSE_DONE")
-    val stamp = s"$n|zipf8000-r17"
+    val stamp = s"$n|zipf8000-r17b"
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim == stamp)
       return
@@ -133,9 +143,13 @@ object SparseBench {
       val pre = SparkEntry.queries("q_dedup_prefix")(spark, dir)
       val nJ = jac.count()
       val nP = pre.count()
-      val planted = spark.range(docs)
-        .filter(col("id") % 20 === 7 && col("id") >= 5)
-        .select((col("id") - 5).as("d1"), col("id").as("d2"))
+      val ids = spark.range(docs)
+      val planted = ids
+        .filter(col("id") % 40 === 27 && col("id") >= 20)
+        .select((col("id") - 20).as("d1"), col("id").as("d2"))
+        .unionAll(ids
+          .filter(col("id") % 40 === 13 && col("id") >= 60)
+          .select((col("id") - 60).as("d1"), col("id").as("d2")))
       val nPlanted = planted.count()
       val foundJ = jac.join(planted, Seq("d1", "d2"), "left_semi").count()
       val foundP = pre.join(planted, Seq("d1", "d2"), "left_semi").count()

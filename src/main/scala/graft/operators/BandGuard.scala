@@ -54,9 +54,52 @@ object BandGuard {
   /** Extra join conjunct: all pairs for buckets ≤ cap, hub-star pairs
     * only above it. `a` must be the join alias of the LOWER-id side
     * (the `id < id` convention makes the hub, the bucket minimum,
-    * always the left element of its star pairs). */
+    * always the left element of its star pairs).
+    *
+    * COST CAVEAT (round 17): as a join conjunct this bounds the
+    * OUTPUT, not the ENUMERATION — the equi-join still walks
+    * |bucket|² key-matched pairs inside an over-cap bucket before the
+    * conjunct rejects them, so past the cap the stage cost stays
+    * quadratic in the hot bucket (the k=64 curve measured
+    * q_dedup_editdist_e2e at 157× vs a 64 bar from exactly this).
+    * Self-joins should prefer [[starSelfJoin]], which enumerates
+    * over-cap buckets hub-only; this conjunct remains for CROSS joins
+    * (probe × index), where the enumeration is |bucketA|·|bucketB|
+    * and one side is batch-bounded. */
   def pairCondition(a: String, id: String, cap: Int): Column =
     col(s"$a.__bsz") <= cap || col(s"$a.$id") === col(s"$a.__bmin")
+
+  /** Star-guarded bucket SELF-join with LINEAR enumeration for
+    * over-cap buckets (round 17, the k=64 lesson above): splits the
+    * join into a union —
+    *
+    *  - buckets ≤ cap: all-pairs equi-join, exactly as before;
+    *  - buckets > cap: only the HUB row (the bucket minimum id) joins
+    *    the bucket's members — m−1 enumerated pairs instead of m²/2.
+    *
+    * A pair's bucket is the same on both sides of a self-join, so the
+    * branches partition the pair space and the union equals the
+    * [[pairCondition]] conjunct form row-for-row; both branches read
+    * the same windowed-stats subtree, whose exchange AQE reuses. The
+    * output carries aliases `a` (lower id) and `b`, schema = `stats`
+    * on both sides — callers project/filter after, including the
+    * first-shared-band dedup filter, which commutes with the split
+    * (it references only signature columns).
+    *
+    * @param stats [[withBucketStats]] output (carries __bsz/__bmin)
+    * @param keys  bucket key columns the self-join equates
+    * @param id    unique row id column; pairs are id_a < id_b
+    * @param extra additional join conjuncts over aliases a/b */
+  def starSelfJoin(stats: DataFrame, keys: Seq[String], id: String,
+      cap: Int, extra: Column = lit(true)): DataFrame = {
+    val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val cond = keyCond && col(s"a.$id") < col(s"b.$id") && extra
+    val under = stats.filter(col("__bsz") <= cap)
+    val over = stats.filter(col("__bsz") > cap)
+    val hubs = over.filter(col(id) === col("__bmin"))
+    under.as("a").join(under.as("b"), cond)
+      .unionAll(hubs.as("a").join(over.as("b"), cond))
+  }
 
   /** Block cap for the EXACT all-pairs registry members (q_sim_join,
     * q_dedup_embed). Far above every graded fixture's block population

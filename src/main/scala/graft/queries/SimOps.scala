@@ -90,16 +90,16 @@ object SimOps extends QueryPack {
       .select(col("vec_id"), col("bkts"), col("tbl"),
         element_at(col("bkts"), col("tbl") + 1).as("bucket")),
       "tbl", "bucket", "vec_id")
-    // Buckets above `bucketCap` emit hub-star pairs only (BandGuard) —
-    // a cluster of near-identical vectors stays one component without
-    // its quadratic pair volume.
-    buckets.as("x").join(buckets.as("y"),
-        col("x.tbl") === col("y.tbl") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id") &&
-        BandGuard.pairCondition("x", "vec_id", bucketCap))
-      .filter(col("x.tbl") === FirstEqualIndex(col("x.bkts"), col("y.bkts")))
-      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+    // Buckets above `bucketCap` emit hub-star pairs only — a cluster
+    // of near-identical vectors stays one component without its
+    // quadratic pair volume, and the union-split starSelfJoin keeps
+    // the over-cap ENUMERATION linear too (round 17; A/B at k=64 on
+    // adjacent box states: split 115.9 s / ratio 29.7 vs conjunct
+    // 150.4 s / ratio 40.9 — every 64× bucket holds ~8k > cap
+    // vectors, so the over-cap branch carries the whole corpus there).
+    BandGuard.starSelfJoin(buckets, Seq("tbl", "bucket"), "vec_id", bucketCap)
+      .filter(col("a.tbl") === FirstEqualIndex(col("a.bkts"), col("b.bkts")))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
   }
 
   /** Embedding-space e2e dedup — the vector twin of

@@ -350,19 +350,6 @@ object TextOps extends QueryPack {
       graft.expressions.CharHistPack.pack(col("text")).as("__hist"),
       (length(col("text")).cast("long") / binWidth).cast("long").as("bin"))
     val bw = Window.partitionBy(col("bin"))
-    // every row appears on the RIGHT side exactly once, so guarding
-    // (or computing star stats over) the right side's bin covers all
-    // bins; the left side's exploded ±1 keys need no guard of their own
-    val right = (if (overCapStar)
-      base.withColumn("__bsz", count(lit(1)).over(bw))
-        .withColumn("__bmin", min(col("doc_id")).over(bw))
-    else
-      graft.operators.BandGuard.exactBlockGuard(base, "bin", bucketCap,
-        twins = "q_dedup_editdist_e2e")).as("eb")
-    val left = base
-      .select(col("doc_id"), col("text"), col("__len"), col("__hist"),
-        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
-      .as("ea")
     // The DP test lives INSIDE the join condition, as the LAST
     // conjunct, on purpose: written as a post-projection
     // `.filter(dist >= 0)`, PushPredicateThroughJoin inlines it into
@@ -378,16 +365,48 @@ object TextOps extends QueryPack {
     // re-walk of both texts) rejects nearly every non-dup pair of a
     // same-domain corpus. The output projection re-evaluates
     // levenshtein only on final survivors.
-    left.join(right, col("ea.k") === col("eb.bin") &&
+    def pairJoin(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("ea.k") === col("eb.bin") &&
         col("ea.doc_id") < col("eb.doc_id") &&
         abs(col("ea.__len") - col("eb.__len")) <= maxDist &&
-        (if (overCapStar)
-          col("eb.__bsz") <= bucketCap ||
-            col("ea.doc_id") === col("eb.__bmin")
-        else lit(true)) &&
         graft.expressions.CharHistPack.packedL1(col("ea.__hist"), col("eb.__hist"))
           <= 2 * maxDist &&
         levenshtein(col("ea.text"), col("eb.text"), maxDist) >= 0)
+    val left = base
+      .select(col("doc_id"), col("text"), col("__len"), col("__hist"),
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("k"))
+      .as("ea")
+    // every row appears on the RIGHT side exactly once, so guarding
+    // (or computing star stats over) the right side's bin covers all
+    // bins; the left side's exploded ±1 keys need no guard of their own
+    val joined = if (overCapStar) {
+      // Star degrade as a UNION SPLIT, not a join conjunct (round 17
+      // — the k=64 curve measured this query's e2e consumer at 157×
+      // vs a 64 bar because the conjunct form still ENUMERATED
+      // |bin|² key-matched pairs inside each over-cap bin): under-cap
+      // bins all-pairs against the full exploded left, exactly as
+      // before; an over-cap bin joins only its HUB row (the bin's
+      // min id, whose own exploded keys include the bin) against the
+      // bin's members — m−1 enumerated pairs. Cross-bin pairs whose
+      // RIGHT end sits in an under-cap bin were never star-limited
+      // and stay in the under branch, so the union equals the
+      // conjunct form row-for-row (BandGuard.starSelfJoin doctrine).
+      val stats = base.withColumn("__bsz", count(lit(1)).over(bw))
+        .withColumn("__bmin", min(col("doc_id")).over(bw))
+      val underR = stats.filter(col("__bsz") <= bucketCap)
+        .drop("__bsz", "__bmin").as("eb")
+      val overR = stats.filter(col("__bsz") > bucketCap)
+        .drop("__bsz", "__bmin").as("eb")
+      val hubL = stats
+        .filter(col("__bsz") > bucketCap && col("doc_id") === col("__bmin"))
+        .select(col("doc_id"), col("text"), col("__len"), col("__hist"),
+          col("bin").as("k"))
+        .as("ea")
+      pairJoin(left, underR).unionAll(pairJoin(hubL, overR))
+    } else pairJoin(left,
+      graft.operators.BandGuard.exactBlockGuard(base, "bin", bucketCap,
+        twins = "q_dedup_editdist_e2e").as("eb"))
+    joined
       .select(col("ea.doc_id").as("d1"), col("eb.doc_id").as("d2"),
         levenshtein(col("ea.text"), col("eb.text"), maxDist).as("dist"))
   }
@@ -427,12 +446,10 @@ object TextOps extends QueryPack {
     // be emitted k times; keeping it only at the FIRST shared band
     // dedups inside the join stage — the old `.distinct()` here
     // re-shuffled the raw pair stream (same trap as minhash). Buckets
-    // above `bucketCap` emit hub-star pairs only (BandGuard).
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        BandGuard.pairCondition("a", "doc_id", bucketCap))
+    // above `bucketCap` emit hub-star pairs only, union-split so an
+    // over-cap bucket also ENUMERATES linearly (round 17; see
+    // BandGuard.starSelfJoin).
+    BandGuard.starSelfJoin(banded, Seq("band", "bv"), "doc_id", bucketCap)
       .filter(col("a.band") === FirstEqualIndex(col("a.bvs"), col("b.bvs")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
@@ -497,12 +514,11 @@ object TextOps extends QueryPack {
     // band hashes is generated k times; keeping it only at its FIRST
     // shared band dedups inside the join stage — a `.distinct()` here
     // instead shuffles the raw pair stream (41.8M rows, 22 s at sf0.1).
-    // Buckets above `bucketCap` emit hub-star pairs only (BandGuard).
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        BandGuard.pairCondition("a", "doc_id", bucketCap))
+    // Buckets above `bucketCap` emit hub-star pairs only, via the
+    // union-split starSelfJoin so an over-cap bucket also ENUMERATES
+    // linearly (round 17 — the conjunct form still walked |bucket|²
+    // key matches before rejecting; see BandGuard.starSelfJoin).
+    BandGuard.starSelfJoin(banded, Seq("band", "bh"), "doc_id", bucketCap)
       .filter(col("a.band") === FirstEqualIndex(col("a.bhs"), col("b.bhs")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
   }
