@@ -429,17 +429,100 @@ object SkewBench {
     }
     val targets = Targets.filter(q => only.forall(_.contains(q)))
     val rows = targets.map(q => measure(q, s1, sk))
-    // viral duplicate cluster over the banded members (round 17)
+    // viral duplicate cluster over the banded members (round 17).
+    // Synthesis is guarded on the filter (round 18, ADVICE r17: two
+    // full k×-corpus rewrites are wasted work when SCALE_ONLY keeps
+    // no viral query).
     val v1 = "target/scale/xv1"
     val vk = s"target/scale/xv$k"
-    viralify(spark, "target/scale/x1", v1)
-    viralify(spark, s"target/scale/x$k", vk)
-    val viralRows = ViralTargets.filter(q => only.forall(_.contains(q)))
-      .map(q => measure(q, v1, vk))
+    val viralTargets = ViralTargets.filter(q => only.forall(_.contains(q)))
+    if (viralTargets.nonEmpty) {
+      viralify(spark, "target/scale/x1", v1)
+      viralify(spark, s"target/scale/x$k", vk)
+    }
+    val viralRows = viralTargets.map(q => measure(q, v1, vk))
+
+    // Round 18 (VERDICT r17 next #2): viral-cluster probes for the two
+    // self-joins converted to starSelfJoin this round. Neither's
+    // registry input viralifies through the corpus transform
+    // (q_dedup_semantic reads embeddings; q_multimodal_phash_dedup
+    // synthesizes its media), so each probe drives the OPERATOR with a
+    // 20%-share viral population scaled off the corpus volumes, sized
+    // so the guard ACTIVATES between 1× and k× — the reading that
+    // matters (r17's editdist lesson: under-cap data can't expose an
+    // enumeration asymptote).
+    def runDf(df: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val l = new TaskStatsListener
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        l.drain()
+        (sec, l.maxMs.get, l.maxRec.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def measureDf(label: String,
+        mk: Boolean => org.apache.spark.sql.DataFrame): String = {
+      runDf(mk(false)) // discard: JIT warm
+      val (t1, ms1, rec1) = runDf(mk(false))
+      val (tk, msk, reck) = runDf(mk(true))
+      val r = tk / t1
+      val rms = msk.toDouble / math.max(1L, ms1)
+      println(f"[skew] $label%-24s t1=$t1%7.2fs t$k=$tk%7.2fs ratio=$r%5.2f " +
+        f"maxtask ${ms1}ms -> ${msk}ms (x$rms%4.2f) " +
+        f"maxrec $rec1 -> $reck")
+      f"""\"$label\":{\"t1\":$t1%.3f,\"t$k\":$tk%.3f,\"ratio\":$r%.3f,""" +
+        f"""\"max_task_ms_1\":$ms1,\"max_task_ms_$k\":$msk,""" +
+        f"""\"max_task_ratio\":$rms%.3f,\"max_rec_1\":$rec1,\"max_rec_$k\":$reck}"""
+    }
+    // Semantic dedup: every 5th vector is one shared direction with a
+    // per-id 1e-6 first-coordinate jitter — near-identical (cos ≈ 1,
+    // well above the 0.4 threshold) but DISTINCT, so the lossless
+    // exact-dup pre-collapse cannot absorb the cluster and the whole
+    // thing lands in ONE k-means cell: exactly the |cell|² walk the
+    // r17 verdict flagged. Cells scale with volume (the operator's
+    // documented contract — cluster size stays bounded) so non-viral
+    // cells stay flat and the probe isolates the viral cell;
+    // cellCap 1024 sits between the 1× member count and the k× one.
+    def viralEmb(dir: String) = {
+      val base = expr(
+        "transform(sequence(1, 64), i -> cast(sin(cast(i as double)) as float))")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("embedding",
+          when(col("vec_id") % 5 === 0,
+            concat(
+              array((element_at(base, 1) +
+                (col("vec_id") * lit(1e-6))).cast("float")),
+              slice(base, 2, 63)))
+          .otherwise(col("embedding")))
+    }
+    val memberRows = Seq(
+      measureDf("q_dedup_semantic", atK =>
+        graft.queries.SimOps.semanticDedupSurvivors(
+          viralEmb(if (atK) s"target/scale/x$k" else "target/scale/x1"),
+          k = if (atK) 16 * k else 16, threshold = 0.4, cellCap = 1024)),
+      // pHash dedup: 20% of ids share one base hash ± 2 low bits (all
+      // within Hamming 7 — one viral identical-image cluster), the
+      // rest get xxhash64 noise. 2,000 members at 1× (under the 4096
+      // cap → full all-pairs branch), 2,000·k at k× (over → hub-star).
+      measureDf("q_multimodal_phash_dedup", { atK =>
+        val n = if (atK) 10000L * k else 10000L
+        val ids = spark.range(n).select(col("id").as("media_id"))
+        val hashes = ids.withColumn("phash",
+          when(col("media_id") % 5 === 0,
+            lit(0x5A5A5A5A5A5A5A00L) + pmod(col("media_id"), lit(4)))
+          .otherwise(xxhash64(col("media_id"))))
+        graft.queries.MultimodalPack.phashClusters(hashes,
+          maxHamming = 7, cap = graft.operators.BandGuard.DefaultCap)
+      }))
+
     val doc = s"""{"base":"$baseDir","k":$k,"hot_share":0.2,""" +
       s""""queries":${rows.mkString("{", ",", "}")},""" +
       s""""viral_share":0.2,""" +
-      s""""viral":${viralRows.mkString("{", ",", "}")}}"""
+      s""""viral":${viralRows.mkString("{", ",", "}")},""" +
+      s""""viral_members":${memberRows.mkString("{", ",", "}")}}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/skewcurve.json"),
       doc.getBytes(StandardCharsets.UTF_8))
@@ -529,11 +612,14 @@ object ScaleVerify {
     * so a 1× bin of m rows holds exactly m·k at k× — the refusal is
     * expected iff maxBlock·k > cap and a bug iff not. */
   val RefusalArith: Map[String, (SparkSession, String) => (Long, Int)] = Map(
-    // binWidth = maxDist + 2 = 14 for the registry's maxDist = 12
-    // (TextOps.editDistancePairs); cap = BandGuard.DefaultCap
+    // binWidth comes from the SAME constants the blocking derives it
+    // from (ADVICE r17 — a hardcoded 14 would silently drift if the
+    // registry maxDist changed); cap = BandGuard.DefaultCap
     "q_dedup_editdist" -> ((spark, dir) => {
+      val bw = graft.queries.TextOps.editDistBinWidth(
+        graft.queries.TextOps.EditDistRegistryMaxDist).toLong
       val mx = graft.Tables.documents(spark, dir)
-        .groupBy((length(col("text")).cast("long") / 14).cast("long").as("bin"))
+        .groupBy((length(col("text")).cast("long") / bw).cast("long").as("bin"))
         .count().agg(max(col("count"))).collect()(0).getLong(0)
       (mx, graft.operators.BandGuard.DefaultCap)
     }))

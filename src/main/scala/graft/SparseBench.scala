@@ -18,19 +18,29 @@ import org.apache.spark.sql.functions._
   *    shares and a long rare tail that makes prefixes selective);
   *  - doc lengths 60–179 tokens; everything derived from splitmix64
   *    of (doc, position) — deterministic, no rand(), engine-free;
-  *  - planted near-dups at a 5% rate: doc d with d ≡ 27 (mod 40)
+  *  - planted near-dups at a ≈5% rate: doc d with d ≡ 27 (mod 40)
   *    copies doc d−20, and d ≡ 13 (mod 40) copies d−60 — both
   *    partners share d's source block (sources cycle mod 20, the
   *    graded fixture's granularity) and NEITHER partner residue is
   *    itself planted, so plants never chain into one giant cluster;
-  *    3 token replacements keep unigram Jaccard ≈ (n−3)/(n+3) ≥ 0.8,
-  *    so every planted pair is IN the truth set of both A/B members.
+  *    a plant only happens when the partner carries ≥ 27 DISTINCT
+  *    token types (round 18, ADVICE r17: dedup compares
+  *    distinct-token SETS, so the floor must be argued on types, not
+  *    token count — 3 replacements move ≤ 3 types out of the set and
+  *    ≤ 3 in, hence set-Jaccard ≥ (t−3)/(t+3), which clears 0.8
+  *    exactly when t ≥ 27), so every planted pair is PROVABLY in the
+  *    truth set of both A/B members.
   *
   * Answer checks ride along: q_dedup_jaccard and q_dedup_prefix
   * compute the SAME pair set by contract (exact source-blocked
   * unigram Jaccard ≥ 0.8; the prefix filter is lossless by the
   * Bayardo theorem), so their pair counts must be EQUAL on the sparse
-  * corpus, and both must contain every planted pair.
+  * corpus, and both must contain every planted pair. Round 18
+  * (VERDICT r17 next #7) adds GROUPED invariants for the e2e
+  * consumers: dedupSurvivorsByLang / dedupRateBySource fed the prefix
+  * pairs must be row-identical (symmetric set difference empty) to
+  * the same consumers fed the plain-join reference pairs — and the
+  * artifact carries an all_pass answer verdict.
   *
   * Env: SPARK_GRAFT_SPARSE_N (default 5000), SPARK_GRAFT_SCALE_K
   * (default 10 — the k× corpus holds N·k docs of NEW content, same
@@ -62,12 +72,26 @@ object SparseBench {
   private def baseTokens(doc: Long): Array[String] =
     Array.tabulate(lenOf(doc))(j => word(doc, j))
 
+  /** Minimum distinct-type count a partner must carry for the planted
+    * pair's set-Jaccard floor (t−3)/(t+3) to clear the 0.8 threshold:
+    * (27−3)/(27+3) = 0.8 exactly. */
+  val MinPartnerTypes = 27
+
+  private def typeCount(doc: Long): Int = baseTokens(doc).distinct.length
+
   /** Planted-dup partner for `doc`, if any: same source block
-    * (offsets are multiples of 20), non-chaining residues. */
-  def partnerOf(doc: Long): Option[Long] =
-    if (doc % 40 == 27 && doc >= 20) Some(doc - 20)
-    else if (doc % 40 == 13 && doc >= 60) Some(doc - 60)
-    else None
+    * (offsets are multiples of 20), non-chaining residues. A partner
+    * below [[MinPartnerTypes]] distinct types is skipped (the doc
+    * stays unplanted) so recall over the planted set is a PROVABLE
+    * invariant, not a probabilistic one — the old token-count bound
+    * (n−3)/(n+3) argued the wrong quantity (ADVICE r17). */
+  def partnerOf(doc: Long): Option[Long] = {
+    val p =
+      if (doc % 40 == 27 && doc >= 20) Some(doc - 20)
+      else if (doc % 40 == 13 && doc >= 60) Some(doc - 60)
+      else None
+    p.filter(typeCount(_) >= MinPartnerTypes)
+  }
 
   /** One document row: (doc_id, text, lang, source, n_chars). */
   def docRow(doc: Long): (Long, String, String, String, Long) = {
@@ -91,7 +115,7 @@ object SparseBench {
   def synthesize(spark: org.apache.spark.sql.SparkSession,
       outDir: String, n: Long): Unit = {
     val marker = Paths.get(outDir, "_SPARSE_DONE")
-    val stamp = s"$n|zipf8000-r17b"
+    val stamp = s"$n|zipf8000-r18"
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim == stamp)
       return
@@ -106,10 +130,15 @@ object SparseBench {
   }
 
   val Targets: Seq[String] = Seq(
-    "q_dedup_jaccard", // plain source-blocked token join (exact)
-    "q_dedup_prefix",  // prefix-filtered AllPairs (exact, lossless)
-    "q_dedup_ngram",   // shingle variant
-    "q_dedup_e2e")     // minhash-LSH end-to-end consumer
+    "q_dedup_jaccard",        // plain source-blocked token join (exact)
+    "q_dedup_prefix",         // prefix-filtered AllPairs (exact, lossless)
+    "q_dedup_ngram",          // shingle variant
+    "q_dedup_e2e",            // minhash-LSH end-to-end consumer
+    // the Jaccard e2e consumers, on the prefix plan since round 18
+    // (VERDICT r17 next #1) — their rows ARE the prefix curve at
+    // realistic density
+    "q_dedup_pipeline",
+    "q_dedup_rate_by_source")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SPARSE_N", "5000").toLong
@@ -143,23 +172,46 @@ object SparseBench {
       val pre = SparkEntry.queries("q_dedup_prefix")(spark, dir)
       val nJ = jac.count()
       val nP = pre.count()
-      val ids = spark.range(docs)
-      val planted = ids
-        .filter(col("id") % 40 === 27 && col("id") >= 20)
-        .select((col("id") - 20).as("d1"), col("id").as("d2"))
-        .unionAll(ids
-          .filter(col("id") % 40 === 13 && col("id") >= 60)
-          .select((col("id") - 60).as("d1"), col("id").as("d2")))
+      // built from partnerOf ITSELF (not a residue re-derivation) so
+      // the expected set tracks the generator's type-count floor
+      import spark.implicits._
+      val planted = spark.range(docs).as[Long]
+        .flatMap(d => partnerOf(d).map(p => (p, d)))
+        .toDF("d1", "d2")
       val nPlanted = planted.count()
       val foundJ = jac.join(planted, Seq("d1", "d2"), "left_semi").count()
       val foundP = pre.join(planted, Seq("d1", "d2"), "left_semi").count()
       val dens = nJ.toDouble / (docs.toDouble * (docs - 1) / 2)
+      // GROUPED answer invariants for the e2e consumers (round 18,
+      // VERDICT r17 next #7): the registry consumers (prefix plan
+      // since #1) must produce row-identical GROUP rows to the same
+      // consumer fed the plain-join reference pairs — a strictly
+      // stronger check than the pair-count equality above (a lost
+      // group or a pair migrating between sources passes the count
+      // check but fails here). symmetric difference must be empty.
+      val docsDf = Tables.documents(spark, dir)
+      def groupsDiffer(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Long =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      val plainPairs = graft.queries.TextOps.jaccardPairs(docsDf, 0.8)
+      val prefPairs = graft.queries.TextOps.prefixJaccardPairs(docsDf, 4, 5)
+      val dSurv = groupsDiffer(
+        graft.queries.TextOps.dedupSurvivorsByLang(docsDf, prefPairs),
+        graft.queries.TextOps.dedupSurvivorsByLang(docsDf, plainPairs))
+      val dRate = groupsDiffer(
+        graft.queries.TextOps.dedupRateBySource(docsDf, prefPairs),
+        graft.queries.TextOps.dedupRateBySource(docsDf, plainPairs))
+      val allPass = nJ == nP && foundJ == nPlanted && foundP == nPlanted &&
+        dSurv == 0 && dRate == 0
       println(f"[sparse] answers@$docs: jaccard=$nJ prefix=$nP equal=${nJ == nP} " +
-        f"planted $foundJ/$nPlanted (prefix $foundP) density=$dens%.2e")
+        f"planted $foundJ/$nPlanted (prefix $foundP) density=$dens%.2e " +
+        f"group_diff survivors=$dSurv rate=$dRate all_pass=$allPass")
       f"""{\"n_docs\":$docs,\"jaccard_pairs\":$nJ,\"prefix_pairs\":$nP,""" +
         f"""\"equal\":${nJ == nP},\"planted\":$nPlanted,""" +
         f"""\"planted_found_jaccard\":$foundJ,\"planted_found_prefix\":$foundP,""" +
-        f"""\"pair_density\":$dens%.3e}"""
+        f"""\"pair_density\":$dens%.3e,""" +
+        f"""\"survivors_group_diff\":$dSurv,\"rate_group_diff\":$dRate,""" +
+        f"""\"all_pass\":$allPass}"""
     }
     val a1 = answers(d1, n)
     val ak = answers(dk, n * k)

@@ -255,10 +255,23 @@ object VersionedTable {
     * Retention caveat: `merge`'s input plan scans the base version's
     * files lazily — a concurrent [[vacuum]] must keep enough versions
     * to cover the longest in-flight RMW (same horizon rule as any
-    * concurrent reader). */
+    * concurrent reader).
+    *
+    * WAIT-BOUND SEMANTICS (round 18, ADVICE r17): `wedgeTimeoutMs`
+    * bounds STALLED time only — it resets on every head advance, so
+    * under sustained LIVE contention (the head keeps moving but this
+    * writer keeps losing the claim race) total wait is UNBOUNDED BY
+    * DESIGN: every reset is the protocol making progress, and the
+    * merge will land once a claim is won. Callers that need a bounded
+    * publish latency pass `totalBudgetMs`; exhausting it throws a
+    * 'live contention' error — NAMED DISTINCTLY from the
+    * abandoned-claim wedge, because its recovery is back-off/retry
+    * (or sharding writers), never deleting a contender's claim
+    * file. */
   def publishRmw(spark: SparkSession, tableDir: String,
       wedgeTimeoutMs: Long = 30000L,
-      policy: ClaimPolicy = ClaimPolicy.Linearized)
+      policy: ClaimPolicy = ClaimPolicy.Linearized,
+      totalBudgetMs: Option[Long] = None)
       (merge: Option[DataFrame] => DataFrame): Long = {
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(vRoot(tableDir))
@@ -271,8 +284,18 @@ object VersionedTable {
     // directing the operator to delete a claim that is in use. Only
     // wedgeTimeoutMs with NO head movement is a wedge.
     var deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
+    // the optional whole-call ceiling, independent of the stall clock
+    val budgetDeadline =
+      totalBudgetMs.map(ms => System.nanoTime() + ms * 1000000L)
     @scala.annotation.tailrec
     def attempt(): Long = {
+      if (budgetDeadline.exists(System.nanoTime() >= _))
+        throw new java.io.IOException(
+          s"RMW publish over budget: live contention on $tableDir " +
+            s"exhausted totalBudgetMs=${totalBudgetMs.get} while the " +
+            "head kept advancing (this writer kept losing claim " +
+            "races). The table is HEALTHY — do not delete claim " +
+            "files; back off and retry, or shard writers.")
       val base = currentVersion(spark, tableDir)
       var next = base.getOrElse(0L) + 1L
       var won = createExclusive(fs, claim(tableDir, next))

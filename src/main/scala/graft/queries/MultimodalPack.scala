@@ -31,10 +31,13 @@ object MultimodalPack extends QueryPack {
         .withColumn("bh",
           expr("shiftrightunsigned(phash, cast(band * 8 as int)) & 255")),
       "band", "bh", "media_id")
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.media_id") < col("b.media_id") &&
-        BandGuard.pairCondition("a", "media_id", cap))
+    // round 18: starSelfJoin — the pairCondition conjunct bounded pair
+    // OUTPUT but still enumerated |bucket|² key-matched pairs inside an
+    // over-cap (band, byte) bucket (a viral identical image); the split
+    // form enumerates over-cap buckets hub-only (m−1 pairs),
+    // row-identical, and downstream components preserve connectivity.
+    val cands = BandGuard.starSelfJoin(
+        bands, Seq("band", "bh"), "media_id", cap)
       .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
       .agg(count(lit(1)).as("nb"))
       .select(col("d1"), col("d2"))

@@ -291,12 +291,16 @@ object SimOps extends QueryPack {
     val cents = kmeansRefine(reps, seed, iters = 2, ckpt)
     val assigned = BandGuard.withBucketStats(
       assignCells(reps, cents), "cell_id", "vec_id")
-    val verified = assigned.as("x").join(assigned.as("y"),
-        col("x.cell_id") === col("y.cell_id") &&
-        col("x.vec_id") < col("y.vec_id") &&
-        BandGuard.pairCondition("x", "vec_id", cellCap))
-      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+    // round 18: starSelfJoin (linear over-cap ENUMERATION — the
+    // pairCondition conjunct form bounded output but still walked
+    // |cell|² key-matched pairs in an over-cap cell, the mechanism the
+    // r17 k=64 curve measured at 157× on editdist_e2e); row-identical
+    // to the conjunct form, downstream is components so the hub-star
+    // degrade is sound (see the cap discussion above).
+    val verified = BandGuard.starSelfJoin(
+        assigned, Seq("cell_id"), "vec_id", cellCap)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"))
     val losers = TextOps.connectedComponents(verified.unionAll(dupEdges))
@@ -887,13 +891,22 @@ object SimOps extends QueryPack {
     // partitioned windows, not global sorts). No oracle (quantizers
     // training-specific); SimilaritySpec measures per-probe recall
     // against the exact brute-force top-5.
+    // Build shape + serving budget from the calibrated AnnBudget
+    // policy (round 18, VERDICT r17 wrong #3: the old literals —
+    // m=4/cells=16, nprobe=4/rerank=50 — were never an operating
+    // point: day-0 recall@5 = 0.240; see tools/anncalib_r18.json and
+    // AnnBudget's scaladoc for the sweep that picked these rules).
     "q_sim_knn_join" -> ((spark, sfDir) => {
+      import graft.operators.AnnBudget
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val cells = AnnBudget.buildCells(n)
       val probes = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
-      knnJoin(emb, probes, m = 4, k = 16, dim = 64,
-        nprobe = 4, rerank = 50, topK = 5)
+      knnJoin(emb, probes, m = AnnBudget.buildSegments(64), k = cells,
+        dim = 64, nprobe = AnnBudget.nprobe(cells),
+        rerank = AnnBudget.rerank(n, 5), topK = 5)
     }),
 
     // SemDeDup-style semantic dedup: k-means clusters block the
@@ -988,10 +1001,20 @@ object SimOps extends QueryPack {
     // not m. No oracle (both quantizers are training-specific);
     // SimilaritySpec bounds re-ranked quality and asserts the
     // probed-cell containment.
+    // Round 18: build shape and budget from the calibrated AnnBudget
+    // policy, same as the persisted twin — the parity contract
+    // (SimilaritySpec: this in-session plan must equal
+    // q_sim_ann_index's reloaded-artifact answer row for row) requires
+    // the two to train and serve identically.
     "q_sim_ann_ivfpq" -> ((spark, sfDir) => {
-      val m = 4; val k = 16; val dim = 64; val segLen = dim / m
+      import graft.operators.AnnBudget
+      val dim = 64
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val m = AnnBudget.buildSegments(dim)
+      val k = AnnBudget.buildCells(n)
+      val segLen = dim / m
       val (centroids, assigned) = ivfAssign(emb, k)
       val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
       val codes = pqEncode(emb, codebooks, m, dim)
@@ -1000,7 +1023,7 @@ object SimOps extends QueryPack {
       val probeCells = centroids.crossJoin(broadcast(probe))
         .select(col("cell_id"), cosine(col("centroid"), col("probe")).as("sim"))
         .orderBy(col("sim").desc, col("cell_id"))
-        .limit(4)
+        .limit(AnnBudget.nprobe(k))
       // inverted-list membership: ids in the probed IVF cells
       val candIds = assigned
         .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
@@ -1025,7 +1048,7 @@ object SimOps extends QueryPack {
           (col("num") / (sqrt(col("den")) * sqrt(dot(col("probe"), col("probe")))))
             .as("approx_cos"))
         .orderBy(col("approx_cos").desc, col("vec_id"))
-        .limit(50)
+        .limit(AnnBudget.rerank(n, 10))
       cand.join(emb, "vec_id")
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
@@ -1042,15 +1065,22 @@ object SimOps extends QueryPack {
     // bit-exactly, so this equals the in-session search
     // (SimilaritySpec parity case). No oracle — both quantizers are
     // training-specific, as declared for the ivfpq row.
+    // Calibrated build shape + serving budget (round 18 — see
+    // q_sim_knn_join's note).
     "q_sim_ann_index" -> ((spark, sfDir) => {
-      val m = 4; val k = 16; val dim = 64
+      import graft.operators.AnnBudget
+      val dim = 64
       val dir = fixtureDir(sfDir, "ann_index")
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      saveAnnIndex(emb, dir, m, k, dim)
+      val n = emb.count()
+      val m = AnnBudget.buildSegments(dim)
+      val cells = AnnBudget.buildCells(n)
+      saveAnnIndex(emb, dir, m, cells, dim)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      searchAnnIndex(spark, dir, probe, m, dim, nprobe = 4, rerank = 50,
+      searchAnnIndex(spark, dir, probe, m, dim,
+        nprobe = AnnBudget.nprobe(cells), rerank = AnnBudget.rerank(n, 10),
         topK = 10, excludeVecId = 0L)
     }),
 
@@ -1063,16 +1093,23 @@ object SimOps extends QueryPack {
     // with single-probe searchAnnIndex answers from the same index
     // directory, plus the exactness bound (nprobe = k + corpus-size
     // rerank ⇒ brute-force equality).
+    // Calibrated build shape; the serving budget comes from
+    // AnnBudget.forIndex — the k×-scaling rule IN the serve path (the
+    // budget re-derives from the index's own corpus size, so the same
+    // call keeps its recall target as appends grow the index).
     "q_sim_knn_index" -> ((spark, sfDir) => {
-      val m = 4; val k = 16; val dim = 64
+      import graft.operators.AnnBudget
+      val dim = 64
       val dir = fixtureDir(sfDir, "ann_index_knn")
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      saveAnnIndex(emb, dir, m, k, dim)
+      val n = emb.count()
+      val m = AnnBudget.buildSegments(dim)
+      saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim)
       val probes = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
-      knnJoinIndex(spark, dir, probes, m, dim,
-        nprobe = 4, rerank = 50, topK = 5)
+      val (nprobe, rerank) = AnnBudget.forIndex(spark, dir, 5)
+      knnJoinIndex(spark, dir, probes, m, dim, nprobe, rerank, topK = 5)
     }),
 
     // Recall-drift report for the persisted serving index (round 13):
@@ -1081,16 +1118,23 @@ object SimOps extends QueryPack {
     // declared ann-family rule); IndexEvalSpec pins the report shape,
     // a recall floor on the fixture, and the nprobe=k + corpus-rerank
     // exactness bound (recall exactly 1).
+    // Calibrated build + budgeted serve (round 18): the report now
+    // evaluates the budget the policy would actually run, so its
+    // recall row is the AnnBudget.TargetRecall compliance check
+    // (IndexEvalSpec pins the floor at the target).
     "q_sim_index_eval" -> ((spark, sfDir) => {
-      val m = 4; val k = 16; val dim = 64
+      import graft.operators.AnnBudget
+      val dim = 64
       val dir = fixtureDir(sfDir, "ann_index_eval")
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      saveAnnIndex(emb, dir, m, k, dim)
+      val n = emb.count()
+      val m = AnnBudget.buildSegments(dim)
+      saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim)
       val probes = emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
-      indexEval(spark, dir, probes, m, dim, nprobe = 4, rerank = 50,
-        topK = 5)
+      val (nprobe, rerank) = AnnBudget.forIndex(spark, dir, 5)
+      indexEval(spark, dir, probes, m, dim, nprobe, rerank, topK = 5)
         .select(col("n_probes"),
           round(col("recall_at_k"), 6).as("recall_at_k"),
           round(col("min_recall"), 6).as("min_recall"),

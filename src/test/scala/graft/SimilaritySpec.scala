@@ -119,11 +119,16 @@ class SimilaritySpec extends SparkSuite {
     val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
     val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
     // reference: the exact best within the SAME probed cells (the IVF
-    // pruning is shared; this isolates the PQ+re-rank approximation)
-    val (centroids, assigned) = SimOps.ivfAssign(emb, 16)
+    // pruning is shared; this isolates the PQ+re-rank approximation).
+    // Round 18: the registry query builds and serves the calibrated
+    // AnnBudget shape, so the reference mirrors it (ivfAssign is
+    // deterministic — identical centroids, identical probed cells).
+    import graft.operators.AnnBudget
+    val cells = AnnBudget.buildCells(emb.count())
+    val (centroids, assigned) = SimOps.ivfAssign(emb, cells)
     val probeCells = centroids.crossJoin(broadcast(probe))
       .select(col("cell_id"), SimOps.cosine(col("centroid"), col("probe")).as("sim"))
-      .orderBy(col("sim").desc, col("cell_id")).limit(4)
+      .orderBy(col("sim").desc, col("cell_id")).limit(AnnBudget.nprobe(cells))
     val inCells = assigned
       .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
       .filter(col("vec_id") =!= 0)

@@ -63,12 +63,13 @@ ACTION_RE = re.compile(r'"action":"(\w+)"')
 # global-aggregate plans — up to 18x on q_cast; see BASELINE.md
 # count-series EOL note). Artifacts from the two actions are NOT
 # comparable: a noop-vs-count diff would flag every projection-shaped
-# query as a phantom regression. When the two sides' actions differ the
-# gate automatically swaps the prior for the designated same-action
-# bridge anchor (--bridge-prior, default the committed round-16 noop
-# artifact) and gates noop-vs-noop; if no usable bridge exists it fails
-# loudly rather than emitting meaningless flags.
-DEFAULT_BRIDGE = os.path.join(os.path.dirname(__file__), "bench_r16c_noop.json")
+# query as a phantom regression. Round 18 (VERDICT r17 next #4): the
+# one cross-action boundary (r17-vs-r16) is behind us and both sides
+# of every future diff are noop, so the transitional bridge-anchor
+# swap is retired — an action mismatch now fails loudly instead of
+# silently substituting a different prior. SPARK_GRAFT_BENCH_ACTION=
+# count remains a debugging knob only; its artifacts never enter this
+# gate.
 
 # Round 14: the former ITERATIVE-class special case (normalize the
 # in-session trainers by calib2 instead of calib) is subsumed by the
@@ -121,9 +122,6 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.30)
     ap.add_argument("--baseline-md",
                     default=os.path.join(os.path.dirname(__file__), "..", "BASELINE.md"))
-    ap.add_argument("--bridge-prior", default=DEFAULT_BRIDGE,
-                    help="same-action prior substituted when current/prior "
-                         "actions differ (default: the committed r16 noop anchor)")
     args = ap.parse_args()
 
     cur, cur_calib, cur_calib2, cur_action = load_isolated(args.current)
@@ -131,19 +129,10 @@ def main():
     if cur_action != prev_action:
         print(f"benchguard: ACTION MISMATCH — current={cur_action} vs "
               f"prior={prev_action}; these series are not comparable "
-              f"(count under-prices projection plans up to 18x).")
-        if not os.path.exists(args.bridge_prior):
-            print(f"benchguard: no bridge prior at {args.bridge_prior} — "
-                  f"cannot gate", file=sys.stderr)
-            return 1
-        prev, prev_calib, prev_calib2, prev_action = load_isolated(args.bridge_prior)
-        if cur_action != prev_action:
-            print(f"benchguard: bridge prior {args.bridge_prior} is "
-                  f"action={prev_action}, still mismatched — cannot gate",
-                  file=sys.stderr)
-            return 1
-        print(f"benchguard: gating {cur_action}-vs-{cur_action} against the "
-              f"bridge anchor {args.bridge_prior} instead")
+              f"(count under-prices projection plans up to 18x). The "
+              f"canonical series is noop; pass a same-action prior.",
+              file=sys.stderr)
+        return 1
     if not cur or not prev:
         print(f"benchguard: no isolated samples parsed "
               f"(current={len(cur)}, prior={len(prev)}) — cannot gate", file=sys.stderr)
