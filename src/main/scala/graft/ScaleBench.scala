@@ -498,25 +498,29 @@ object SkewBench {
               slice(base, 2, 63)))
           .otherwise(col("embedding")))
     }
-    val memberRows = Seq(
-      measureDf("q_dedup_semantic", atK =>
-        graft.queries.SimOps.semanticDedupSurvivors(
-          viralEmb(if (atK) s"target/scale/x$k" else "target/scale/x1"),
-          k = if (atK) 16 * k else 16, threshold = 0.4, cellCap = 1024)),
-      // pHash dedup: 20% of ids share one base hash ± 2 low bits (all
-      // within Hamming 7 — one viral identical-image cluster), the
-      // rest get xxhash64 noise. 2,000 members at 1× (under the 4096
-      // cap → full all-pairs branch), 2,000·k at k× (over → hub-star).
-      measureDf("q_multimodal_phash_dedup", { atK =>
-        val n = if (atK) 10000L * k else 10000L
-        val ids = spark.range(n).select(col("id").as("media_id"))
-        val hashes = ids.withColumn("phash",
-          when(col("media_id") % 5 === 0,
-            lit(0x5A5A5A5A5A5A5A00L) + pmod(col("media_id"), lit(4)))
-          .otherwise(xxhash64(col("media_id"))))
-        graft.queries.MultimodalPack.phashClusters(hashes,
-          maxHamming = 7, cap = graft.operators.BandGuard.DefaultCap)
-      }))
+    val memberProbes: Seq[(String, Boolean => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "q_dedup_semantic" -> (atK =>
+          graft.queries.SimOps.semanticDedupSurvivors(
+            viralEmb(if (atK) s"target/scale/x$k" else "target/scale/x1"),
+            k = if (atK) 16 * k else 16, threshold = 0.4, cellCap = 1024)),
+        // pHash dedup: 20% of ids share one base hash ± 2 low bits (all
+        // within Hamming 7 — one viral identical-image cluster), the
+        // rest get xxhash64 noise. 2,000 members at 1× (under the 4096
+        // cap → full all-pairs branch), 2,000·k at k× (over → hub-star).
+        "q_multimodal_phash_dedup" -> { atK =>
+          val n = if (atK) 10000L * k else 10000L
+          val ids = spark.range(n).select(col("id").as("media_id"))
+          val hashes = ids.withColumn("phash",
+            when(col("media_id") % 5 === 0,
+              lit(0x5A5A5A5A5A5A5A00L) + pmod(col("media_id"), lit(4)))
+            .otherwise(xxhash64(col("media_id"))))
+          graft.queries.MultimodalPack.phashClusters(hashes,
+            maxHamming = 7, cap = graft.operators.BandGuard.DefaultCap)
+        })
+    val memberRows = memberProbes
+      .filter { case (label, _) => only.forall(_.contains(label)) }
+      .map { case (label, mk) => measureDf(label, mk) }
 
     val doc = s"""{"base":"$baseDir","k":$k,"hot_share":0.2,""" +
       s""""queries":${rows.mkString("{", ",", "}")},""" +

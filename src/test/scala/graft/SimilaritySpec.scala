@@ -461,6 +461,34 @@ class SimilaritySpec extends SparkSuite {
     assert(guarded.size === 60 + 1, s"filler dropped: ${guarded.size}")
   }
 
+  test("semantic dedup viral cluster of NEAR-identical vectors: the " +
+      "over-cap hub-star keeps the cluster one component") {
+    import spark.implicits._
+    import graft.queries.SimOps
+    // Round 18 (starSelfJoin conversion): distinct-but-near-identical
+    // vectors defeat the exact pre-collapse — the whole cluster
+    // reaches the cell self-join as 200 DISTINCT rows in ONE cell,
+    // the |cell|² walk the conjunct guard only bounded in OUTPUT.
+    // With the cell-min inside the cluster (all rows are the cluster)
+    // the hub-star must preserve connectivity: every member pairs
+    // with the hub at cos ≈ 1, components collapse to the min id, and
+    // the guarded answer equals the unguarded one.
+    val dim = 32
+    val base = noiseVec(999L, dim)
+    val emb = (0 until 200).map { i =>
+      (i.toLong, base.updated(0, base.head + i * 1e-5f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    def surv(cap: Int): Set[Long] =
+      SimOps.semanticDedupSurvivors(emb, k = 1, threshold = 0.95,
+          cellCap = cap)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val guarded = surv(32)     // 200 distinct rows >> cap: star branch
+    val unguarded = surv(Int.MaxValue)
+    assert(guarded === Set(0L),
+      s"hub-star lost cluster connectivity: $guarded")
+    assert(unguarded === guarded, "cap changed the answer")
+  }
+
   test("ANN index append: frozen quantizers, union payload, parity with " +
       "a one-shot build over the union") {
     import graft.queries.SimOps
