@@ -397,8 +397,13 @@ object SkewBench {
     ScaleBench.synthesize(spark, baseDir, s"target/scale/x$k", k)
     val s1 = "target/scale/xs1"
     val sk = s"target/scale/xs$k"
-    skewify(spark, "target/scale/x1", s1)
-    skewify(spark, s"target/scale/x$k", sk)
+    // like the viral pair below (ADVICE r17): only pay the two
+    // hot-key corpus rewrites when a hot-key target survives the
+    // SCALE_ONLY filter
+    if (Targets.exists(q => only.forall(_.contains(q)))) {
+      skewify(spark, "target/scale/x1", s1)
+      skewify(spark, s"target/scale/x$k", sk)
+    }
 
     def run(name: String, dir: String): (Double, Long, Long) = {
       val l = new TaskStatsListener
