@@ -16,11 +16,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchGuardSpec extends AnyFunSuite {
 
-  /** Latest committed driver bench artifact (tools/bench_r{N}_driver
-    * .json), by round number — the same-box prior BASELINE.md anchors
-    * rounds against. */
+  /** Latest committed NOOP-series bench artifact
+    * (tools/bench_r{N}{x}_noop.json), by round number — the canonical
+    * series since round 17 (round 18 retired benchguard's count
+    * bridge, so anchoring on the legacy count-action
+    * bench_r{N}_driver artifacts would fail the action-mismatch
+    * check by design). */
   private def priorArtifact: Option[File] = {
-    val re = """bench_r(\d+)_driver\.json""".r
+    val re = """bench_r(\d+)[a-z]?_noop\.json""".r
     Option(new File("tools").listFiles()).toSeq.flatten
       .flatMap(f => f.getName match {
         case re(n) => Some((n.toInt, f))
