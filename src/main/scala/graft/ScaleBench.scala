@@ -352,7 +352,19 @@ object SkewBench {
   val ViralTargets: Seq[String] = Seq(
     "q_dedup_exact",   // control: min(struct) hash agg collapses the cluster
     "q_dedup_minhash", // banded signature join through BandGuard
-    "q_dedup_e2e")     // candidates → verify → components → survivors
+    "q_dedup_e2e",     // candidates → verify → components → survivors
+    // the shingle family (round 19, VERDICT r18 next #3). The two
+    // pair LISTERS (containment, ngram) carry an inherently quadratic
+    // OUTPUT on an identical-doc viral cluster (C(m,2) true pairs —
+    // the pairs contract, not a plan asymptote); their rows exist to
+    // pin that the candidate volume tracks the true-pair volume (the
+    // prefix filter admits no noise beyond it), while dupgrams
+    // (map-side-combinable gram count) and winnow (pure per-doc map)
+    // must read FLAT.
+    "q_dedup_containment",
+    "q_dedup_ngram",
+    "q_text_dupgrams",
+    "q_text_winnow")
 
   private class TaskStatsListener
       extends org.apache.spark.scheduler.SparkListener {
@@ -509,19 +521,26 @@ object SkewBench {
           graft.queries.SimOps.semanticDedupSurvivors(
             viralEmb(if (atK) s"target/scale/x$k" else "target/scale/x1"),
             k = if (atK) 16 * k else 16, threshold = 0.4, cellCap = 1024)),
-        // pHash dedup: 20% of ids share one base hash ± 2 low bits (all
-        // within Hamming 7 — one viral identical-image cluster), the
-        // rest get xxhash64 noise. 2,000 members at 1× (under the 4096
-        // cap → full all-pairs branch), 2,000·k at k× (over → hub-star).
+        // pHash dedup: 20% of ids share one base 256-bit hash ± 2 low
+        // bits of word 0 (all within the Hamming bound — one viral
+        // identical-image cluster), the rest get 4 words of xxhash64
+        // noise (pairwise ~128 bits apart). 2,000 members at 1× (under
+        // the 4096 cap → full all-pairs branch), 2,000·k at k× (over →
+        // hub-star).
         "q_multimodal_phash_dedup" -> { atK =>
           val n = if (atK) 10000L * k else 10000L
           val ids = spark.range(n).select(col("id").as("media_id"))
           val hashes = ids.withColumn("phash",
             when(col("media_id") % 5 === 0,
-              lit(0x5A5A5A5A5A5A5A00L) + pmod(col("media_id"), lit(4)))
-            .otherwise(xxhash64(col("media_id"))))
+              array(lit(0x5A5A5A5A5A5A5A00L) + pmod(col("media_id"), lit(4)),
+                lit(0x3C3C3C3C3C3C3C3CL), lit(0x0F0F0F0F0F0F0F0FL),
+                lit(0x7777777777777777L)))
+            .otherwise(array(xxhash64(col("media_id")),
+              xxhash64(col("media_id"), lit(1)),
+              xxhash64(col("media_id"), lit(2)),
+              xxhash64(col("media_id"), lit(3)))))
           graft.queries.MultimodalPack.phashClusters(hashes,
-            maxHamming = 7, cap = graft.operators.BandGuard.DefaultCap)
+            maxHamming = 15, cap = graft.operators.BandGuard.DefaultCap)
         })
     val memberRows = memberProbes
       .filter { case (label, _) => only.forall(_.contains(label)) }
@@ -609,7 +628,15 @@ object ScaleVerify {
   val GroupedInvariants: Seq[(String, String, Seq[String])] = Seq(
     ("q_dedup_exact", "lang", Seq("n_survivors")),
     ("q_dedup_rate_by_source", "source", Seq("n_docs", "n_pairs")),
-    ("q_text_curriculum", "decile", Seq("n_docs")))
+    ("q_text_curriculum", "decile", Seq("n_docs")),
+    // round 19 (VERDICT r18 next #6): the semantic-dedup member. The
+    // exact-dup pre-collapse is bijection-exact per copy (identical
+    // embedding arrays collapse before clustering), rotation-isometry
+    // copies decorrelate across copies (cross-copy cosines ≪ the 0.4
+    // threshold), and the fixture holds no near-threshold pairs for
+    // the k-means candidate coverage to gain or lose — so per-label
+    // survivor counts must scale exactly k×.
+    ("q_dedup_semantic", "label", Seq("n_survivors")))
 
   /** Max block population of a refusable exact member's blocking key
     * at `dir`, with the member's cap — the arithmetic that decides
@@ -780,8 +807,63 @@ object ScaleVerify {
         f"$mass%.9f nodes=$n ${if (pass) "PASS" else "FAIL"}")
       f"""\"pagerank.mass_$tag\":{\"kind\":\"mass\",\"mass\":$mass,\"nodes\":$n,\"pass\":$pass}"""
     }
+    // Operator-driven k× ANSWER invariant for q_multimodal_phash_dedup
+    // (round 19, VERDICT r18 next #6): its registry query synthesizes
+    // its own 100 images regardless of corpus dir, so the invariant
+    // drives phashClusters directly with a deterministic
+    // planted-cluster hash corpus — per copy, every id-decade plants
+    // one 2-member near-dup pair (2 low bits apart: pigeonhole-banded
+    // together, exactly verified), everything else is 4-word splitmix
+    // noise (~128 bits apart). Copies are XOR-masked: XOR is an
+    // ISOMETRY of Hamming space, so within-copy structure is exact at
+    // every scale and cross-copy distances sit at ~128 ≫ 15. Expected
+    // clusters: exactly (n1/10)·copies, every one 2 members — a
+    // dropped band, a candidate set that stopped covering true pairs,
+    // or a cross-copy merge all break it.
+    val phashChecks = {
+      def sm(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val n1 = 3000L
+      def clustersAt(copies: Int) = {
+        import spark.implicits._
+        val hashes = spark.range(n1 * copies).map { id =>
+          val copy = id / n1; val b = id % n1
+          val mask = Array.tabulate(4)(w => sm(0xA5C3L + copy * 4 + w))
+          val base =
+            if (b % 10 < 2) {
+              val dec = b / 10
+              val h = Array.tabulate(4)(w => sm(0xD00DL + dec * 4 + w))
+              if (b % 10 == 1) h(0) ^= 3L
+              h
+            } else Array.tabulate(4)(w => sm(0xBEEF0000L + b * 4 + w))
+          (id, mask.zip(base).map { case (m, h) => m ^ h })
+        }.toDF("media_id", "phash")
+        graft.queries.MultimodalPack.phashClusters(hashes,
+          maxHamming = 15, cap = graft.operators.BandGuard.DefaultCap)
+          .collect()
+      }
+      val c1 = clustersAt(1)
+      val ck = clustersAt(k)
+      val expected1 = n1 / 10
+      val two1 = c1.forall(_.getLong(1) == 2L)
+      val twoK = ck.forall(_.getLong(1) == 2L)
+      val pass = c1.length == expected1 && ck.length == k * expected1 &&
+        two1 && twoK
+      println(f"[scaleverify] phash_dedup.clusters     rows: " +
+        f"n1=${c1.length}%8d n$k=${ck.length}%9d " +
+        f"expected=${k * expected1}%9d two_member=$two1/$twoK " +
+        f"${if (pass) "PASS" else "FAIL"}")
+      Seq(f"""\"q_multimodal_phash_dedup.clusters\":{\"kind\":\"operator\",""" +
+        f"""\"n1\":${c1.length},\"nk\":${ck.length},""" +
+        f"""\"expected\":${k * expected1},\"two_member_1\":$two1,""" +
+        f"""\"two_member_k\":$twoK,\"pass\":$pass}""")
+    }
     val all = rowChecks ++ valChecks ++ sumChecks ++ groupChecks ++
-      unitChecks ++ massChecks
+      unitChecks ++ massChecks ++ phashChecks
     val allPass = !all.exists(_.contains("\"pass\":false"))
     val doc = s"""{"base":"$baseDir","k":$k,"all_pass":$allPass,""" +
       s""""checks":${all.mkString("{", ",", "}")}}"""

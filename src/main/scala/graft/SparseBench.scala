@@ -132,13 +132,22 @@ object SparseBench {
   val Targets: Seq[String] = Seq(
     "q_dedup_jaccard",        // plain source-blocked token join (exact)
     "q_dedup_prefix",         // prefix-filtered AllPairs (exact, lossless)
-    "q_dedup_ngram",          // shingle variant
+    "q_dedup_ngram",          // shingle variant (prefix plan since r19)
     "q_dedup_e2e",            // minhash-LSH end-to-end consumer
     // the Jaccard e2e consumers, on the prefix plan since round 18
     // (VERDICT r17 next #1) — their rows ARE the prefix curve at
     // realistic density
     "q_dedup_pipeline",
-    "q_dedup_rate_by_source")
+    "q_dedup_rate_by_source",
+    // the shingle family (round 19, VERDICT r18 next #3 — the r17→r18
+    // lesson is that unprobed members hide quadratic plans):
+    // containment rides the one-sided prefix filter since r19;
+    // dupgrams is a map-side-combinable (source, gram) count and
+    // winnow a pure per-doc map — their rows pin that they STAY
+    // join-free as density drops
+    "q_dedup_containment",
+    "q_text_dupgrams",
+    "q_text_winnow")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SPARSE_N", "5000").toLong
@@ -201,16 +210,30 @@ object SparseBench {
       val dRate = groupsDiffer(
         graft.queries.TextOps.dedupRateBySource(docsDf, prefPairs),
         graft.queries.TextOps.dedupRateBySource(docsDf, plainPairs))
+      // shingle-family A/B (round 19, VERDICT r18 next #3): the
+      // prefix-filtered containment and ngram plans must be
+      // ROW-IDENTICAL to their plain-join references on this
+      // realistic-density corpus — the same losslessness evidence the
+      // unigram family carries, now for the one-sided prefix theorem
+      val dCont = groupsDiffer(
+        graft.queries.TextOps.containmentPairs(docsDf, 4, 5),
+        graft.queries.TextOps.containmentPairsPlain(docsDf, 0.8))
+      val dNgram = groupsDiffer(
+        graft.queries.TextOps.ngramJaccardPairs(docsDf, 1, 2),
+        graft.queries.TextOps.ngramJaccardPairsPlain(docsDf, 0.5))
       val allPass = nJ == nP && foundJ == nPlanted && foundP == nPlanted &&
-        dSurv == 0 && dRate == 0
+        dSurv == 0 && dRate == 0 && dCont == 0 && dNgram == 0
       println(f"[sparse] answers@$docs: jaccard=$nJ prefix=$nP equal=${nJ == nP} " +
         f"planted $foundJ/$nPlanted (prefix $foundP) density=$dens%.2e " +
-        f"group_diff survivors=$dSurv rate=$dRate all_pass=$allPass")
+        f"group_diff survivors=$dSurv rate=$dRate " +
+        f"containment_diff=$dCont ngram_diff=$dNgram all_pass=$allPass")
       f"""{\"n_docs\":$docs,\"jaccard_pairs\":$nJ,\"prefix_pairs\":$nP,""" +
         f"""\"equal\":${nJ == nP},\"planted\":$nPlanted,""" +
         f"""\"planted_found_jaccard\":$foundJ,\"planted_found_prefix\":$foundP,""" +
         f"""\"pair_density\":$dens%.3e,""" +
         f"""\"survivors_group_diff\":$dSurv,\"rate_group_diff\":$dRate,""" +
+        f"""\"containment_prefix_vs_plain_diff\":$dCont,""" +
+        f"""\"ngram_prefix_vs_plain_diff\":$dNgram,""" +
         f"""\"all_pass\":$allPass}"""
     }
     val a1 = answers(d1, n)

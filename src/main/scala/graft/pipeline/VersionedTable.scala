@@ -287,15 +287,27 @@ object VersionedTable {
     // the optional whole-call ceiling, independent of the stall clock
     val budgetDeadline =
       totalBudgetMs.map(ms => System.nanoTime() + ms * 1000000L)
+    // rebase count: the budget-exhausted error may only claim "live
+    // contention / the head kept advancing" when this writer actually
+    // lost at least one race (round 19, ADVICE r18: with a tiny budget
+    // the old text fired on the very first attempt, describing a race
+    // that never happened)
+    var rebases = 0
     @scala.annotation.tailrec
     def attempt(): Long = {
       if (budgetDeadline.exists(System.nanoTime() >= _))
         throw new java.io.IOException(
-          s"RMW publish over budget: live contention on $tableDir " +
-            s"exhausted totalBudgetMs=${totalBudgetMs.get} while the " +
-            "head kept advancing (this writer kept losing claim " +
-            "races). The table is HEALTHY — do not delete claim " +
-            "files; back off and retry, or shard writers.")
+          if (rebases > 0)
+            s"RMW publish over budget: live contention on $tableDir " +
+              s"exhausted totalBudgetMs=${totalBudgetMs.get} after " +
+              s"$rebases lost claim race(s) (the head kept advancing). " +
+              "The table is HEALTHY — do not delete claim files; back " +
+              "off and retry, or shard writers."
+          else
+            s"RMW publish over budget: totalBudgetMs=${totalBudgetMs.get} " +
+              s"expired on $tableDir before any claim race was lost — " +
+              "the budget is smaller than one attempt's read-merge-" +
+              "write; raise it. Do not delete claim files.")
       val base = currentVersion(spark, tableDir)
       var next = base.getOrElse(0L) + 1L
       var won = createExclusive(fs, claim(tableDir, next))
@@ -311,6 +323,7 @@ object VersionedTable {
       if (won && currentVersion(spark, tableDir) != base) {
         // the head moved between our read and our claim: this claim's
         // number is burned and the merge must rebase — progress
+        rebases += 1
         deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
         attempt()
       } else if (won) {
@@ -326,16 +339,27 @@ object VersionedTable {
         // once it publishes) or by a crashed one (wedge — refuse and
         // name it; see ClaimPolicy.Linearized)
         var advanced = currentVersion(spark, tableDir).exists(_ >= next)
-        while (!advanced && System.nanoTime() < deadline) {
+        // the wait is bounded by BOTH clocks (round 19, ADVICE r18:
+        // checking the budget only at attempt() entry let a call
+        // overshoot totalBudgetMs by up to a full wedgeTimeoutMs
+        // spent asleep here) — on budget expiry the loop exits and
+        // the entry check throws the budget error, not the wedge one
+        def waitDeadline: Long =
+          budgetDeadline.fold(deadline)(math.min(deadline, _))
+        while (!advanced && System.nanoTime() < waitDeadline) {
           Thread.sleep(20)
           advanced = currentVersion(spark, tableDir).exists(_ >= next)
         }
-        if (!advanced) throw new java.io.IOException(
+        if (!advanced && budgetDeadline.forall(System.nanoTime() < _))
+          throw new java.io.IOException(
           s"RMW publish wedged: version $next of $tableDir is claimed " +
             "but unpublished (abandoned claim after a writer crash?); " +
             "refusing last-published-wins. Delete " +
             s"${claim(tableDir, next)} to recover.")
-        // the contender published — head movement resets the stall clock
+        // the contender published (a lost race — counts as a rebase)
+        // or the budget expired mid-wait (attempt()'s entry check
+        // throws the budget error); head movement resets the stall clock
+        if (advanced) rebases += 1
         deadline = System.nanoTime() + wedgeTimeoutMs * 1000000L
         attempt()
       }

@@ -29,7 +29,12 @@ class BenchGuardSpec extends AnyFunSuite {
         case re(n) => Some((n.toInt, f))
         case _ => None
       })
-      .sortBy(-_._1).headOption.map(_._2)
+      // deterministic tiebreak within a round (round 19, ADVICE r18:
+      // File.listFiles() order is unspecified, so same-round letter-
+      // suffixed twins made the prior anchor nondeterministic): the
+      // lexicographically LAST name of the highest round wins — the
+      // letter suffix orders re-measures, so the latest one anchors
+      .maxByOption(t => (t._1, t._2.getName)).map(_._2)
   }
 
   test("no unwaived >30% isolated regression vs the prior round artifact") {
