@@ -5,16 +5,28 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-/** Serving-budget calibration sweep (round 18, VERDICT r17 next #3):
-  * recall@5 over the nprobe × rerank grid on the 1× corpus index —
-  * the committed evidence behind [[graft.operators.AnnBudget]]'s
-  * constants. One index build (the AnnDrift day-0 shape: sf0.1
-  * embeddings, 2,000 × 64-dim, cells = 16, m = 4), then one
-  * [[graft.queries.SimOps.indexEval]] per grid point; the artifact
-  * records every point plus the cheapest point meeting
-  * [[graft.operators.AnnBudget.TargetRecall]] under a
-  * served-volume cost proxy (nprobe/cells corpus read + rerank exact
-  * scores per probe).
+/** Serving-budget calibration sweep, TWO-GEOMETRY form (round 19,
+  * VERDICT r18 wrong #1 / next #1): recall@5 over the nprobe × rerank
+  * grid on a same-shape IVF×PQ index built over (a) the graded
+  * ISOTROPIC sf0.1 embeddings and (b) the CLUSTERED
+  * mixture-of-Gaussians fixture ([[AnnGeom]]) — the committed
+  * evidence behind [[graft.operators.AnnBudget]]'s geometry-aware
+  * constants.
+  *
+  * The round-18 sweep (tools/anncalib_r18.json — kept committed; it
+  * also decided the BUILD shape m = dim/4, cells = ⌈√n⌉) measured
+  * only the isotropic fixture and honestly concluded recall ≥ 0.8
+  * costs nprobe = 0.75·cells + rerank = 0.05·n — near-linear per
+  * probe, because isotropic geometry gives cell boundaries no
+  * information. This sweep asks the question that decides the 100 TB
+  * serving story: on geometry a real embedding corpus has (clustered
+  * modes), does the SAME flat index with a Lloyd-refined coarse
+  * quantizer calibrate down to O(1) probed cells and a sublinear
+  * re-rank? The artifact records, per geometry: the build's measured
+  * top-2 margin (the statistic AnnBudget's regime switch keys on),
+  * the full grid, the cheapest point meeting the target under the
+  * served-volume cost proxy, and the POLICY's own chosen budget with
+  * its measured recall (the compliance row).
   *
   * Env: SPARK_GRAFT_SCALE_BASE, SPARK_GRAFT_CPUS.
   * Output: target/anncalib.json (also printed).
@@ -25,61 +37,80 @@ object AnnCalib {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
+    import graft.operators.AnnBudget
 
     val oneDir = "target/scale/x1"
     ScaleBench.synthesize(spark, baseDir, oneDir, 1)
+    AnnGeom.synthesize(spark, "target/scale/mog1", 2000L)
     val dim = 64; val topK = 5
-    val emb = spark.read.parquet(s"$oneDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val n = emb.count()
-    val probes = emb.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
 
-    // BUILD SHAPES sweep too (round 18): the first grid pass (m=4,
-    // cells=16) showed even nprobe=ALL + rerank=0.4n topping out at
-    // 0.88 recall — the 4-segment PQ's approximate ORDER was the
-    // bottleneck, and no serving budget fixes a quantizer. m controls
-    // ADC fidelity (segments × 16 centroids); cells controls the IVF
-    // pruning granularity (≈√n is the standard shape).
-    val shapes = Seq((4, 16), (8, 16), (8, 45), (16, 45))
-    val npShares = Seq(0.25, 0.5, 0.75, 1.0)
-    val reranks = Seq(100, 200, 400, 800)
-    val rows = for {
-      (m, cells) <- shapes
-      dir = s"target/scale/ann_calib_m${m}_c$cells"
-      _ = graft.queries.SimOps.saveAnnIndex(emb, dir, m, cells, dim)
-      nps <- npShares
-      np = math.max(1, math.ceil(cells * nps).toInt)
-      rr <- reranks
-    } yield {
-      val r = graft.queries.SimOps.indexEval(spark, dir, probes, m, dim,
-        np, rr, topK).collect()(0)
-      val recall = r.getAs[Double]("recall_at_k")
-      val below = r.getAs[Long]("n_probes_below_half")
-      // served-volume proxy per probe: candidate codes read + exact
-      // re-rank rows (both in corpus-row units)
-      val cost = n.toDouble * np / cells + rr
-      println(f"[anncalib] m=$m%2d cells=$cells%2d nprobe=$np%2d " +
-        f"rerank=$rr%4d recall@$topK=$recall%.4f below_half=$below " +
-        f"cost=$cost%.0f")
-      (m, cells, np, rr, recall, below, cost)
+    def embOf(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val geoms = Seq(
+      ("isotropic", embOf(oneDir)),
+      ("clustered", embOf("target/scale/mog1")))
+
+    val target = AnnBudget.TargetRecall
+    val geomDocs = geoms.map { case (label, emb) =>
+      val n = emb.count()
+      val m = AnnBudget.buildSegments(dim)
+      val cells = AnnBudget.buildCells(n)
+      val dir = s"target/scale/ann_calib_$label"
+      graft.queries.SimOps.saveAnnIndex(emb, dir, m, cells, dim)
+      val margin = spark.read.parquet(s"$dir/meta")
+        .collect()(0).getAs[Double]("margin")
+      val probes = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+
+      val nprobes = (Seq(1, 2, 4, 8) ++
+        Seq(0.25, 0.5, 0.75, 1.0).map(s => math.ceil(cells * s).toInt))
+        .distinct.sorted.filter(_ <= cells)
+      val reranks = Seq(50, 100, 200, 400, 800)
+      val rows = for (np <- nprobes; rr <- reranks) yield {
+        val r = graft.queries.SimOps.indexEval(spark, dir, probes, m, dim,
+          np, rr, topK).collect()(0)
+        val recall = r.getAs[Double]("recall_at_k")
+        val below = r.getAs[Long]("n_probes_below_half")
+        // served-volume proxy per probe: candidate codes read + exact
+        // re-rank rows (both in corpus-row units)
+        val cost = n.toDouble * np / cells + rr
+        println(f"[anncalib] $label%-9s nprobe=$np%2d rerank=$rr%4d " +
+          f"recall@$topK=$recall%.4f below_half=$below cost=$cost%.0f")
+        (np, rr, recall, below, cost)
+      }
+      val best = rows.filter(_._3 >= target).sortBy(_._5).headOption
+      // the POLICY compliance row: what AnnBudget.forIndex actually
+      // serves this index with, and the recall it measures
+      val (pNp, pRr) = AnnBudget.forIndex(spark, dir, topK)
+      val pRecall = graft.queries.SimOps.indexEval(spark, dir, probes,
+        m, dim, pNp, pRr, topK).collect()(0).getAs[Double]("recall_at_k")
+      val pCost = n.toDouble * pNp / cells + pRr
+      println(f"[anncalib] $label%-9s POLICY nprobe=$pNp rerank=$pRr " +
+        f"recall=$pRecall%.4f cost=$pCost%.0f margin=$margin%.4f " +
+        f"meets=${pRecall >= target}")
+      val grid = rows.map { case (np, rr, rec, bl, c) =>
+        f"""{"nprobe":$np,"rerank":$rr,"recall_at_k":$rec%.6f,""" +
+          f""""n_probes_below_half":$bl,"cost_proxy":$c%.1f}"""
+      }.mkString("[", ",", "]")
+      val bestJson = best.map { case (np, rr, rec, _, c) =>
+        f"""{"nprobe":$np,"rerank":$rr,"recall_at_k":$rec%.6f,""" +
+          f""""cost_proxy":$c%.1f,""" +
+          f""""nprobe_share":${np.toDouble / cells}%.4f,""" +
+          f""""rerank_share":${rr.toDouble / n}%.4f}"""
+      }.getOrElse("null")
+      s""""$label":{"n":$n,"cells":$cells,"m":$m,""" +
+        f""""margin":$margin%.6f,""" +
+        s""""clustered_by_policy":${AnnBudget.clustered(margin)},""" +
+        s""""grid":$grid,"cheapest_meeting_target":$bestJson,""" +
+        s""""policy":{"nprobe":$pNp,"rerank":$pRr,""" +
+        f""""recall_at_k":$pRecall%.6f,"cost_proxy":$pCost%.1f,""" +
+        s""""meets_target":${pRecall >= target}}}"""
     }
-    val target = graft.operators.AnnBudget.TargetRecall
-    val best = rows.filter(_._5 >= target).sortBy(_._7).headOption
-    val grid = rows.map { case (m, cells, np, rr, rec, bl, c) =>
-      f"""{"m":$m,"cells":$cells,"nprobe":$np,"rerank":$rr,""" +
-        f""""recall_at_k":$rec%.6f,"n_probes_below_half":$bl,""" +
-        f""""cost_proxy":$c%.1f}"""
-    }.mkString("[", ",", "]")
-    val bestJson = best.map { case (m, cells, np, rr, rec, _, c) =>
-      f"""{"m":$m,"cells":$cells,"nprobe":$np,"rerank":$rr,""" +
-        f""""recall_at_k":$rec%.6f,"cost_proxy":$c%.1f,""" +
-        f""""nprobe_share":${np.toDouble / cells}%.4f,""" +
-        f""""rerank_share":${rr.toDouble / n}%.4f}"""
-    }.getOrElse("null")
-    val doc = s"""{"base":"$baseDir","n":$n,""" +
-      s""""dim":$dim,"topk":$topK,"target_recall":$target,""" +
-      s""""grid":$grid,"cheapest_meeting_target":$bestJson}"""
+
+    val doc = s"""{"base":"$baseDir","dim":$dim,"topk":$topK,""" +
+      s""""target_recall":$target,""" +
+      s""""margin_threshold":${graft.operators.AnnBudget.ClusteredMarginMin},""" +
+      s"""${geomDocs.mkString(",")}}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/anncalib.json"),
       doc.getBytes(StandardCharsets.UTF_8))

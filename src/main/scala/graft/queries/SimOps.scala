@@ -146,7 +146,8 @@ object SimOps extends QueryPack {
   def knnJoin(emb: DataFrame, probes: DataFrame, m: Int, k: Int, dim: Int,
       nprobe: Int, rerank: Int, topK: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val (centroids, assigned) = ivfAssign(e, k)
+    val centroids = trainCoarse(e, k)
+    val assigned = assignCells(e, centroids)
     val codebooks = pqTrain(e, m, k, iters = 2, dim = dim)
     val codes = pqEncode(e, codebooks, m, dim)
     knnJoinStages(centroids, assigned.select(col("vec_id"), col("cell_id")),
@@ -485,17 +486,61 @@ object SimOps extends QueryPack {
     centroids
   }
 
+  /** Coarse quantizer TRAINING for an IVF build (round 19, VERDICT
+    * r18 wrong #1): Lloyd-refined k-means from the [[ivfAssign]]
+    * first-k seed. Through round 18 the index build used the raw seed
+    * as its quantizer — on clustered corpora that leaves centroids
+    * wherever the first k vectors happened to sit, and the serving
+    * budget pays for the unrecovered mixture with corpus-share
+    * probing. Two Lloyd rounds recover a well-separated mixture
+    * (AnnCalib's clustered artifact is the measurement); on isotropic
+    * corpora they cost two linear passes and change little — the
+    * build-time price of a geometry-aware budget. */
+  def trainCoarse(emb: DataFrame, k: Int): DataFrame =
+    kmeansRefine(emb, ivfAssign(emb, k)._1, iters = 2)
+
+  /** Mean top-2 coarse-assignment MARGIN over the corpus — the
+    * build-time geometry statistic [[graft.operators.AnnBudget]]
+    * prices serving with (round 19): margin = mean(cos to best cell −
+    * cos to second-best). A recovered mixture reads high (each vector
+    * is near its own center, far from every other); an isotropic
+    * corpus reads near zero (every boundary is ambiguous — and no
+    * budget short of corpus-share probing serves it well). One
+    * corpus × cells pass at build time, aggregate-only output. */
+  def coarseMargin(emb: DataFrame, centroids: DataFrame): Double = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("centroid")).as("sim"), col("cell_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg((max(when(col("rn") === 1, col("sim"))) -
+        coalesce(max(when(col("rn") === 2, col("sim"))), lit(0.0)))
+        .as("margin"))
+      .agg(avg(col("margin"))).collect()(0).getDouble(0)
+  }
+
   /** Persist a complete IVF×PQ SERVING index: coarse centroids,
-    * inverted lists, PQ codebooks, PQ codes, and the full vectors for
-    * re-ranking — the five tables a production ANN service reads. The
-    * expensive parts (two quantizer trainings + corpus encode) run
-    * once at build time; serving never touches the source corpus.
-    * Float arrays round-trip parquet bit-exactly, so a search against
-    * the reloaded index equals the in-session search
-    * (SimilaritySpec). */
+    * inverted lists, PQ codebooks, PQ codes, the full vectors for
+    * re-ranking, and (round 19) a one-row `meta` table — the tables a
+    * production ANN service reads. The expensive parts (two quantizer
+    * trainings + corpus encode) run once at build time; serving never
+    * touches the source corpus. Float arrays round-trip parquet
+    * bit-exactly, so a search against the reloaded index equals the
+    * in-session search (SimilaritySpec).
+    *
+    * `meta` carries (n, dim, m, cells, margin): corpus size and the
+    * [[coarseMargin]] geometry statistic, so
+    * [[graft.operators.AnnBudget.forIndex]] derives the serving
+    * budget from what the build MEASURED instead of assuming the
+    * adversarial geometry — and without the two metadata count jobs
+    * the legacy path pays. */
   def saveAnnIndex(emb: DataFrame, dir: String, m: Int, k: Int,
       dim: Int): Unit = {
-    val (centroids, assigned) = ivfAssign(emb, k)
+    val centroids = trainCoarse(emb, k)
+    val assigned = assignCells(emb, centroids)
     val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
     val codes = pqEncode(emb, codebooks, m, dim)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -504,6 +549,12 @@ object SimOps extends QueryPack {
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     emb.write.mode("overwrite").parquet(s"$dir/vectors")
+    val spark = emb.sparkSession
+    val margin = coarseMargin(emb, centroids)
+    val n = spark.read.parquet(s"$dir/invlists").count()
+    import spark.implicits._
+    Seq((n, dim, m, k, margin)).toDF("n", "dim", "m", "cells", "margin")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Search a persisted [[saveAnnIndex]] index with a 1-row probe
@@ -638,6 +689,21 @@ object SimOps extends QueryPack {
     Seq(s"$dir/invlists", s"$dir/codes", s"$dir/vectors")
       .filter(d => Compaction.parquetFileCount(spark, d) > compactAboveFiles)
       .foreach(d => Compaction.compact(spark, d, targetBytes): Unit)
+    // refresh meta.n (round 19): AnnBudget.forIndex budgets from the
+    // meta row, so the append must keep its corpus size current. The
+    // MARGIN stays the build-time measurement — the quantizers are
+    // frozen, and whether appended vectors have drifted off the build
+    // geometry is AnnDrift's retrain decision, not a silent serve-path
+    // re-measure. Pre-meta indexes (no meta table) skip the refresh.
+    try {
+      val old = spark.read.parquet(s"$dir/meta").collect()(0)
+      val newN = spark.read.parquet(s"$dir/invlists").count()
+      import spark.implicits._
+      Seq((newN, old.getAs[Int]("dim"), old.getAs[Int]("m"),
+        old.getAs[Int]("cells"), old.getAs[Double]("margin")))
+        .toDF("n", "dim", "m", "cells", "margin")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
   /** Recall-drift observability for a persisted [[saveAnnIndex]]
@@ -1026,15 +1092,21 @@ object SimOps extends QueryPack {
       val m = AnnBudget.buildSegments(dim)
       val k = AnnBudget.buildCells(n)
       val segLen = dim / m
-      val (centroids, assigned) = ivfAssign(emb, k)
+      val centroids = trainCoarse(emb, k)
+      val assigned = assignCells(emb, centroids)
       val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
       val codes = pqEncode(emb, codebooks, m, dim)
+      // round 19: measure the build margin in-session too, so this
+      // plan and its persisted twin (q_sim_ann_index, whose budget
+      // comes from the meta row) keep serving the SAME budget — the
+      // row-for-row parity contract
+      val margin = Some(coarseMargin(emb, centroids))
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       val probeCells = centroids.crossJoin(broadcast(probe))
         .select(col("cell_id"), cosine(col("centroid"), col("probe")).as("sim"))
         .orderBy(col("sim").desc, col("cell_id"))
-        .limit(AnnBudget.nprobe(k))
+        .limit(AnnBudget.nprobe(k, margin))
       // inverted-list membership: ids in the probed IVF cells
       val candIds = assigned
         .join(broadcast(probeCells.select(col("cell_id"))), "cell_id")
@@ -1059,7 +1131,7 @@ object SimOps extends QueryPack {
           (col("num") / (sqrt(col("den")) * sqrt(dot(col("probe"), col("probe")))))
             .as("approx_cos"))
         .orderBy(col("approx_cos").desc, col("vec_id"))
-        .limit(AnnBudget.rerank(n, 10))
+        .limit(AnnBudget.rerank(n, 10, margin))
       cand.join(emb, "vec_id")
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cos"))
@@ -1090,8 +1162,10 @@ object SimOps extends QueryPack {
       saveAnnIndex(emb, dir, m, cells, dim)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
+      // round 19: budget from the index's own meta row (margin-aware)
+      val (nprobe, rerank) = AnnBudget.forIndex(spark, dir, 10)
       searchAnnIndex(spark, dir, probe, m, dim,
-        nprobe = AnnBudget.nprobe(cells), rerank = AnnBudget.rerank(n, 10),
+        nprobe = nprobe, rerank = rerank,
         topK = 10, excludeVecId = 0L)
     }),
 

@@ -23,24 +23,27 @@ Rules:
     `benchguard-ok: <query>` — i.e. a human wrote down WHY the cost
     moved. Silent regressions fail the gate; documented ones pass.
 
-Normalization (round 14): each query's true cost model lies somewhere
-between CPU-throughput-bound (tracked by `calib_sec`) and
-stage-scheduling-latency-bound (tracked by `calib2_sec`) — and three
-rounds of same-code multi-box series show most sub-5 s shuffle-bound
-registry queries sit near the LATENCY end (their raw cost barely moved
-on a box whose CPU probe read 2.5x slower; BASELINE.md rounds 12-13
-drift notes). Normalizing such a query by the CPU ratio therefore
-manufactures phantom flags whenever the two artifacts' boxes differ in
-CPU speed, in either direction (both failure modes were observed, r12
-and r13). A genuine PLAN regression raises cost under ANY box-speed
-model, so the gate flags a query only when it exceeds the threshold
-under BOTH normalizations: sec/cpu_ratio AND sec/stage_ratio. Neither
-probe alone can manufacture a phantom; the trade-off (a purely
-CPU-bound regression measured on a much-faster box could hide for one
-round) is accepted because no registry query has ever tracked the CPU
-probe at full strength and the judge's driver-to-driver diff re-checks
-each round on comparable boxes. When either artifact predates calib2,
-the gate falls back to CPU-ratio-only (the pre-round-14 behavior).
+Normalization (round 19, VERDICT r18 next #4 — replacing the round-14
+both-probes rule): the two synthetic probes were VALIDATED against a
+fixed-work reference and failed. Between the r17 and r18 artifacts the
+CPU probe read 2.94x slower (0.142 -> 0.416) while the stage-latency
+probe read 2.75x FASTER (4.64 -> 1.69) — they disagreed about
+direction — yet the plan-unchanged registry queries (pagerank,
+jaccard, incremental, editdist_e2e, bpe, labelprop, pca, ...) moved at
+most ~10%: best-of-N isolated samples are already essentially
+drift-free on this box, and neither probe tracks the work the gate
+actually judges (BASELINE.md round-19 calibration note).
+
+The validated instrument is therefore SELF-ANCHORED: the median ratio
+over all common uncontended isolated queries is the box-drift scale
+(the fixed-work basket IS the reference; a handful of genuine plan
+regressions cannot move the median of ~30 ratios), and a query flags
+when it exceeds the threshold under that normalization. The probe
+ratios are still computed and printed as diagnostics — a plan-WIDE
+uniform regression is the one shape the median absorbs, and probes
+disagreeing with the median in the same direction is the tell — and
+the gate falls back to the legacy both-probes rule when fewer than
+MIN_BASKET common uncontended samples exist.
 
 Exit 0 = clean (or waived), exit 1 = unwaived regression(s).
 """
@@ -156,9 +159,32 @@ def main():
     if cur_calib2 and prev_calib2 and prev_calib2 > 0:
         scale2 = cur_calib2 / prev_calib2
         print(f"benchguard: calib2 {prev_calib2:.3f}s -> {cur_calib2:.3f}s "
-              f"(stage-latency ratio {scale2:.2f}; a flag must exceed the "
-              f"threshold under BOTH ratios)")
+              f"(stage-latency ratio {scale2:.2f}; diagnostic only since "
+              f"round 19 — see module doc)")
     waived = waivers(args.baseline_md)
+
+    # Self-anchored drift scale (round 19): median ratio over the
+    # common uncontended isolated samples — the validated instrument.
+    MIN_BASKET = 8
+    usable = [(q, cur[q][0], prev[q][0])
+              for q in set(cur) & set(prev)
+              if not cur[q][1] and not prev[q][1] and prev[q][0] > 0]
+    ratios = sorted(c / p for _, c, p in usable)
+    median_ratio = ratios[len(ratios) // 2] if ratios else None
+    self_anchored = len(ratios) >= MIN_BASKET
+    if self_anchored:
+        print(f"benchguard: self-anchored drift scale {median_ratio:.2f} "
+              f"(median of {len(ratios)} uncontended isolated ratios; "
+              f"primary normalization)")
+        if median_ratio > 1.2 and scale > 1.2 and scale2 > 1.2:
+            print("benchguard: WARNING — median and BOTH probes read the "
+                  "box slower; if this round changed shared plan "
+                  "infrastructure, inspect for a plan-WIDE regression "
+                  "(the one shape the median absorbs)")
+    else:
+        print(f"benchguard: only {len(ratios)} uncontended common samples "
+              f"(< {MIN_BASKET}) — falling back to the legacy "
+              f"both-probes rule")
 
     regressions, skipped = [], []
     for q in sorted(set(cur) & set(prev)):
@@ -167,10 +193,12 @@ def main():
         if c_cont or p_cont:
             skipped.append(q)
             continue
-        # The smaller of the two normalized readings is the most
-        # charitable admissible cost model; a genuine plan regression
-        # exceeds the gate under every model, so gate on the min.
-        c_norm = min(c_sec / scale, c_sec / scale2)
+        if self_anchored:
+            c_norm = c_sec / median_ratio
+        else:
+            # legacy: the smaller of the two probe-normalized readings
+            # is the most charitable admissible cost model
+            c_norm = min(c_sec / scale, c_sec / scale2)
         if p_sec > 0 and c_norm > p_sec * (1 + args.threshold):
             regressions.append((q, p_sec, c_norm))
 
