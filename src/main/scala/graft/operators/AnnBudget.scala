@@ -74,7 +74,18 @@ object AnnBudget {
     * This share is the honest price of serving a corpus whose cell
     * boundaries carry no information — the geometry itself is the
     * cost, which is why [[nprobe]] only runs it when the build's
-    * measured margin says the mixture was NOT recovered. */
+    * measured margin says the mixture was NOT recovered.
+    *
+    * Note the margin measures QUANTIZER-vs-data fit, not data alone:
+    * a build whose √n cells exceed the corpus's natural mode count
+    * splits clusters across neighboring centroids and shrinks its own
+    * margin toward this conservative regime (observed in the
+    * clustered k=10 drift RETRAIN control — cells = 142 over 64 modes
+    * read an isotropic-regime margin and served conservatively at
+    * recall 1.0, tools/anndrift_r19_clustered_k10.json). Overpaying
+    * is the designed failure direction; a corpus whose mode count
+    * grows with n, the shape real embedding corpora have, keeps the
+    * cells-per-mode ratio and the cheap budget. */
   val NprobeShare = 0.75
 
   /** Fraction of the indexed corpus re-ranked exactly per probe on

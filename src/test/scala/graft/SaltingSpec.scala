@@ -63,4 +63,53 @@ class SaltingSpec extends SparkSuite {
       .select("s").distinct().count()
     assert(salts == 4)
   }
+
+  test("salted pair join: every pair exactly once, over-cap buckets " +
+      "split, under-cap buckets untouched") {
+    import spark.implicits._
+    // one product-skewed bucket (k0: 120x120 > the 1,000 cap) plus a
+    // tail of small buckets that must stay on the g=1 path
+    val rows = ((1 to 120).map(i => ("k0", i.toLong)) ++
+      (1 to 40).map(i => (s"k${i % 8 + 1}", 1000L + i)))
+      .toDF("tok", "doc_id")
+    val salted = Salting.saltedPairJoin(rows, rows, Seq("tok"),
+        "doc_id", "doc_id", g = 4, capProduct = 1000L,
+        cond = col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val plain = rows.as("a").join(rows.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // EXACTLY once: same count (no distinct applied anywhere), no
+    // duplicated pair, identical pair sets
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("d1", "d2").count()
+      .filter(col("count") > 1).count() == 0,
+      "a pair was produced more than once across the g x g groups")
+    assert(salted.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("salted pair join, two-sided directed form (prefix x full): " +
+      "equality with the plain join under a =!= condition") {
+    import spark.implicits._
+    val full = ((1 to 60).map(i => ("k0", i.toLong)) ++
+      (1 to 30).map(i => (s"k${i % 5 + 1}", 500L + i)))
+      .toDF("tok", "doc_id")
+    // an asymmetric left side (a prefix-style subset)
+    val pref = full.filter(col("doc_id") % 2 === 0)
+    val salted = Salting.saltedPairJoin(pref, full, Seq("tok"),
+        "doc_id", "doc_id", g = 4, capProduct = 100L,
+        cond = col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("contained"),
+        col("b.doc_id").as("container"))
+    val plain = pref.as("a").join(full.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("contained"),
+        col("b.doc_id").as("container"))
+    assert(salted.count() == plain.count())
+    assert(salted.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
 }
