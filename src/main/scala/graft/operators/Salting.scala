@@ -72,7 +72,23 @@ object Salting {
     * sparse-corpus path adds two map-side-combinable count
     * aggregations and nothing else. Sides come back aliased `a` /
     * `b` for the caller's select, [[BandGuard.starSelfJoin]]'s
-    * convention. */
+    * convention.
+    *
+    * MEASURED SCOPE (round 19): this split targets single-hot-KEY
+    * concentration — one bucket serializing in one task while other
+    * cores idle. It was wired into the prefix-dedup candidate joins
+    * and REVERTED on A/B measurement: their viral shape is ~40 hot
+    * keys already spread across all cores (output-bound, every
+    * enumerated pair a true pair), where the salting only defeated
+    * the downstream distinct's in-task partial aggregation (a pair's
+    * per-token copies land in different (ga, gb) groups, so the
+    * multiplicity that used to collapse map-side crossed the wire:
+    * 905k → 25M shuffled records, 268 → 381 s wall at the k=10 viral
+    * probe) — and the stage dump showed the actual parallelism
+    * limiter there is AQE coalescing the enumeration join on its
+    * tiny INPUT bytes (output-blind), which key salting cannot undo.
+    * Use it where ONE bucket dominates and the pair stream is not
+    * re-aggregated by a key the salt fragments. */
   def saltedPairJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftId: String, rightId: String,
       g: Int, capProduct: Long, cond: Column): DataFrame = {

@@ -139,20 +139,27 @@ object TextOps extends QueryPack {
         expr(s"CAST(sz - (sz * $tNum + ${tDen - 1}) DIV $tDen + 1 AS INT)"))
     val pref = byDoc.select(col("doc_id"), col("source"),
       explode(slice(col("stoks"), lit(1), col("plen"))).as("tok"))
-    // round 19: the candidate self-join rides the lossless salted
-    // product split — a viral PREFIX token (a duplicate cluster big
-    // enough that its shared rare token stays in every copy's prefix)
-    // used to serialize its whole m²-pair enumeration in one task
-    // (max-task ×92 on the k=10 viral probe); the split spreads an
-    // over-cap bucket over g² join groups with every pair still
-    // produced exactly once, so the oracle-hash losslessness proof is
-    // untouched. Under-cap buckets (all of a realistic corpus) pay
-    // only the two count aggregations.
-    val cand = graft.operators.Salting.saltedPairJoin(pref, pref,
-        Seq("source", "tok"), "doc_id", "doc_id",
-        g = graft.operators.Salting.DefaultPairG,
-        capProduct = graft.operators.Salting.DefaultPairCap,
-        cond = col("a.doc_id") < col("b.doc_id"))
+    // Round 19 A/B note: Salting.saltedPairJoin was wired here and
+    // REVERTED on measurement. On the k=10 viral-prefix-token probe
+    // the split read 381 s / max-task 187 s / max shuffle 25M records
+    // vs 268 s / 117 s / 905k for this direct join: the viral case is
+    // OUTPUT-bound (every enumerated pair is a true pair × the prefix
+    // multiplicity), the hot keys already spread across tasks, and
+    // the salting DEFEATS the distinct's in-task partial aggregation
+    // (a pair's per-shingle copies land in different (ga, gb) groups,
+    // so the 8× multiplicity that used to collapse map-side crosses
+    // the wire — stage dump: the split plan's enumeration wrote 231M
+    // records where this plan's distinct exchange writes 25M). The
+    // stage dump also showed the REAL parallelism limiter: AQE
+    // coalesces the enumeration join to ~10 tasks on its (tiny) INPUT
+    // bytes — output-blind — which no amount of key salting undoes.
+    // saltedPairJoin remains available (SaltingSpec pins its
+    // exactly-once contract) for true single-hot-key concentration,
+    // which this corpus shape does not exhibit.
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val sets = byDoc.select(col("doc_id"), col("stoks"), col("sz"))
@@ -253,14 +260,14 @@ object TextOps extends QueryPack {
       explode(slice(col("stoks"), lit(1), col("plen"))).as("tok"))
     val full = byDoc.select(col("doc_id"), col("source"),
       explode(col("stoks")).as("tok"))
-    // lossless salted product split, same rationale as
-    // [[prefixJaccardOver]]'s candidate join (the directed prefix ×
-    // full join has the identical viral-bucket product shape)
-    val cand = graft.operators.Salting.saltedPairJoin(pref, full,
-        Seq("source", "tok"), "doc_id", "doc_id",
-        g = graft.operators.Salting.DefaultPairG,
-        capProduct = graft.operators.Salting.DefaultPairCap,
-        cond = col("a.doc_id") =!= col("b.doc_id"))
+    // direct prefix × full join — see [[prefixJaccardOver]]'s A/B
+    // note for why the salted product split was measured and rejected
+    // here (the viral case is output-bound and the salting defeats
+    // the distinct's in-task partial collapse)
+    val cand = pref.as("a").join(full.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
       .distinct()
     val sets = byDoc.select(col("doc_id"), col("stoks"), col("sz"))
