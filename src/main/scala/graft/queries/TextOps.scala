@@ -156,6 +156,12 @@ object TextOps extends QueryPack {
     // saltedPairJoin remains available (SaltingSpec pins its
     // exactly-once contract) for true single-hot-key concentration,
     // which this corpus shape does not exhibit.
+    // (A second rejected fix, same probe: an explicit-N repartition of
+    // the prefix stream — pinning the join's partition count against
+    // AQE's input-based coalescing — read 81.2 s / max-task 30.6 s /
+    // 10.0M max shuffled records vs 60.4 s / 22.2 s / 3.4M for this
+    // direct join on the k=10 viral corpus: the extra exchange costs
+    // more than the parallelism it buys.)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.source") === col("b.source") &&
         col("a.tok") === col("b.tok") &&
