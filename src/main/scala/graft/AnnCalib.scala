@@ -107,10 +107,50 @@ object AnnCalib {
         s""""meets_target":${pRecall >= target}}}"""
     }
 
+    // BUILD-SHAPE margin sweep on the clustered fixture (round 19,
+    // from the k=10 drift retrain observation): the margin measures
+    // QUANTIZER-vs-data fit, so a build whose cells exceed the
+    // corpus's mode count splits clusters and shrinks its own margin
+    // below the regime threshold — the conservative (overpaying)
+    // direction. This section commits the measurement: margin as a
+    // function of cells on the 64-mode fixture, with the policy
+    // budget's recall at each shape — the evidence a margin-guided
+    // rebuild policy (try fewer cells when a √n build reads an
+    // under-threshold margin on a corpus believed clustered) would
+    // calibrate against.
+    val shapeRows = {
+      val emb = embOf("target/scale/mog1")
+      val n = emb.count()
+      val m = AnnBudget.buildSegments(dim)
+      val probes = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      // shapes BELOW the 64-mode count (whole clusters per cell) and
+      // ABOVE it (96, 142 = the k=10 retrain's √n shape — cluster
+      // splitting territory, where the k=10 drift artifact measured
+      // the margin falling under the threshold)
+      Seq(16, 32, AnnBudget.buildCells(n), 64, 96, 142).distinct.map { cells =>
+        val dir = s"target/scale/ann_shape_c$cells"
+        graft.queries.SimOps.saveAnnIndex(emb, dir, m, cells, dim)
+        val margin = spark.read.parquet(s"$dir/meta")
+          .collect()(0).getAs[Double]("margin")
+        val (np, rr) = AnnBudget.forIndex(spark, dir, topK)
+        val rec = graft.queries.SimOps.indexEval(spark, dir, probes,
+          m, dim, np, rr, topK).collect()(0).getAs[Double]("recall_at_k")
+        println(f"[anncalib] shape cells=$cells%3d margin=$margin%.4f " +
+          f"clustered=${AnnBudget.clustered(margin)} policy=($np,$rr) " +
+          f"recall=$rec%.4f")
+        f"""{"cells":$cells,"margin":$margin%.6f,""" +
+          s""""clustered_by_policy":${AnnBudget.clustered(margin)},""" +
+          f""""policy_nprobe":$np,"policy_rerank":$rr,""" +
+          f""""policy_recall":$rec%.6f}"""
+      }
+    }
+
     val doc = s"""{"base":"$baseDir","dim":$dim,"topk":$topK,""" +
       s""""target_recall":$target,""" +
       s""""margin_threshold":${graft.operators.AnnBudget.ClusteredMarginMin},""" +
-      s"""${geomDocs.mkString(",")}}"""
+      s"""${geomDocs.mkString(",")},""" +
+      s""""clustered_shape_sweep":${shapeRows.mkString("[", ",", "]")}}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/anncalib.json"),
       doc.getBytes(StandardCharsets.UTF_8))
