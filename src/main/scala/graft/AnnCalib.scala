@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * served-volume cost proxy, and the POLICY's own chosen budget with
   * its measured recall (the compliance row).
   *
-  * Env: SPARK_GRAFT_SCALE_BASE, SPARK_GRAFT_CPUS.
+  * Env: SPARK_GRAFT_SCALE_BASE, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_CALIB_SECTIONS (comma list of `grid`,`shapes`;
+  * default both — `shapes` alone re-measures only the margin-vs-cells
+  * curves that calibrate the margin-guided build search).
   * Output: target/anncalib.json (also printed).
   */
 object AnnCalib {
@@ -36,6 +39,8 @@ object AnnCalib {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sections = sys.env.getOrElse("SPARK_GRAFT_CALIB_SECTIONS", "grid,shapes")
+      .split(",").map(_.trim).toSet
     val spark = GraftSession.local(cpus)
     import graft.operators.AnnBudget
 
@@ -51,7 +56,7 @@ object AnnCalib {
       ("clustered", embOf("target/scale/mog1")))
 
     val target = AnnBudget.TargetRecall
-    val geomDocs = geoms.map { case (label, emb) =>
+    val geomDocs = if (!sections("grid")) Nil else geoms.map { case (label, emb) =>
       val n = emb.count()
       val m = AnnBudget.buildSegments(dim)
       val cells = AnnBudget.buildCells(n)
@@ -107,50 +112,56 @@ object AnnCalib {
         s""""meets_target":${pRecall >= target}}}"""
     }
 
-    // BUILD-SHAPE margin sweep on the clustered fixture (round 19,
-    // from the k=10 drift retrain observation): the margin measures
-    // QUANTIZER-vs-data fit, so a build whose cells exceed the
-    // corpus's mode count splits clusters and shrinks its own margin
-    // below the regime threshold — the conservative (overpaying)
-    // direction. This section commits the measurement: margin as a
-    // function of cells on the 64-mode fixture, with the policy
-    // budget's recall at each shape — the evidence a margin-guided
-    // rebuild policy (try fewer cells when a √n build reads an
-    // under-threshold margin on a corpus believed clustered) would
-    // calibrate against.
-    val shapeRows = {
-      val emb = embOf("target/scale/mog1")
-      val n = emb.count()
-      val m = AnnBudget.buildSegments(dim)
-      val probes = emb.filter(col("vec_id") % 37 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
-      // shapes BELOW the 64-mode count (whole clusters per cell) and
-      // ABOVE it (96, 142 = the k=10 retrain's √n shape — cluster
-      // splitting territory, where the k=10 drift artifact measured
-      // the margin falling under the threshold)
-      Seq(16, 32, AnnBudget.buildCells(n), 64, 96, 142).distinct.map { cells =>
-        val dir = s"target/scale/ann_shape_c$cells"
-        graft.queries.SimOps.saveAnnIndex(emb, dir, m, cells, dim)
-        val margin = spark.read.parquet(s"$dir/meta")
-          .collect()(0).getAs[Double]("margin")
-        val (np, rr) = AnnBudget.forIndex(spark, dir, topK)
-        val rec = graft.queries.SimOps.indexEval(spark, dir, probes,
-          m, dim, np, rr, topK).collect()(0).getAs[Double]("recall_at_k")
-        println(f"[anncalib] shape cells=$cells%3d margin=$margin%.4f " +
-          f"clustered=${AnnBudget.clustered(margin)} policy=($np,$rr) " +
-          f"recall=$rec%.4f")
-        f"""{"cells":$cells,"margin":$margin%.6f,""" +
-          s""""clustered_by_policy":${AnnBudget.clustered(margin)},""" +
-          f""""policy_nprobe":$np,"policy_rerank":$rr,""" +
-          f""""policy_recall":$rec%.6f}"""
-      }
+    // BUILD-SHAPE margin sweep, BOTH geometries (round 19 clustered;
+    // isotropic added round 20 for the margin-guided build search —
+    // VERDICT r19 next #2): the margin measures QUANTIZER-vs-data
+    // fit, so a build whose cells exceed the corpus's mode count
+    // splits clusters and shrinks its own margin below the regime
+    // threshold — the conservative (overpaying) direction. The
+    // CLUSTERED curve is the evidence the margin-guided search
+    // recovers the cheap regime by re-training coarser; the ISOTROPIC
+    // curve is the false-positive audit — if coarse isotropic builds
+    // inflated their margin past the threshold, the search could
+    // misclassify an isotropic corpus into the cheap budget and break
+    // recall, so each shape row also records the POLICY budget's
+    // measured recall at that shape.
+    val shapeDocs = if (!sections("shapes")) Nil else geoms.map {
+      case (label, emb) =>
+        val n = emb.count()
+        val m = AnnBudget.buildSegments(dim)
+        val probes = emb.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+        // shapes BELOW the clustered fixture's 64-mode count (whole
+        // clusters per cell) and ABOVE it (96, 142 = the k=10
+        // retrain's √n shape — cluster-splitting territory, where the
+        // k=10 drift artifact measured the margin falling under the
+        // threshold); 8 probes the deep-coarse end of the isotropic
+        // false-positive audit
+        val rows = Seq(8, 16, 32, AnnBudget.buildCells(n), 64, 96, 142)
+          .distinct.map { cells =>
+            val dir = s"target/scale/ann_shape_${label}_c$cells"
+            graft.queries.SimOps.saveAnnIndex(emb, dir, m, cells, dim)
+            val margin = spark.read.parquet(s"$dir/meta")
+              .collect()(0).getAs[Double]("margin")
+            val (np, rr) = AnnBudget.forIndex(spark, dir, topK)
+            val rec = graft.queries.SimOps.indexEval(spark, dir, probes,
+              m, dim, np, rr, topK).collect()(0).getAs[Double]("recall_at_k")
+            println(f"[anncalib] shape $label%-9s cells=$cells%3d " +
+              f"margin=$margin%.4f " +
+              f"clustered=${AnnBudget.clustered(margin)} policy=($np,$rr) " +
+              f"recall=$rec%.4f")
+            f"""{"cells":$cells,"margin":$margin%.6f,""" +
+              s""""clustered_by_policy":${AnnBudget.clustered(margin)},""" +
+              f""""policy_nprobe":$np,"policy_rerank":$rr,""" +
+              f""""policy_recall":$rec%.6f}"""
+          }
+        s""""${label}_shape_sweep":${rows.mkString("[", ",", "]")}"""
     }
 
-    val doc = s"""{"base":"$baseDir","dim":$dim,"topk":$topK,""" +
+    val doc = (Seq(s""""base":"$baseDir","dim":$dim,"topk":$topK,""" +
       s""""target_recall":$target,""" +
-      s""""margin_threshold":${graft.operators.AnnBudget.ClusteredMarginMin},""" +
-      s"""${geomDocs.mkString(",")},""" +
-      s""""clustered_shape_sweep":${shapeRows.mkString("[", ",", "]")}}"""
+      s""""margin_threshold":${graft.operators.AnnBudget.ClusteredMarginMin}""") ++
+      geomDocs ++ shapeDocs).mkString("{", ",", "}")
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/anncalib.json"),
       doc.getBytes(StandardCharsets.UTF_8))

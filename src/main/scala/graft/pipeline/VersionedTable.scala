@@ -293,6 +293,15 @@ object VersionedTable {
     // the old text fired on the very first attempt, describing a race
     // that never happened)
     var rebases = 0
+    // When the budget expires mid-wait on a contender's claimed-but-
+    // unpublished version, the writer DID lose a createExclusive race
+    // even though rebases is still 0 (round 20, ADVICE r19 #2: the r19
+    // rebases==0 message misdescribed that state as "before any claim
+    // race was lost" and dropped the delete-claim-file recovery
+    // guidance — the exact inaccuracy the r19 change set out to fix).
+    // Track the version being waited on so the budget error can name
+    // the true state and its recovery.
+    var waitingOn: Option[Long] = None
     @scala.annotation.tailrec
     def attempt(): Long = {
       if (budgetDeadline.exists(System.nanoTime() >= _))
@@ -300,14 +309,31 @@ object VersionedTable {
           if (rebases > 0)
             s"RMW publish over budget: live contention on $tableDir " +
               s"exhausted totalBudgetMs=${totalBudgetMs.get} after " +
-              s"$rebases lost claim race(s) (the head kept advancing). " +
-              "The table is HEALTHY — do not delete claim files; back " +
-              "off and retry, or shard writers."
-          else
-            s"RMW publish over budget: totalBudgetMs=${totalBudgetMs.get} " +
-              s"expired on $tableDir before any claim race was lost — " +
-              "the budget is smaller than one attempt's read-merge-" +
-              "write; raise it. Do not delete claim files.")
+              s"$rebases lost claim race(s) (the head kept advancing)" +
+              waitingOn.fold(". The table is HEALTHY — do not delete " +
+                "claim files; back off and retry, or shard writers.")(n =>
+                s", last while waiting on claimed-but-unpublished " +
+                  s"version $n. If that claim never publishes it is a " +
+                  s"wedge: verify the writer is dead, then delete " +
+                  s"${claim(tableDir, n)} to recover; otherwise back " +
+                  "off and retry, or shard writers.")
+          else waitingOn match {
+            case Some(n) =>
+              s"RMW publish over budget: totalBudgetMs=" +
+                s"${totalBudgetMs.get} expired on $tableDir while " +
+                s"waiting on claimed-but-unpublished version $n — a " +
+                "live contender mid-publish, or an abandoned claim " +
+                "after a writer crash. If it never publishes, verify " +
+                "the writer is dead, then delete " +
+                s"${claim(tableDir, n)} to recover."
+            case None =>
+              s"RMW publish over budget: totalBudgetMs=" +
+                s"${totalBudgetMs.get} expired on $tableDir before " +
+                "any claim was attempted or lost — the budget is " +
+                "smaller than one attempt's read-merge-write; raise " +
+                "it. Do not delete claim files."
+          })
+      waitingOn = None
       val base = currentVersion(spark, tableDir)
       var next = base.getOrElse(0L) + 1L
       var won = createExclusive(fs, claim(tableDir, next))
@@ -346,6 +372,7 @@ object VersionedTable {
         // the entry check throws the budget error, not the wedge one
         def waitDeadline: Long =
           budgetDeadline.fold(deadline)(math.min(deadline, _))
+        waitingOn = Some(next)
         while (!advanced && System.nanoTime() < waitDeadline) {
           Thread.sleep(20)
           advanced = currentVersion(spark, tableDir).exists(_ >= next)

@@ -695,6 +695,14 @@ object SimOps extends QueryPack {
     // frozen, and whether appended vectors have drifted off the build
     // geometry is AnnDrift's retrain decision, not a silent serve-path
     // re-measure. Pre-meta indexes (no meta table) skip the refresh.
+    //
+    // Round 20 (ADVICE r19 #3): the catch is NARROW — only a missing
+    // meta path (the pre-meta index case) is skippable. A transient
+    // meta read/write failure must propagate so the caller retries the
+    // refresh; swallowing it left meta.n stale in the unsafe direction
+    // (rerank under-budgeted for the grown corpus). The residual
+    // crash-between-append-and-refresh window is healed on the serve
+    // side: forIndex budgets from max(meta.n, invlists footer count).
     try {
       val old = spark.read.parquet(s"$dir/meta").collect()(0)
       val newN = spark.read.parquet(s"$dir/invlists").count()
@@ -703,7 +711,11 @@ object SimOps extends QueryPack {
         old.getAs[Int]("cells"), old.getAs[Double]("margin")))
         .toDF("n", "dim", "m", "cells", "margin")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    } catch { case _: org.apache.spark.sql.AnalysisException => () }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("Path does not exist") => ()
+    }
   }
 
   /** Recall-drift observability for a persisted [[saveAnnIndex]]

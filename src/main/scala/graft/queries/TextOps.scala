@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 import graft.operators.{BandGuard, Ckpt, CkptMode}
 import graft.expressions.{FirstEqualIndex, MinHashBands, NativeBloom, NormalizeNfc, ShingleJoin, SimHash64, WinnowPrints}
 
@@ -1256,8 +1256,15 @@ object TextOps extends QueryPack {
     // theorem and the integer-exact prefix arithmetic). Same oracle
     // SQL as the plain token-join formulation: hash equality proves
     // completeness on every graded run.
+    // Round 20 (VERDICT r19 weak #1): the three viral-shape-weak pair
+    // listers build under GraftSession.enumFanout — a session clone
+    // with AQE partition coalescing off, so the output-bound
+    // enumeration join keeps the full shuffle fan-out instead of the
+    // ~10 input-byte-coalesced tasks the r19 stage dump measured (see
+    // enumFanout's scaladoc for the two rejected alternatives).
     "q_dedup_prefix" -> ((spark, sfDir) => {
-      prefixJaccardPairs(Tables.documents(spark, sfDir), 4, 5)
+      val s = GraftSession.enumFanout(spark)
+      prefixJaccardPairs(Tables.documents(s, sfDir), 4, 5)
         .orderBy(col("d1"), col("d2"))
     }),
     // q_dedup_jaccard DELIBERATELY keeps the plain all-shared-token
@@ -1310,7 +1317,8 @@ object TextOps extends QueryPack {
     // shingles isolate genuinely copied passages (the fixture's
     // planted near-dup scores 0.97, the noise floor is < 0.04).
     "q_dedup_ngram" -> ((spark, sfDir) => {
-      ngramJaccardPairs(Tables.documents(spark, sfDir), 1, 2)
+      val s = GraftSession.enumFanout(spark) // see q_dedup_prefix
+      ngramJaccardPairs(Tables.documents(s, sfDir), 1, 2)
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -1322,7 +1330,8 @@ object TextOps extends QueryPack {
     // (lossless — the oracle is the plain join, hash equality is the
     // proof); see containmentOver.
     "q_dedup_containment" -> ((spark, sfDir) => {
-      containmentOver(distinctShingles(Tables.documents(spark, sfDir)), 4, 5)
+      val s = GraftSession.enumFanout(spark) // see q_dedup_prefix
+      containmentOver(distinctShingles(Tables.documents(s, sfDir)), 4, 5)
         .orderBy(col("contained"), col("container"))
     }),
 

@@ -34,6 +34,28 @@ class IndexEvalSpec extends SparkSuite {
       s"fixture recall@5 $recall below the AnnBudget target")
   }
 
+  test("forIndex heals a stale meta.n: budgets from max(meta.n, " +
+      "invlists count), so a crashed append refresh can only " +
+      "OVER-budget (round-20 ADVICE)") {
+    import spark.implicits._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001/ann_stale_meta"
+    // an append landed 2000 invlists rows but crashed before the meta
+    // refresh: meta.n still reads the pre-append 100
+    (0L until 2000L).map(i => (i, (i % 45).toInt))
+      .toDF("vec_id", "cell_id")
+      .write.mode("overwrite").parquet(s"$dir/invlists")
+    Seq((100L, dim, 16, 45, 0.107))
+      .toDF("n", "dim", "m", "cells", "margin")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val (np, rr) = graft.operators.AnnBudget.forIndex(spark, dir, topK = 5)
+    assert(np === 34, "isotropic margin: nprobe = ceil(0.75 * 45)")
+    // stale meta.n = 100 would floor rerank at 50 (recall starvation,
+    // the unsafe direction); the healed budget serves the true corpus
+    assert(rr === 100,
+      s"rerank must budget the 2000-row invlists corpus (0.05*2000), got $rr")
+  }
+
   test("exactness bound: nprobe = k with corpus-size rerank measures " +
       "recall exactly 1 for every probe") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",

@@ -287,16 +287,19 @@ class MultimodalSpec extends SparkSuite {
     // phash agreement: same pixels through PNG (lossless) vs JPEG
     // (lossy) encodings — block-constant grays survive DCT nearly
     // intact, so the 256-bit hashes may differ only in a small share
-    // of bits (cells whose level sits at the image mean can wobble;
-    // the 16 bound is the 64-bit spec's ≤4 scaled by the 4x cell
-    // count, same proportional tolerance)
+    // of bits (cells whose level sits at the image mean can wobble).
+    // The bound is phashClusters' production maxHamming = 15 (round
+    // 20, ADVICE r19 #4): a re-encode drifting to 16 bits would pass
+    // a looser spec while the clustering silently stopped pairing
+    // such near-dups — the unit test and the contract must agree.
     val hashes = Multimodal.imageHash(
         Seq(mkRec(10L, enc("png"), "png"), mkRec(11L, jpg, "jpg")).toDS())
       .collect().map(h => h.media_id -> h.phash).toMap
     assert(hashes.keySet == Set(10L, 11L), "JPEG row must decode and hash")
     val hamming = Multimodal.phashHamming(hashes(10L), hashes(11L))
-    assert(hamming <= 16,
-      s"phash unstable across PNG/JPEG re-encodes: hamming $hamming")
+    assert(hamming <= 15,
+      s"phash drifted past phashClusters' maxHamming=15 across " +
+        s"PNG/JPEG re-encodes: hamming $hamming")
     // and a JPEG input through resizeImage decodes real pixels too:
     // output is a PNG re-encode of the resampled image
     val rz = Multimodal.resizeImage(Seq(mkRec(20L, jpg, "jpg")).toDS(), 8, 8)
@@ -399,12 +402,15 @@ class MultimodalSpec extends SparkSuite {
     assert(hUp.sameElements(h1), "aHash must survive an exact 2x rescale")
     // one edited pixel flips few bits (near-dup stays within a band):
     // 1 direct cell flip plus mean-threshold wobble on cells near the
-    // mean — the 16 bound is the 64-bit spec's ≤8 scaled by cell count
+    // mean — bounded by phashClusters' production maxHamming = 15
+    // (round 20, ADVICE r19 #4: a drift to exactly 16 must FAIL here,
+    // because the clustering contract would stop pairing such edits)
     val edit = png(16, 16, (x, y) =>
       if (x == 0 && y == 0) 0xffffffff else pix(x, y))
     val hEdit = Multimodal.imageHash(Seq(rec(4, edit)).toDS()).collect().head.phash
-    assert(Multimodal.phashHamming(h1, hEdit) <= 16,
-      s"single-pixel edit moved ${Multimodal.phashHamming(h1, hEdit)} bits")
+    assert(Multimodal.phashHamming(h1, hEdit) <= 15,
+      s"single-pixel edit moved ${Multimodal.phashHamming(h1, hEdit)} bits, " +
+        "past phashClusters' maxHamming=15")
     // non-decodable images are dropped, not hashed
     assert(Multimodal.imageHash(
       Seq(rec(5, Array[Byte](1, 2, 3))).toDS()).count() == 0)

@@ -245,6 +245,32 @@ class VersionedTableSpec extends SparkSuite {
       "the merge must base on the contender's final head")
   }
 
+  test("budget expiry while waiting on an unpublished claim names the " +
+      "true state and the delete-claim recovery (round-20 ADVICE)") {
+    val t = s"$root/t12"
+    VersionedTable.publish(df(0L -> "base"), t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a contender's (or crashed writer's) unpublished claim at base+1:
+    // this writer LOSES the createExclusive race (rebases stays 0) and
+    // the budget expires mid-wait — the r19 message misdescribed this
+    // as "before any claim race was lost / budget smaller than one
+    // attempt" and dropped the recovery guidance
+    fs.create(new Path(s"$t/_v/000000000002.claim"), true).close()
+    val e = intercept[java.io.IOException] {
+      VersionedTable.publishRmw(spark, t, wedgeTimeoutMs = 60000L,
+          totalBudgetMs = Some(400L)) { baseOpt =>
+        baseOpt.get.unionByName(df(1L -> "x"))
+      }
+    }
+    assert(e.getMessage.contains("waiting on claimed-but-unpublished"),
+      s"budget error must describe the wait state: ${e.getMessage}")
+    assert(e.getMessage.contains(".claim"),
+      s"budget error must carry the delete-claim recovery: ${e.getMessage}")
+    assert(!e.getMessage.contains("smaller than one attempt"),
+      s"must not claim the budget was under one attempt: ${e.getMessage}")
+    fs.delete(new Path(s"$t/_v/000000000002.claim"), false): Unit
+  }
+
   test("vacuum drops old versions only; the current one always survives") {
     val t = s"$root/t3"
     (1 to 5).foreach(i => VersionedTable.publish(df(i.toLong -> s"v$i"), t))

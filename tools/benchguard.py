@@ -176,11 +176,34 @@ def main():
         print(f"benchguard: self-anchored drift scale {median_ratio:.2f} "
               f"(median of {len(ratios)} uncontended isolated ratios; "
               f"primary normalization)")
-        if median_ratio > 1.2 and scale > 1.2 and scale2 > 1.2:
-            print("benchguard: WARNING — median and BOTH probes read the "
-                  "box slower; if this round changed shared plan "
-                  "infrastructure, inspect for a plan-WIDE regression "
-                  "(the one shape the median absorbs)")
+        # Round 20 (ADVICE r19 #1): the r19 warning fired on the WRONG
+        # shape. Median and both probes >1.2 is the case most
+        # consistent with genuine box drift — the probes run fixed
+        # synthetic work no repo plan change can slow — so it is at
+        # most informational. The suspicious shape is the OPPOSITE:
+        # median high while both probes read ~1.0 (the box did not
+        # slow, yet every query did — exactly a plan-WIDE uniform
+        # regression, the one shape the self-anchored median absorbs
+        # by construction). In that shape the gate must not normalize
+        # the regression away: fall back to the legacy probe-anchored
+        # rule, which the r14-r18 series would have flagged it with.
+        have_probes = bool(cur_calib and prev_calib
+                           and cur_calib2 and prev_calib2)
+        if (have_probes and median_ratio > 1.2
+                and scale < 1.1 and scale2 < 1.1):
+            print("benchguard: WARNING — median reads every query "
+                  f">{(median_ratio - 1) * 100:.0f}% slower while BOTH "
+                  "fixed-work probes read the box flat "
+                  f"({scale:.2f}/{scale2:.2f}): consistent with a "
+                  "plan-WIDE uniform regression, which the "
+                  "self-anchored median would absorb. Falling back to "
+                  "legacy probe-anchored gating for this diff.",
+                  file=sys.stderr)
+            self_anchored = False
+        elif median_ratio > 1.2 and scale > 1.2 and scale2 > 1.2:
+            print("benchguard: note — median and both probes agree the "
+                  "box is slower (uniform drift, the benign shape); "
+                  "self-anchored normalization stands")
     else:
         print(f"benchguard: only {len(ratios)} uncontended common samples "
               f"(< {MIN_BASKET}) — falling back to the legacy "
