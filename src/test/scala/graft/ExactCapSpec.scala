@@ -90,6 +90,26 @@ class ExactCapSpec extends SparkSuite {
     assert(guarded.map(_.toString).toSeq === unguarded.map(_.toString).toSeq)
   }
 
+  test("q_dedup_jaccard is guard-wired (round-20 symmetry): an " +
+      "over-cap source block refuses naming the prefix twin") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // one source block just past ExactPairCap — the viral-source
+    // shape the plain token self-join would enumerate quadratically
+    val docs = (1 to BandGuard.ExactPairCap + 1).map(i =>
+      (i.toLong, s"tok$i shared words", "en", "hot", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Throwable] { TextOps.jaccardPairs(docs, 0.8).count() }
+    val msgs = chainMessages(e)
+    assert(msgs.contains(BandGuard.ExactCapError),
+      s"refusal must carry ${BandGuard.ExactCapError}; got: $msgs")
+    assert(msgs.contains("q_dedup_prefix"),
+      "refusal must name the lossless prefix twin")
+    // and under-cap corpora answer byte-identically: SimilaritySpec's
+    // prefix-vs-plain equality and the 282-row oracle hash pin that
+    // on every graded run (every fixture block sits far under cap)
+  }
+
   test("registry q_dedup_embed is guard-wired and answer-preserving at sf0.001") {
     val guarded = SimOps.queries("q_dedup_embed")(spark, Sf).collect()
     val e = Tables.embeddings(spark, Sf)

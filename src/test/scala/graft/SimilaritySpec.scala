@@ -589,4 +589,57 @@ class SimilaritySpec extends SparkSuite {
     val (q0, q1) = (quality(seed), quality(refined))
     assert(q1 > q0, s"refinement did not improve quality: $q0 -> $q1")
   }
+
+  test("margin-guided build search: a cluster-splitting start shape " +
+      "walks back to the mode-count bracket and serves the cheap " +
+      "regime (round-20 lever)") {
+    import spark.implicits._
+    import graft.operators.AnnBudget
+    // 64-mode mixture-of-Gaussians corpus (AnnGeom's fixture
+    // arithmetic), 1,000 vectors — a 128-cell start splits every
+    // cluster (cells > modes), which the anncalib shape sweeps showed
+    // collapses the build's own margin below the regime threshold
+    val emb = spark.range(1000L).as[Long]
+      .mapPartitions(_.map(id => (id, AnnGeom.vecOf(id))))
+      .toDF("vec_id", "embedding")
+    val (_, margin, cells) = SimOps.trainCoarseMarginGuided(emb, 128)
+    assert(AnnBudget.clustered(margin),
+      f"search must certify the clustered regime, got margin $margin%.4f")
+    assert(cells < 128 && cells >= 32,
+      s"adopted shape $cells must bracket the 64-mode count from the " +
+        "halving grid {64, 32}, not keep the splitting 128-cell start")
+    // the persisted form serves the certified regime end to end
+    val dir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures") + "/sf0.001/ann_margin_guided"
+    SimOps.saveAnnIndexMarginGuided(emb, dir, m = 16, k = 128, dim = 64)
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Int]("cells") === cells)
+    val (np, rr) = AnnBudget.forIndex(spark, dir, topK = 5)
+    assert(np === AnnBudget.ClusteredNprobe,
+      s"persisted index must serve the O(1)-cell budget, got nprobe $np")
+    assert(rr === AnnBudget.rerank(1000L, 5, Some(margin)),
+      s"rerank must be the sublinear clustered budget, got $rr")
+    // and the cheap budget actually answers: recall at target on the
+    // build corpus via the drift report
+    val probes = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val rec = SimOps.indexEval(spark, dir, probes, m = 16, dim = 64,
+      np, rr, topK = 5).collect()(0).getAs[Double]("recall_at_k")
+    assert(rec >= AnnBudget.TargetRecall,
+      f"cheap-regime recall $rec%.4f below target on the build corpus")
+  }
+
+  test("margin-guided build search: an isotropic corpus stops after " +
+      "one halved probe and keeps the sqrt-n shape (no false-positive " +
+      "regime switch)") {
+    import graft.operators.AnnBudget
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val k = AnnBudget.buildCells(emb.count())
+    val (_, margin, cells) = SimOps.trainCoarseMarginGuided(emb, k)
+    assert(cells === k,
+      s"isotropic search must keep the sqrt-n start $k, adopted $cells")
+    assert(!AnnBudget.clustered(margin),
+      f"isotropic corpus must stay in the conservative regime " +
+        f"(margin $margin%.4f)")
+  }
 }
