@@ -27,38 +27,15 @@ object GraftSession {
     spark
   }
 
-  /** A clone of `spark` with AQE shuffle-partition coalescing
-    * DISABLED — the scoped fix for enumeration-join plans whose
-    * OUTPUT is orders of magnitude larger than their shuffle INPUT
-    * (round 20, VERDICT r19 weak #1): AQE sizes post-shuffle
-    * partition counts by input bytes, so a prefix-candidate join
-    * reading a few MB of (doc_id, tok) rows but writing 10⁸ enumerated
-    * pairs coalesces to ~10 tasks — an output-bound straggler wall on
-    * any real cluster, pinned regardless of key spread (the r19 stage
-    * dump: 231M records through 10 tasks). Key salting (measured
-    * 381 s vs 268 s) and an explicit repartition (81.2 s vs 60.4 s)
-    * were both REJECTED on A/B — the first defeats the distinct's
-    * map-side collapse, the second adds an exchange. Disabling the
-    * coalescing for the one plan that needs it adds NEITHER: every
-    * shuffle in the clone just keeps its full
-    * spark.sql.shuffle.partitions fan-out, which is the parallelism a
-    * cluster-sized deployment sets that knob for.
-    *
-    * Session-clone scoping (newSession shares the SparkContext,
-    * cached data and catalog but owns its SQLConf) is what makes the
-    * conf change safe: queries built on the parent session keep AQE
-    * coalescing for their genuinely input-bound stages. Builder-level
-    * configs (shuffle partitions, extensions, timezone) are inherited
-    * by the clone, so plans are otherwise identical — EntrySpec's
-    * rewrite contract holds in both.
-    *
-    * SPARK_GRAFT_ENUM_COALESCE=1 restores the parent session (the
-    * A/B / debugging escape hatch). */
-  def enumFanout(spark: SparkSession): SparkSession =
-    if (sys.env.get("SPARK_GRAFT_ENUM_COALESCE").contains("1")) spark
-    else {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      s
-    }
+  // Round 20: an `enumFanout` session clone (newSession +
+  // spark.sql.adaptive.coalescePartitions.enabled=false, scoped to
+  // the three prefix-family pair listers) was built here as the third
+  // candidate fix for the AQE input-byte-coalesced enumeration join
+  // and REVERTED on a 5-run same-box A/B — no win on containment,
+  // a loss on ngram (the coalescing pass is also what splits the hot
+  // buckets; numbers recorded at the q_dedup_prefix registry entry
+  // and in BASELINE.md). The session-clone SCOPING mechanism itself
+  // is sound (builder-level configs are inherited; EntrySpec's
+  // rewrite contract holds in a clone) — reach for it if a future
+  // per-query conf change measures a real win.
 }
