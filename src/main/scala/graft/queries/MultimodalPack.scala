@@ -243,6 +243,23 @@ object MultimodalPack extends QueryPack {
         |   CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
         |  ('B3CBD62E24D00C24A78256403E3D45FA3E0FF2A73B11FA01EB6A5121BB2E40BC',
         |   CAST(1 AS BIGINT), CAST(2 AS BIGINT))
-        |) t(phash_hex, keeper, n_copies) ORDER BY keeper""".stripMargin
+        |) t(phash_hex, keeper, n_copies) ORDER BY keeper""".stripMargin,
+    // Same planted-ground-truth pin for the hamming-tolerant member:
+    // ids 0,1 re-ingested exactly and ids 2,3,4 pixel-perturbed are
+    // BY CONSTRUCTION the only true near-dup pairs (random 256-bit
+    // aHashes sit ~128 bits apart, far above the 15 bound), so the
+    // clusters are exactly five 2-member components keyed by their
+    // min (source) id — deterministic end to end (exact integer
+    // hash, banded join, components). MultimodalSpec asserts the
+    // identical truth; the oracle makes the driver's hash compare
+    // enforce it every graded run.
+    "q_multimodal_phash_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(2 AS BIGINT))
+        |) t(keeper, n_members) ORDER BY keeper""".stripMargin
   )
 }
