@@ -147,10 +147,10 @@ object SimOps extends QueryPack {
       nprobe: Int, rerank: Int, topK: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
     val centroids = trainCoarse(e, k)
-    val assigned = assignCells(e, centroids)
+    val assigned = assignCellIds(e, centroids)
     val codebooks = pqTrain(e, m, k, iters = 2, dim = dim)
     val codes = pqEncode(e, codebooks, m, dim)
-    knnJoinStages(centroids, assigned.select(col("vec_id"), col("cell_id")),
+    knnJoinStages(centroids, assigned,
       codebooks, codes, e, probes, m, dim, nprobe, rerank, topK)
   }
 
@@ -441,16 +441,50 @@ object SimOps extends QueryPack {
     (centroids, assignCells(emb, centroids))
   }
 
-  /** Argmax-cosine cell assignment against a broadcast centroid table. */
-  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+  /** Argmax-cosine cell assignment against a broadcast centroid table.
+    *
+    * Round 20 (guide §2.3/§2.4): the argmax is a `max(struct)` HASH
+    * aggregate, not a `row_number` window — the window form shuffled
+    * and SORTED all n × cells scored rows WITH the embedding payload
+    * (the one argmax in the ANN build that never got the pqTrain
+    * treatment; its scaladoc at the Lloyd assignment documents the
+    * identical move). The broadcast cross join leaves every vector's
+    * `cells` candidate rows inside its own scan task, so the partial
+    * aggregate collapses them map-side to ONE row per vector before
+    * the exchange: shuffle volume drops cells-fold (n payload rows,
+    * not n × cells) and the per-partition sort disappears. Ties break
+    * to the smallest cell_id via the negated id; the embedding rides
+    * in the struct tail, which can never decide a comparison (score
+    * and negCell tie only within one cell) — the same determinism
+    * argument as pqTrain's assignment. SimilaritySpec pins equality
+    * against the window-form reference. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosine(col("embedding"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("centroid")).as("sim"),
+          (-col("cell_id")).as("negCell"),
+          col("embedding").as("emb")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.emb").as("embedding"),
+        (-col("best.negCell")).as("cell_id"))
+
+  /** [[assignCells]] narrowed to `(vec_id, cell_id)` — the inverted-
+    * list builders' shape (round 20, guide §2.3 "project before the
+    * exchange"): consumers that never read the embedding back
+    * (invlists write, the append path, the ivfpq candidate-id
+    * semi-join source, knnJoin's stage input) should not shuffle the
+    * 64-float payload at all. Same scored frame, same argmax, same
+    * tie-break — the struct just drops the payload tail, so the
+    * exchange carries ~16 bytes per vector instead of the vector. */
+  def assignCellIds(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("centroid")).as("sim"),
+          (-col("cell_id")).as("negCell")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.negCell")).as("cell_id"))
 
   /** Lloyd's k-means refinement of an IVF centroid table: assign →
     * per-cell mean → repeat. Each round is one distributed argmax
@@ -508,16 +542,21 @@ object SimOps extends QueryPack {
     * budget short of corpus-share probing serves it well). One
     * corpus × cells pass at build time, aggregate-only output. */
   def coarseMargin(emb: DataFrame, centroids: DataFrame): Double = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell_id"))
+    // Round 20: top-2-per-vector rides the mergeable bounded-heap
+    // TopKAgg (price desc, key asc — the window's exact order) instead
+    // of a row_number window: the window form shuffled and sorted all
+    // n × cells scored rows; the heap's partial state collapses them
+    // map-side to two (sim, cell_id) entries per vector, so the
+    // exchange carries n × 2 narrow rows and no sort runs. Same
+    // argmax/tie semantics, same margin arithmetic.
+    import graft.operators.TopKAgg
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"),
         cosine(col("embedding"), col("centroid")).as("sim"), col("cell_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
       .groupBy(col("vec_id"))
-      .agg((max(when(col("rn") === 1, col("sim"))) -
-        coalesce(max(when(col("rn") === 2, col("sim"))), lit(0.0)))
+      .agg(TopKAgg.udafColumn(2, col("sim"), col("cell_id")).as("top2"))
+      .select((element_at(col("top2"), 1).getField("price") -
+        coalesce(element_at(col("top2"), 2).getField("price"), lit(0.0)))
         .as("margin"))
       .agg(avg(col("margin"))).collect()(0).getDouble(0)
   }
@@ -620,11 +659,12 @@ object SimOps extends QueryPack {
     * from the given centroids, meta from the ADOPTED (cells, margin). */
   private def writeAnnIndex(emb: DataFrame, dir: String, m: Int,
       dim: Int, centroids: DataFrame, cells: Int, margin: Double): Unit = {
-    val assigned = assignCells(emb, centroids)
     val codebooks = pqTrain(emb, m, cells, iters = 2, dim = dim)
     val codes = pqEncode(emb, codebooks, m, dim)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    assigned.select(col("vec_id"), col("cell_id"))
+    // narrow assignment: the invlists table never reads the embedding
+    // back, so the payload is projected out before the exchange
+    assignCellIds(emb, centroids)
       .write.mode("overwrite").parquet(s"$dir/invlists")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
@@ -758,7 +798,7 @@ object SimOps extends QueryPack {
     }
     val forInv = freshFor("invlists")
     ModelStore.appendLargeTable(
-      assignCells(forInv, centroids).select(col("vec_id"), col("cell_id")),
+      assignCellIds(forInv, centroids),
       s"$dir/invlists")
     val forCodes = freshFor("codes")
     ModelStore.appendLargeTable(pqEncode(forCodes, codebooks, m, dim),
@@ -1184,7 +1224,8 @@ object SimOps extends QueryPack {
       val k = AnnBudget.buildCells(n)
       val segLen = dim / m
       val centroids = trainCoarse(emb, k)
-      val assigned = assignCells(emb, centroids)
+      // narrow assignment — candIds below reads only (vec_id, cell_id)
+      val assigned = assignCellIds(emb, centroids)
       val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
       val codes = pqEncode(emb, codebooks, m, dim)
       // round 19: measure the build margin in-session too, so this

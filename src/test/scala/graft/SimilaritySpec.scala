@@ -642,4 +642,51 @@ class SimilaritySpec extends SparkSuite {
       f"isotropic corpus must stay in the conservative regime " +
         f"(margin $margin%.4f)")
   }
+
+  test("assignCells/assignCellIds aggregate argmax equals the " +
+      "window-form reference; coarseMargin matches its window form") {
+    // Round 20: the assignment argmax became a max(struct) hash
+    // aggregate and the margin's top-2 a bounded TopKAgg heap (no
+    // n × cells window sort). This pins both against the replaced
+    // row_number formulations — same scores, same desc-sim /
+    // asc-cell_id tie-break — so the plan change is provably
+    // result-free.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, when, max => smax,
+      coalesce => scoalesce, avg => savg, lit => slit}
+    val emb = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+    val cents = SimOps.trainCoarse(emb, 16)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val scored = emb.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        graft.queries.SimOps.cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+    val refAssign = scored.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gotAssign = SimOps.assignCells(emb, cents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotAssign === refAssign)
+    val gotIds = SimOps.assignCellIds(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotIds === refAssign)
+    // embedding payload survives the aggregate unchanged
+    val viaAgg = SimOps.assignCells(emb, cents)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val orig = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(viaAgg === orig)
+    val refMargin = scored.filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg((smax(when(col("rn") === 1, col("sim"))) -
+        scoalesce(smax(when(col("rn") === 2, col("sim"))), slit(0.0)))
+        .as("margin"))
+      .agg(savg(col("margin"))).collect()(0).getDouble(0)
+    val gotMargin = SimOps.coarseMargin(emb, cents)
+    assert(math.abs(gotMargin - refMargin) < 1e-12,
+      s"margin $gotMargin vs window reference $refMargin")
+  }
 }
