@@ -146,9 +146,12 @@ object SimOps extends QueryPack {
   def knnJoin(emb: DataFrame, probes: DataFrame, m: Int, k: Int, dim: Int,
       nprobe: Int, rerank: Int, topK: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val centroids = trainCoarse(e, k)
+    // the two quantizer trainings are independent job chains (coarse
+    // cells vs segment codebooks over the same corpus) — overlapped
+    // per guide §2.6; each training's plan and output are unchanged
+    val (centroids, codebooks) = graft.operators.Concur.par(
+      trainCoarse(e, k), pqTrain(e, m, k, iters = 2, dim = dim))
     val assigned = assignCellIds(e, centroids)
-    val codebooks = pqTrain(e, m, k, iters = 2, dim = dim)
     val codes = pqEncode(e, codebooks, m, dim)
     knnJoinStages(centroids, assigned,
       codebooks, codes, e, probes, m, dim, nprobe, rerank, topK)
@@ -577,10 +580,13 @@ object SimOps extends QueryPack {
     * adversarial geometry — and without the two metadata count jobs
     * the legacy path pays. */
   def saveAnnIndex(emb: DataFrame, dir: String, m: Int, k: Int,
-      dim: Int): Unit = {
+      dim: Int, n: Long = -1L): Unit = {
     val centroids = trainCoarse(emb, k)
+    // margin passed BY NAME: writeAnnIndex overlaps its corpus × cells
+    // pass with the PQ chain and the payload writes (guide §2.6) —
+    // it is read only by the final meta row
     writeAnnIndex(emb, dir, m, dim, centroids, k,
-      coarseMargin(emb, centroids))
+      coarseMargin(emb, centroids), n)
   }
 
   /** Floor for [[trainCoarseMarginGuided]]'s shape search: below ~8
@@ -650,29 +656,62 @@ object SimOps extends QueryPack {
     * margin, so [[graft.operators.AnnBudget.forIndex]] serves the
     * regime the search actually certified. */
   def saveAnnIndexMarginGuided(emb: DataFrame, dir: String, m: Int,
-      k: Int, dim: Int): Unit = {
+      k: Int, dim: Int, n: Long = -1L): Unit = {
     val (centroids, margin, cells) = trainCoarseMarginGuided(emb, k)
-    writeAnnIndex(emb, dir, m, dim, centroids, cells, margin)
+    writeAnnIndex(emb, dir, m, dim, centroids, cells, margin, n)
   }
 
   /** The write half shared by the two build paths: payload tables
-    * from the given centroids, meta from the ADOPTED (cells, margin). */
+    * from the given centroids, meta from the ADOPTED (cells, margin).
+    *
+    * Round 20 session 3 (guide §2.6 "overlap independent jobs"):
+    * StageCount reads the build rows at 76–87 jobs with ONE task per
+    * stage at sf0.1 — wall ≈ job count × scheduler latency — and the
+    * chains below are mutually independent: the PQ chain
+    * (pqTrain → codebooks/codes writes) never reads the coarse
+    * centroids, the coarse chain (centroids/invlists writes) never
+    * reads the codebooks, the payload write reads only `emb`, and the
+    * by-name `margin` (a corpus × cells measurement pass on the
+    * plain-build path) feeds only the final meta row. They now run
+    * OVERLAPPED via [[graft.operators.Concur.par]]; each chain's plan
+    * — and so each table's bytes — is untouched (SimilaritySpec's
+    * reload-parity and IndexEvalSpec pin the outputs). meta stays the
+    * LAST write, ordered after every sibling, so an interrupted build
+    * still leaves no (or the old) meta exactly as before.
+    *
+    * `n`: callers that already counted the corpus (every registry
+    * build row counts it for buildCells) pass it through; the
+    * fallback re-count of the just-written invlists — one extra
+    * read+count job per build — only runs when no count is supplied.
+    * invlists is one row per vec_id (assignCellIds groups by it), so
+    * the supplied count is byte-identical meta content. */
   private def writeAnnIndex(emb: DataFrame, dir: String, m: Int,
-      dim: Int, centroids: DataFrame, cells: Int, margin: Double): Unit = {
-    val codebooks = pqTrain(emb, m, cells, iters = 2, dim = dim)
-    val codes = pqEncode(emb, codebooks, m, dim)
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    // narrow assignment: the invlists table never reads the embedding
-    // back, so the payload is projected out before the exchange
-    assignCellIds(emb, centroids)
-      .write.mode("overwrite").parquet(s"$dir/invlists")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
-    emb.write.mode("overwrite").parquet(s"$dir/vectors")
+      dim: Int, centroids: DataFrame, cells: Int, margin: => Double,
+      n: Long = -1L): Unit = {
+    val (mg, _, _, _) = graft.operators.Concur.par(
+      margin,
+      {
+        centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+        // narrow assignment: the invlists table never reads the
+        // embedding back, so the payload is projected out before the
+        // exchange
+        assignCellIds(emb, centroids)
+          .write.mode("overwrite").parquet(s"$dir/invlists")
+      },
+      {
+        val codebooks = pqTrain(emb, m, cells, iters = 2, dim = dim)
+        codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+        pqEncode(emb, codebooks, m, dim)
+          .write.mode("overwrite").parquet(s"$dir/codes")
+      },
+      emb.write.mode("overwrite").parquet(s"$dir/vectors"))
     val spark = emb.sparkSession
-    val n = spark.read.parquet(s"$dir/invlists").count()
+    val nOut =
+      if (n >= 0L) n
+      else spark.read.parquet(s"$dir/invlists").count()
     import spark.implicits._
-    Seq((n, dim, m, cells, margin)).toDF("n", "dim", "m", "cells", "margin")
+    Seq((nOut, dim, m, cells, mg))
+      .toDF("n", "dim", "m", "cells", "margin")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -1223,10 +1262,12 @@ object SimOps extends QueryPack {
       val m = AnnBudget.buildSegments(dim)
       val k = AnnBudget.buildCells(n)
       val segLen = dim / m
-      val centroids = trainCoarse(emb, k)
+      // independent trainings overlapped (guide §2.6) — same two
+      // chains as knnJoin's, identical plans and outputs
+      val (centroids, codebooks) = graft.operators.Concur.par(
+        trainCoarse(emb, k), pqTrain(emb, m, k, iters = 2, dim = dim))
       // narrow assignment — candIds below reads only (vec_id, cell_id)
       val assigned = assignCellIds(emb, centroids)
-      val codebooks = pqTrain(emb, m, k, iters = 2, dim = dim)
       val codes = pqEncode(emb, codebooks, m, dim)
       // round 19: measure the build margin in-session too, so this
       // plan and its persisted twin (q_sim_ann_index, whose budget
@@ -1300,7 +1341,7 @@ object SimOps extends QueryPack {
       val n = emb.count()
       val m = AnnBudget.buildSegments(dim)
       val cells = AnnBudget.buildCells(n)
-      saveAnnIndexMarginGuided(emb, dir, m, cells, dim)
+      saveAnnIndexMarginGuided(emb, dir, m, cells, dim, n)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       // round 19: budget from the index's own meta row (margin-aware)
@@ -1331,7 +1372,7 @@ object SimOps extends QueryPack {
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()
       val m = AnnBudget.buildSegments(dim)
-      saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim)
+      saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim, n)
       // batch-bounded probe set — see q_sim_knn_join's note
       val probes = emb
         .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
@@ -1358,7 +1399,7 @@ object SimOps extends QueryPack {
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()
       val m = AnnBudget.buildSegments(dim)
-      saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim)
+      saveAnnIndex(emb, dir, m, AnnBudget.buildCells(n), dim, n)
       val probes = emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
       val (nprobe, rerank) = AnnBudget.forIndex(spark, dir, 5)

@@ -766,9 +766,16 @@ object TextOps extends QueryPack {
     * foreachBatch ingest (StreamingIngestSpec) both consume. */
   def saveDedupIndex(survivors: DataFrame, indexDir: String): Unit = {
     import graft.models.ModelStore
-    ModelStore.saveLargeTable(
-      shingleBandRows(survivors, numHashes = 16, bands = 8), s"$indexDir/bands")
-    ModelStore.saveLargeTable(shingleFeatureRows(survivors), s"$indexDir/features")
+    // the two index tables derive independently from `survivors` and
+    // land in separate subdirectories — overlapped driver actions
+    // (guide §2.6, the writeAnnIndex precedent); bytes identical
+    graft.operators.Concur.par(
+      ModelStore.saveLargeTable(
+        shingleBandRows(survivors, numHashes = 16, bands = 8),
+        s"$indexDir/bands"),
+      ModelStore.saveLargeTable(
+        shingleFeatureRows(survivors), s"$indexDir/features"))
+    ()
   }
 
   /** REFRESH a dedup index with newly-accepted survivors — the write
