@@ -36,6 +36,22 @@ class HashedGramKeySpec extends SparkSuite {
     assert(byHash === byString)
   }
 
+  test("removeRepeatedWindows: xxhash64 window keys reproduce the " +
+      "string-keyed answer on the fixture corpus (round 21 — the " +
+      "registered default flipped)") {
+    val byString = TextOps.removeRepeatedWindows(docs, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted
+    val byHash = TextOps.removeRepeatedWindows(docs, 8, hashKeys = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted
+    assert(byString.nonEmpty, "fixture produced no docs")
+    assert(byString.exists(_._3 > 0), "fixture removed no spans — parity vacuous")
+    assert(byHash === byString)
+  }
+
   test("hashed form shuffles LONG keys (the 8-byte claim, as a plan " +
       "fact, not prose)") {
     val plan = TextOps.repeatedWindows(docs, 8, hashKeys = true)
