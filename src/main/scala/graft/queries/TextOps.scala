@@ -1450,26 +1450,26 @@ object TextOps extends QueryPack {
     // MinHash signature join, declared engine-specific like
     // q_dedup_minhash itself; CoresetSpec pins the report invariants
     // and the recall floor.
-    // Round 21 (VERDICT r20 next #2): the two eval sides — the exact
-    // jaccard pair join (truth) and the banded-minhash candidate join
-    // (cand) — are INDEPENDENT multi-job chains over the same inputs,
-    // and BOTH are consumed twice (their own count + the hit
-    // semi-join). Exchange reuse only shares subtrees up to the last
-    // common Exchange, so each side's per-row verify work above it
-    // (truth's array_intersect verification, cand's first-shared-band
-    // cut) ran TWICE. Each side is now pinned ONCE (localCheckpoint —
-    // pair-list-sized, the report's own working set) and the two
-    // pins run OVERLAPPED (guide §2.6, operators/Concur.par — the
-    // writeAnnIndex precedent); the report plan then reads the pinned
-    // frames. Counts/recall/precision are byte-identical (pinning
-    // reorders nothing; CoresetSpec pins the report invariants).
+    // Round 21 (VERDICT r20 next #2) — Concur-overlap attempt MEASURED
+    // AND REJECTED, twice: pinning each eval side once
+    // (localCheckpoint) and overlapping the two pins (V1), and pinning
+    // only the cheap truth side (V2), BOTH lose to this single-plan
+    // form (V0) on interleaved same-box A/B — V0 steady 6.2–6.7 s vs
+    // V1 7.7 s and V2 8.3–11.3 s at matched calib (logs
+    // /tmp/r21/lsh_v{0,1,2}_{1,2}, OPTIMIZATION_r21.md §4). Mechanism:
+    // the two sides are subtrees of ONE final plan, and AQE
+    // materializes their independent query stages CONCURRENTLY
+    // already — the chains were never serialized — so a manual pin
+    // only adds the materialization (the candidate side's ~11M-row
+    // pair list) to the critical path, and pinning one side (V2)
+    // SERIALIZES its build before the rest of the plan. The
+    // duplicated above-last-exchange compute the pin would save is
+    // cheaper than writing/reading the pair lists at this shape.
     "q_dedup_lsh_eval" -> ((spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val (truth, cand) = graft.operators.Concur.par(
-        jaccardPairs(docs, 0.8).select(col("d1"), col("d2"))
-          .localCheckpoint(),
-        minhashCandidates(docs, numHashes = 16, bands = 8)
-          .select(col("d1"), col("d2")).localCheckpoint())
+      val truth = jaccardPairs(docs, 0.8).select(col("d1"), col("d2"))
+      val cand = minhashCandidates(docs, numHashes = 16, bands = 8)
+        .select(col("d1"), col("d2"))
       val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
